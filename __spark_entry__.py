@@ -1,10 +1,15 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (J1 latest-per-group) at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query key.
+
+Column-name discipline: every computed/aggregate column is aliased
+identically in the Spark code and the oracle SQL (the driver sorts
+columns by name before hashing). Floating-point aggregates are rounded
+to a fixed number of decimals on BOTH sides so accumulation-order
+differences between Spark's partial aggregation and DuckDB's do not
+flip the value hash.
 """
 
 from __future__ import annotations
@@ -13,26 +18,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_data_pipeline_spark import queries_catalog
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: latest event per (user_id, event_type) — the reference's
+    'latest remaining balance per category' semantic (SURVEY.md §2.6 J1)
+    transplanted onto the events fixture."""
+    return queries_catalog.QUERIES["latest_event_per_user_type"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(queries_catalog.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(queries_catalog.ORACLES)

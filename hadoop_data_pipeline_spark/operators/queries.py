@@ -1,0 +1,155 @@
+"""Relational query operators the reference codifies (SURVEY.md §2.5-2.7).
+
+The flagship is J1 *latest-per-group* — the reference's canonical
+"latest ``remaining`` balance per category" query
+(``dashboard/components/sidebar.py:44-62``; canonical SQL form
+``tests/test_sql_safety.py:80-91``). The reference writes it as a
+self-join against a MAX(date) subquery; on Spark the window
+``row_number`` form is one shuffle on the group keys (no join at all),
+and with AQE it handles skewed groups. Both forms are provided; the
+window form is the default.
+
+Scale notes
+-----------
+* ``latest_per_group``: single hash-exchange on ``keys`` + in-partition
+  sort. No broadcast needed, no driver materialization. At 100 TB the
+  only knob is shuffle partitions / AQE skew splitting.
+* ``monotonic_violations`` replaces the reference's driver-side
+  ``collect()`` pairwise scan (``jobs/data_quality.py:95-101``) with a
+  ``lag`` window — fully distributed.
+* ``horizontal_sum`` is a row-local expression — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """J1: the full latest row per ``keys`` by ``order_col`` (window form).
+
+    One shuffle on ``keys``; deterministic under ties via
+    ``tie_breakers`` (appended descending after ``order_col``).
+    """
+    order = [F.col(order_col).desc()] + [F.col(t).desc() for t in tie_breakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_per_group_join(
+    df: DataFrame, keys: Sequence[str], order_col: str
+) -> DataFrame:
+    """J1 (reference-shaped alternative): groupBy MAX + inner equi-join.
+
+    Matches the reference's subquery-join formulation. The aggregated
+    side is small (one row per group), so Spark broadcast-joins it when
+    under the threshold; AQE converts at runtime otherwise. Note this
+    form keeps *all* rows tied at the max, unlike the row_number form.
+    """
+    latest = df.groupBy(*keys).agg(F.max(order_col).alias(order_col))
+    return df.join(F.broadcast(latest), [*keys, order_col], "inner")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """O3/O4 generalization: top-k rows per group by ``order_col``."""
+    first = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [first] + [F.col(t).asc() for t in tie_breakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def horizontal_sum(
+    df: DataFrame, cols: Sequence[str], out_col: str = "computed_sum"
+) -> DataFrame:
+    """A5: row-wise Σ COALESCE(c, 0) over ``cols`` — a pure projection,
+    fully inside whole-stage codegen (reference ``jobs/data_quality.py:75-82``)."""
+    total = reduce(
+        Column.__add__, [F.coalesce(F.col(c).cast("double"), F.lit(0.0)) for c in cols]
+    )
+    return df.withColumn(out_col, total)
+
+
+def forward_fill(
+    df: DataFrame,
+    col: str,
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """P14: carry the last non-null value forward (pandas ``ffill``,
+    reference ``gpt_excel_fix_column.py:212``) as a running
+    ``last(ignorenulls)`` window. Partition it whenever the data has a
+    natural key — an unpartitioned global sort does not scale."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(col, F.last(F.col(col), ignorenulls=True).over(w))
+
+
+def monotonic_violations(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: Sequence[str],
+    direction: str = "non_increasing",
+) -> DataFrame:
+    """O1 distributed: rows where ``value_col`` breaks monotonicity
+    along ``order_col`` within each partition group.
+
+    Replaces the reference's collect()-and-iterate check
+    (``jobs/data_quality.py:91-102``) with a ``lag`` window — the only
+    exchange is the hash partition on ``partition_cols``.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(order_col))
+    prev = F.col("prev_value")
+    staged = df.withColumn("prev_value", F.lag(F.col(value_col)).over(w))
+    if direction == "non_increasing":
+        bad = prev.isNotNull() & (F.col(value_col) > prev)
+    elif direction == "non_decreasing":
+        bad = prev.isNotNull() & (F.col(value_col) < prev)
+    else:
+        raise ValueError(f"unknown direction: {direction}")
+    return staged.where(bad)
+
+
+def filtered_sum(df: DataFrame, predicate: Column, value_col: str) -> DataFrame:
+    """A3: SELECT SUM(value) WHERE predicate (reference sidebar quick
+    stats, ``dashboard/components/sidebar.py:22-35``). Partial (map-side)
+    aggregation makes this a near-free full scan."""
+    return df.where(predicate).agg(F.sum(value_col).alias(f"sum_{value_col}"))
+
+
+def grouped_max(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
+    """A4: GROUP BY keys MAX(col) (argmax preparation step)."""
+    return df.groupBy(*keys).agg(F.max(col).alias(f"max_{col}"))
+
+
+def distinct_ordered(df: DataFrame, col: str, descending: bool = True) -> DataFrame:
+    """A6: SELECT DISTINCT col ORDER BY col."""
+    out = df.select(col).distinct()
+    return out.orderBy(F.col(col).desc() if descending else F.col(col).asc())

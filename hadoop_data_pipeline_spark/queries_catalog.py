@@ -1,0 +1,397 @@
+"""Named query catalog: the driver-facing inventory of implemented
+operators (SURVEY.md §2), each as a (SparkSession, sf_dir) -> DataFrame
+callable plus a DuckDB oracle SQL string.
+
+Conventions
+-----------
+* Every computed column is aliased the same in Spark and SQL.
+* Double aggregates are rounded (ROUND(x, N)) identically on both
+  sides; row-local arithmetic with identical evaluation order is left
+  unrounded (IEEE doubles are deterministic for a fixed order).
+* Window ties are always broken by a unique key column so both engines
+  produce identical rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_data_pipeline_spark.operators import queries as Q
+from hadoop_data_pipeline_spark.operators import reshape
+from hadoop_data_pipeline_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# J1 — latest-per-group (flagship; reference sidebar.py:44-62)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, ts, value
+    FROM (
+        SELECT user_id, event_type, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 window form: latest event value per (user_id, event_type).
+
+    Plan: parquet scan -> single hash exchange on the group keys ->
+    in-partition sort -> row_number filter. No join, no broadcast, no
+    driver materialization; scales with one shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    latest = Q.latest_per_group(
+        events, ["user_id", "event_type"], "ts", tie_breakers=["event_id"]
+    )
+    return latest.select("user_id", "event_type", "ts", "value")
+
+
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 on orders: the reference's J2 'ORDER BY date DESC LIMIT 1'
+    generalized to every group in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    latest = Q.latest_per_group(
+        orders, ["o_custkey"], "o_orderdate", tie_breakers=["o_orderkey"]
+    )
+    return latest.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A4/A6 — sidebar aggregations (reference sidebar.py:8-65)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filtered_sum_returned_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def filtered_sum_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 filtered SUM. Predicate pushes down to the parquet scan;
+    partial aggregation makes the exchange a single row per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.where(F.col("l_returnflag") == "R").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return out
+
+
+@register(
+    "grouped_max_event_ts",
+    oracle="SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type",
+)
+def grouped_max_event_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 grouped MAX (argmax preparation)."""
+    events = load_table(spark, sf_dir, "events")
+    return Q.grouped_max(events, ["event_type"], "ts")
+
+
+@register(
+    "distinct_order_years",
+    oracle="""
+    SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS order_year
+    FROM orders ORDER BY order_year DESC
+    """,
+)
+def distinct_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 DISTINCT + ORDER BY DESC (reference 'available years')."""
+    orders = load_table(spark, sf_dir, "orders")
+    years = orders.select(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    )
+    return Q.distinct_ordered(years, "order_year", descending=True)
+
+
+# ---------------------------------------------------------------------------
+# R1/R2 — unpivot / pivot (reference finance_itsc_pipeline.py:107-113)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS category, CAST(p_size AS DOUBLE) AS amount
+    FROM part WHERE p_size IS NOT NULL
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS category, p_retailprice AS amount
+    FROM part WHERE p_retailprice IS NOT NULL
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 wide->long unpivot (the reference's signature stack() op) on
+    the part table's numeric measures. Expand node — no shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    return reshape.unpivot(part, ids=["p_partkey"], values=["p_size", "p_retailprice"])
+
+
+@register(
+    "pivot_user_event_values",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 long->wide pivot with an explicit value list (no distinct
+    pre-pass — required at scale) and map-side partial aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return wide
+
+
+# ---------------------------------------------------------------------------
+# A5 — row-wise horizontal sum (reference data_quality.py:75-82)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "horizontal_sum_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(l_quantity, 0) + coalesce(l_tax, 0) + coalesce(l_discount, 0)
+               AS computed_sum
+    FROM lineitem
+    """,
+)
+def horizontal_sum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: Σ COALESCE(col, 0) across measure columns — pure projection,
+    whole-stage-codegen'd, zero shuffle. Evaluation order matches the
+    oracle exactly so no rounding is needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    summed = Q.horizontal_sum(
+        li, ["l_quantity", "l_tax", "l_discount"], out_col="computed_sum"
+    )
+    return summed.select("l_orderkey", "l_linenumber", "computed_sum")
+
+
+# ---------------------------------------------------------------------------
+# O1 — monotonic check as a window (reference data_quality.py:91-102)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monotonic_violations_user_value",
+    oracle="""
+    SELECT user_id, ts, value, prev_value FROM (
+        SELECT user_id, ts, value,
+               lag(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_value
+        FROM events
+    ) WHERE prev_value IS NOT NULL AND value > prev_value
+    """,
+)
+def monotonic_violations_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 distributed: rows where a per-user running value increases
+    (the reference's 'remaining must not increase' DQ check), as a lag
+    window instead of a driver-side collect loop."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev = F.lag("value").over(w)
+    return (
+        events.withColumn("prev_value", prev)
+        .where(F.col("prev_value").isNotNull() & (F.col("value") > F.col("prev_value")))
+        .select("user_id", "ts", "value", "prev_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3/O4 — top-k per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (O3/O4 generalized): 3 priciest orders per
+    customer via one windowed shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = Q.top_k_per_group(
+        orders, ["o_custkey"], "o_totalprice", k=3, tie_breakers=["o_orderkey"]
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# P14 — forward fill
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forward_fill_purchase_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(purchase_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_value
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+        FROM events
+    )
+    """,
+)
+def forward_fill_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 forward-fill: carry each user's most recent purchase value
+    forward over their event timeline (pandas ffill as a running
+    last(ignorenulls) window — distributed by user)."""
+    events = load_table(spark, sf_dir, "events")
+    sparse = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+    )
+    filled = Q.forward_fill(
+        sparse.withColumn("last_purchase_value", F.col("purchase_value")),
+        "last_purchase_value",
+        order_cols=["ts", "event_id"],
+        partition_cols=["user_id"],
+    )
+    return filled.select("event_id", "user_id", "ts", "last_purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# Headline scans+agg: TPC-H-style pricing summary and a 4-table join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (A8 family): the bench headline.
+    Ship-date predicate pushes to parquet; 8 partial aggregates over 2
+    grouping keys — one small exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join + agg: lineitem⋈orders⋈customer⋈nation.
+
+    nation (25 rows) and customer are broadcast below the default
+    threshold; the lineitem⋈orders join shuffles on orderkey. AQE
+    re-plans to broadcast at runtime when a side turns out small.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )

@@ -1,0 +1,99 @@
+"""Unit tests for the core operator library (SURVEY.md §2.4-2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_data_pipeline_spark.operators import queries as Q
+from hadoop_data_pipeline_spark.operators import reshape
+
+
+def test_latest_per_group_window_vs_join(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 2, 20.0),
+            ("a", 3, 30.0),
+            ("b", 1, 5.0),
+            ("b", 2, 7.0),
+        ],
+        "k string, t int, v double",
+    )
+    win = Q.latest_per_group(df, ["k"], "t").orderBy("k").collect()
+    assert [(r.k, r.t, r.v) for r in win] == [("a", 3, 30.0), ("b", 2, 7.0)]
+    jn = Q.latest_per_group_join(df, ["k"], "t").orderBy("k").collect()
+    assert [(r.k, r.t, r.v) for r in jn] == [("a", 3, 30.0), ("b", 2, 7.0)]
+
+
+def test_latest_per_group_tie_breaker(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1, "first"), ("a", 1, 2, "second")], "k string, t int, id int, tag string"
+    )
+    got = Q.latest_per_group(df, ["k"], "t", tie_breakers=["id"]).collect()
+    assert len(got) == 1 and got[0].tag == "second"
+
+
+def test_unpivot_pivot_roundtrip(spark):
+    wide = spark.createDataFrame(
+        [("2024-01", "budget", 10.0, 20.0), ("2024-02", "spent", 1.0, None)],
+        "date string, details string, fund_a double, fund_b double",
+    )
+    long_df = reshape.unpivot(wide, ids=["date", "details"])
+    rows = {(r.date, r.details, r.category): r.amount for r in long_df.collect()}
+    assert rows[("2024-01", "budget", "fund_a")] == 10.0
+    # null amount dropped, as the reference does post-stack
+    assert ("2024-02", "spent", "fund_b") not in rows
+    assert long_df.columns == ["date", "details", "category", "amount"]
+
+    back = reshape.pivot(
+        long_df, ids=["date", "details"], values=["fund_a", "fund_b"]
+    )
+    b = {(r.date, r.details): (r.fund_a, r.fund_b) for r in back.collect()}
+    assert b[("2024-01", "budget")] == (10.0, 20.0)
+    assert b[("2024-02", "spent")] == (1.0, None)
+
+
+def test_horizontal_sum_with_nulls(spark):
+    df = spark.createDataFrame([(1.0, None, 2.0), (None, None, None)], "a double, b double, c double")
+    out = Q.horizontal_sum(df, ["a", "b", "c"]).collect()
+    assert [r.computed_sum for r in out] == [3.0, 0.0]
+
+
+def test_forward_fill(spark):
+    df = spark.createDataFrame(
+        [("u", 1, None), ("u", 2, 5.0), ("u", 3, None), ("u", 4, None), ("v", 1, None)],
+        "k string, t int, v double",
+    )
+    out = Q.forward_fill(df, "v", order_cols=["t"], partition_cols=["k"])
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got == {("u", 1): None, ("u", 2): 5.0, ("u", 3): 5.0, ("u", 4): 5.0, ("v", 1): None}
+
+
+def test_monotonic_violations(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 100.0), ("k", 2, 90.0), ("k", 3, 95.0), ("k", 4, 95.0)],
+        "g string, o int, v double",
+    )
+    bad = Q.monotonic_violations(df, "v", "o", ["g"]).collect()
+    assert len(bad) == 1 and bad[0].o == 3 and bad[0].prev_value == 90.0
+    bad_inc = Q.monotonic_violations(df, "v", "o", ["g"], direction="non_decreasing").collect()
+    assert len(bad_inc) == 1 and bad_inc[0].o == 2
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(5)] + [("b", 0, 9.0)], "k string, id int, v double"
+    )
+    out = Q.top_k_per_group(df, ["k"], "v", k=2, tie_breakers=["id"])
+    got = sorted([(r.k, r.v) for r in out.collect()])
+    assert got == [("a", 3.0), ("a", 4.0), ("b", 9.0)]
+
+
+def test_filtered_sum_and_grouped_max(spark):
+    df = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.0), ("y", 10.0)], "k string, v double"
+    )
+    s = Q.filtered_sum(df, F.col("k") == "x", "v").collect()[0]
+    assert s.sum_v == 3.0
+    m = {r.k: r.max_v for r in Q.grouped_max(df, ["k"], "v").collect()}
+    assert m == {"x": 2.0, "y": 10.0}

@@ -1,0 +1,108 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` on DuckDB over the same parquet fixtures, then
+compares row count, column names, and order-insensitive values.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return ""
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return repr(int(v))
+            return repr(round(v, 9))
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        return str(v)
+
+    out = df.map(norm)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def compare(spark_df, duck_df) -> list[str]:
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(
+            f"schema mismatch: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+    a, b = _canon(spark_df), _canon(duck_df)
+    if len(a) == len(b) and not a.equals(b):
+        diff = (a != b).any(axis=1)
+        idx = diff[diff].index[:3]
+        for i in idx:
+            problems.append(f"row {i}: spark={a.loc[i].tolist()} duck={b.loc[i].tolist()}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from hadoop_data_pipeline_spark.session import get_session
+
+    spark = get_session("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark raised {ex}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"okay  {name}: rows={len(sdf)} (no oracle — rows-only check)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb raised {ex}")
+            failed.append(name)
+            continue
+        problems = compare(sdf, ddf)
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"MATCH {name}: rows={len(sdf)}")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
