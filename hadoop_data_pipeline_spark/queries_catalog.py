@@ -395,3 +395,387 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 — projections / filters / predicates (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cast_and_literal_projection",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS line_no,
+           CAST(l_quantity AS DOUBLE) AS qty,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           2026 AS snapshot_year
+    FROM lineitem
+    """,
+)
+def cast_and_literal_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: per-column cast loop + injected literal column (the
+    reference's force-cast + year injection,
+    ``jobs/finance_itsc_pipeline.py:63-68``). Pure projection — stays
+    in whole-stage codegen. floor() before the int cast because SQL
+    engines disagree on double->int rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("line_no"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.lit(2026).alias("snapshot_year"),
+    )
+
+
+@register(
+    "regexp_extract_source_id",
+    oracle="""
+    SELECT doc_id, CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS source_id
+    FROM documents WHERE regexp_matches(source, 'src(\\d+)')
+    """,
+)
+def regexp_extract_source_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: regexp_extract -> cast int (the reference's year-from-
+    filename extraction, ``jobs/finance_pipeline.py:27-30``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("source").rlike(r"src(\d+)")).select(
+        "doc_id",
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("source_id"),
+    )
+
+
+@register(
+    "rlike_sentinel_filter",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE regexp_matches(event_type, '^(click|view)$') OR event_type = 'signup'
+    """,
+)
+def rlike_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: regex predicate OR sentinel equality — the reference's
+    month-key-or-sentinel date filter
+    (``jobs/finance_itsc_pipeline.py:103-105``)."""
+    events = load_table(spark, sf_dir, "events")
+    keep = F.col("event_type").rlike("^(click|view)$") | (
+        F.col("event_type") == F.lit("signup")
+    )
+    return events.where(keep).select("event_id", "event_type")
+
+
+@register(
+    "null_and_nonzero_counts",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(CASE WHEN value IS NULL THEN 1 END) AS n_null,
+           count(CASE WHEN value IS NOT NULL AND value <> 0 THEN 1 END) AS n_nonzero
+    FROM events GROUP BY event_type
+    """,
+)
+def null_and_nonzero_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7: null predicates + non-zero filter as conditional counts
+    (the reference's DQ null census, ``jobs/data_quality.py:48``)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
+        F.count(
+            F.when(F.col("value").isNotNull() & (F.col("value") != 0), 1)
+        ).alias("n_nonzero"),
+    )
+
+
+@register(
+    "membership_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: isin membership filter — pushed to the parquet scan."""
+    events = load_table(spark, sf_dir, "events")
+    return events.where(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "value_remap",
+    oracle="""
+    SELECT event_id,
+           CASE event_type
+                WHEN 'click' THEN 'engagement'
+                WHEN 'view' THEN 'engagement'
+                WHEN 'purchase' THEN 'conversion'
+                WHEN 'signup' THEN 'conversion'
+                ELSE event_type
+           END AS event_class
+    FROM events
+    """,
+)
+def value_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: dictionary value remap with fall-through to the original
+    (the reference's Thai->ISO month map, ``gpt_excel_fix_column.py:190-204``),
+    as a when-chain (codegen'd; no UDF, no map lookup table shipped)."""
+    events = load_table(spark, sf_dir, "events")
+    mapping = {
+        "click": "engagement",
+        "view": "engagement",
+        "purchase": "conversion",
+        "signup": "conversion",
+    }
+    col = None
+    for k, v in mapping.items():
+        col = (
+            F.when(F.col("event_type") == k, v)
+            if col is None
+            else col.when(F.col("event_type") == k, v)
+        )
+    return events.select(
+        "event_id", col.otherwise(F.col("event_type")).alias("event_class")
+    )
+
+
+@register(
+    "provenance_file_name",
+    oracle="""
+    SELECT DISTINCT 'orders.parquet' AS file_name FROM orders
+    """,
+)
+def provenance_file_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: provenance column from the hidden ``_metadata.file_path``
+    (modern replacement for ``input_file_name()``,
+    reference ``jobs/finance_pipeline.py:25``)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "file_name"
+            )
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 — aggregations / set ops / joins (SURVEY.md §2.5, 2.6, 2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_user_event_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct values (the reference's DQ date census) — but
+    returned as a DataFrame, never collect()ed to the driver."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select("user_id", "event_type").distinct()
+
+
+@register(
+    "count_orders_per_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year, count(*) AS n_orders
+    FROM orders GROUP BY order_year
+    """,
+)
+def count_orders_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: COUNT(*) per partition key — with a year-partitioned layout
+    this is metadata-only after partition pruning."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "case_when_agg_per_user",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+               AS purchase_value,
+           round(sum(CASE WHEN event_type = 'error' THEN value END), 2)
+               AS error_value
+    FROM events GROUP BY user_id
+    """,
+)
+def case_when_agg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: SUM(CASE WHEN ...) pivot-style aggregation — the query shape
+    the reference's GPT layer emits (``tests/test_sql_safety.py:63-99``).
+    Legal here; the 'remaining'-sum variant is what guards.py rejects."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 2
+        ).alias("purchase_value"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "error", F.col("value"))), 2
+        ).alias("error_value"),
+    )
+
+
+@register(
+    "union_high_low_value_events",
+    oracle="""
+    SELECT event_id, value, 'high' AS bucket FROM events WHERE value >= 90
+    UNION ALL
+    SELECT event_id, value, 'low' AS bucket FROM events WHERE value <= 10
+    """,
+)
+def union_high_low_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 set ops: UNION ALL of two branch filters over one scan.
+    Catalyst collapses both branches onto the same parquet source."""
+    events = load_table(spark, sf_dir, "events")
+    high = events.where(F.col("value") >= 90).select(
+        "event_id", "value", F.lit("high").alias("bucket")
+    )
+    low = events.where(F.col("value") <= 10).select(
+        "event_id", "value", F.lit("low").alias("bucket")
+    )
+    return high.unionAll(low)
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS). Broadcast when the probe side is small;
+    shuffled hash otherwise — Catalyst/AQE decide."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_with_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 200000
+    )
+    """,
+)
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) with the selective predicate pushed below the
+    join — only qualifying orders are shuffled."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 200000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "latest_event_global",
+    oracle="""
+    SELECT event_id, ts, event_type, value FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def latest_event_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/O4: ORDER BY ... DESC LIMIT 1 — Spark plans a TakeOrderedAndProject
+    (per-partition top-1 then driver merge), no global sort."""
+    events = load_table(spark, sf_dir, "events")
+    return events.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(
+        1
+    ).select("event_id", "ts", "event_type", "value")
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (natural extension the reference
+    lacks, SURVEY.md §2.5 note) — one Expand + one exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(revenue), 2).alias("revenue")
+    )
+
+
+@register(
+    "shipping_priority_top10",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join pipeline: selective dimension filters push
+    down, customer broadcasts, lineitem⋈orders shuffles on orderkey,
+    then global top-10 via TakeOrdered (no full sort)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "running_sum_per_user",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_value
+    FROM events
+    """,
+)
+def running_sum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per user — the reference's 'balance
+    over time' semantic as a window; one exchange on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
