@@ -1,0 +1,222 @@
+"""Deduplication operators for a training-data pipeline (north-star
+extension): exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard —
+all deterministic, all oracle-checkable, no Python UDFs.
+
+All shingle/hash arrays follow dual.py's STAGING RULE: materialized
+once per row via chained projections, then every minhash/band/Jaccard
+expression references the staged column. (Inlining the tokenizer into
+per-element lambdas re-runs the regex split once per array index —
+a ~100x per-row blowup we measured before staging.)
+
+Scale design (the part that matters at 100 TB)
+----------------------------------------------
+* Exact dedup is a hash-aggregate on md5(text) — never on the raw
+  text (shuffling full document bodies would dominate the job).
+* MinHash+LSH: signatures are computed in a single projection pass
+  (Catalyst expressions, codegen'd). Banding explodes each doc into
+  N_BANDS (band_id, band_key) rows; the self-join shuffles only
+  ``(doc_id, band_key)`` and the verify join only the 28-bit
+  shingle-hash arrays — NOT the document text. Candidate pairs are
+  verified with exact Jaccard; thresholding happens inside the join
+  stage. Skewed buckets (boilerplate shingles) are AQE's skew-join
+  problem, and pathological bucket sizes can be capped with a count
+  filter before the join.
+* SimHash: one projection -> 16-bit signature; near-dup = equal
+  signature (or small Hamming distance via band-split on the bits).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_data_pipeline_spark.functions import dual
+
+#: Jaccard from a staged intersection size and the two set sizes:
+#: |A ∪ B| = |A| + |B| - |A ∩ B| (the arrays are distinct sets), so
+#: only ONE array traversal per pair.
+JACCARD_FROM_SIZES = (
+    "round(cast(__i as double)"
+    " / cast(nullif(n_a + n_b - __i, 0) as double), 6)"
+)
+
+
+def _size_ratio_prefilter(threshold: float):
+    """Provably lossless candidate prune: jaccard <= min(n)/max(n), so
+    pairs with min(n) < threshold * max(n) can never reach the
+    threshold. Evaluated on staged integer sizes — no array work."""
+    return F.expr(
+        f"cast(least(n_a, n_b) as double)"
+        f" >= {threshold} * cast(greatest(n_a, n_b) as double)"
+    )
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep one deterministic survivor (min id) per duplicate group.
+    Groups on md5 of the concatenated key columns so the shuffle moves
+    32-byte digests, not document bodies."""
+    key = F.md5(F.concat_ws("", *[F.col(c) for c in cols]))
+    return (
+        df.withColumn("__key", key)
+        .groupBy("__key")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .withColumnRenamed("__key", "content_key")
+    )
+
+
+def staged_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(id, extra..., __sh) with the shingle-hash array staged."""
+    return dual.stage_spark_shingle_hashes(
+        df, text_col, [id_col, *extra_cols]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document MinHash signature (k = len(dual.MINHASH_AB)) over
+    distinct word bigrams."""
+    staged = staged_shingle_hashes(df, text_col, id_col)
+    return staged.selectExpr(
+        id_col,
+        *[
+            f"{dual.minhash_from_hashes('__sh', k, dual.SPARK)} AS mh{k}"
+            for k in range(len(dual.MINHASH_AB))
+        ],
+    )
+
+
+def _banded(sig: DataFrame, id_col: str) -> DataFrame:
+    """Explode a signature frame into (id, band_id, band_key) rows.
+    band_key is the md5 of the band's minhash values."""
+    bands = []
+    for b in range(dual.N_BANDS):
+        cols_in_band = [
+            f"mh{b * dual.BAND_ROWS + r}" for r in range(dual.BAND_ROWS)
+        ]
+        key = "md5(concat_ws('_', " + ", ".join(cols_in_band) + "))"
+        bands.append(f"struct({b} AS band_id, {key} AS band_key)")
+    arr = "array(" + ", ".join(bands) + ")"
+    return sig.selectExpr(id_col, f"inline({arr})")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band."""
+    sig = minhash_signatures(df, text_col, id_col)
+    banded = _banded(sig, id_col)
+    left = banded.withColumnRenamed(id_col, "id_a")
+    right = banded.withColumnRenamed(id_col, "id_b")
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+
+    Pipeline: staged hashes -> signatures -> banding -> bucket
+    self-join -> distinct candidates -> join the hash arrays back ->
+    exact Jaccard >= threshold. The staged hash frame feeds both the
+    signature and the verification sides (one tokenize pass).
+    """
+    staged = staged_shingle_hashes(df, text_col, id_col)
+    sig = staged.selectExpr(
+        id_col,
+        *[
+            f"{dual.minhash_from_hashes('__sh', k, dual.SPARK)} AS mh{k}"
+            for k in range(len(dual.MINHASH_AB))
+        ],
+    )
+    banded = _banded(sig, id_col)
+    cand = (
+        banded.withColumnRenamed(id_col, "id_a")
+        .join(banded.withColumnRenamed(id_col, "id_b"), ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = staged.selectExpr(
+        f"{id_col} AS id_a", "__sh AS sh_a", "size(__sh) AS n_a"
+    )
+    b = staged.selectExpr(
+        f"{id_col} AS id_b", "__sh AS sh_b", "size(__sh) AS n_b"
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(_size_ratio_prefilter(threshold))
+        .withColumn("__i", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .selectExpr("id_a", "id_b", f"{JACCARD_FROM_SIZES} AS jaccard")
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = ("lang",),
+    threshold: float = 0.15,
+) -> DataFrame:
+    """Blocked n-gram Jaccard: exact bigram-set Jaccard for every pair
+    inside a blocking key (e.g. language). Quadratic inside a block —
+    the block must be low-cardinality-bounded at scale; prefer
+    near_dup_pairs_minhash when no natural block exists."""
+    staged = staged_shingle_hashes(df, text_col, id_col, extra_cols=block_cols)
+    a = staged.selectExpr(
+        f"{id_col} AS id_a", *block_cols, "__sh AS sh_a", "size(__sh) AS n_a"
+    )
+    b = staged.selectExpr(
+        f"{id_col} AS id_b",
+        *[f"{c} AS __b_{c}" for c in block_cols],
+        "__sh AS sh_b",
+        "size(__sh) AS n_b",
+    )
+    on = [F.col(c) == F.col(f"__b_{c}") for c in block_cols]
+    return (
+        a.join(b, on)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_size_ratio_prefilter(threshold))
+        .withColumn("__i", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .selectExpr("id_a", "id_b", *block_cols, f"{JACCARD_FROM_SIZES} AS jaccard")
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash per document from the staged token-hash array."""
+    staged = dual.stage_spark_token_hashes(df, text_col, [id_col])
+    return staged.selectExpr(
+        id_col, f"{dual.simhash_from_hashes('__th', dual.SPARK)} AS simhash"
+    )
+
+
+def simhash_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents sharing an identical SimHash (near-dup clusters)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,138 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images / audio / video ride through the engine as opaque ``binary``
+payload columns plus a typed metadata struct — the layout every
+large-scale multimodal training pipeline uses (payload bytes next to
+width/height/codec/duration metadata, partitioned by modality).
+
+The *Spark-side plumbing* here is real and tested: schemas, Arrow
+batch shapes, ``mapInPandas`` signatures, partitioning. The actual
+codecs (PIL/ffmpeg/librosa) are NOT in this container, so the decode
+kernels are stubbed: ``decode_image`` raises ``NotImplementedError``
+unless a codec import succeeds, and ``extract_features`` uses a
+clearly-marked deterministic fake (byte-level stats standing in for
+pixel stats) so the distributed path is exercisable end-to-end.
+
+Scale notes: payload columns are large — never groupBy/shuffle the
+payload itself. Feature extraction is ``mapInPandas`` (per-partition
+Arrow batches, zero shuffle); anything relational happens on the
+extracted features or metadata, never the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Metadata struct carried beside every binary payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_mean", T.DoubleType(), True),
+        T.StructField("byte_std", T.DoubleType(), True),
+        T.StructField("head_hash", T.StringType(), True),
+    ]
+)
+
+
+def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic stand-in payload: utf-8 bytes of the text column
+    plus a metadata struct. In production this column comes from the
+    ingest source (tar/webdataset/parquet-with-binary)."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("fake/raw").alias("format"),
+            F.octet_length(F.col(text_col)).cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """Real image decode — requires a codec library. The container has
+    none, so this raises unless PIL is importable (import-try gate, as
+    the build contract prescribes for missing libs)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no codec in container
+        raise NotImplementedError(
+            "image decode requires PIL/pillow, which is not in this "
+            "container; use extract_features (deterministic fake) for "
+            "plumbing tests"
+        ) from exc
+    raise NotImplementedError("real decode kernel lands when codecs exist")
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """DETERMINISTIC FAKE feature extraction over binary payloads via
+    ``mapInPandas``: byte-level mean/std + md5 of the first 16 bytes,
+    standing in for pixel statistics. Exercises the real distributed
+    path: Arrow batches in, bounded batches out, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n = payloads.map(len)
+            mean = payloads.map(
+                lambda b: float(sum(b)) / len(b) if len(b) else None
+            )
+            std = []
+            for b, m in zip(payloads, mean):
+                if not len(b) or m is None:
+                    std.append(None)
+                else:
+                    var = sum((x - m) ** 2 for x in b) / len(b)
+                    std.append(round(var**0.5, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "byte_mean": [round(m, 6) if m is not None else None for m in mean],
+                    "byte_std": std,
+                    "head_hash": payloads.map(
+                        lambda b: hashlib.md5(bytes(b[:16])).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled "frame"
+    (byte offset) per payload — the explode shape a video pipeline
+    uses (video -> frames). Deterministic: offsets are a sequence."""
+    return df.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.octet_length("payload") - F.lit(1)), F.lit(0)
+                ),
+                F.lit(every_n_bytes),
+            )
+        ).alias("frame_idx", "byte_offset"),
+    )

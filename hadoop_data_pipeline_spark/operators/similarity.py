@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths:
+* ``cosine_topk`` — brute-force exact top-k: query set x candidate
+  set, cosine in double precision, per-query window top-k. The
+  baseline; exact but O(|Q| * N). Fine when |Q| is bounded (the usual
+  "find neighbors of these items" shape) because the candidate scan
+  parallelizes perfectly and the query side broadcasts.
+* ``ann_topk_lsh`` — random-hyperplane LSH: each vector gets a 8-bit
+  bucket from deterministic +/-1 planes (dual.ANN_PLANES); queries only
+  compare against candidates in the same bucket (~N/256 of the data),
+  trading recall for a 256x reduction in pair comparisons. At 100 TB
+  the bucket column is computed once at ingest and the join
+  hash-partitions on it — embeddings are shuffled once, not N times.
+
+Both are pure Catalyst expressions (fold-based dot products) — no
+UDFs — and deterministic, so both have exact DuckDB oracles.
+
+The embedding-cosine near-dup dedup variant lives here too: all pairs
+above a cosine threshold inside an LSH bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_data_pipeline_spark.functions import dual
+from hadoop_data_pipeline_spark.operators.queries import top_k_per_group
+
+
+def with_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("bucket", F.expr(dual.ann_bucket(vec_col, dual.SPARK)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for a bounded query set.
+
+    The query side is a handful of rows — broadcast it so the
+    candidate scan never shuffles.
+    """
+    queries = df.where(F.col(id_col).isin(*query_ids)).selectExpr(
+        f"{id_col} AS query_id", f"{vec_col} AS qvec"
+    )
+    cands = df.selectExpr(f"{id_col} AS cand_id", f"{vec_col} AS cvec")
+    cos = dual.cosine("qvec", "cvec", dual.SPARK)
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .selectExpr("query_id", "cand_id", f"{cos} AS cosine")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], "cosine", k=k, tie_breakers=["cand_id"]
+    )
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored. Recall < 1 by design; bucket count (256) bounds the work."""
+    bucketed = with_bucket(df, vec_col)
+    queries = bucketed.where(F.col(id_col).isin(*query_ids)).selectExpr(
+        f"{id_col} AS query_id", f"{vec_col} AS qvec", "bucket"
+    )
+    cands = bucketed.selectExpr(
+        f"{id_col} AS cand_id", f"{vec_col} AS cvec", "bucket"
+    )
+    cos = dual.cosine("qvec", "cvec", dual.SPARK)
+    scored = (
+        F.broadcast(queries)
+        .join(cands, "bucket")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .selectExpr("query_id", "cand_id", f"{cos} AS cosine")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], "cosine", k=k, tie_breakers=["cand_id"]
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), blocked by ``block_col`` (or the LSH bucket when no
+    label exists) so the pair space is bounded per block."""
+    if block_col is None:
+        df = with_bucket(df, vec_col)
+        block_col = "bucket"
+    a = df.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS va", f"{block_col} AS blk")
+    b = df.selectExpr(
+        f"{id_col} AS id_b", f"{vec_col} AS vb", f"{block_col} AS __blk_b"
+    )
+    cos = dual.cosine("va", "vb", dual.SPARK)
+    return (
+        a.join(b, F.col("blk") == F.col("__blk_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_a", "id_b", "blk", f"{cos} AS cosine")
+        .where(F.col("cosine") >= threshold)
+    )

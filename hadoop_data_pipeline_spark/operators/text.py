@@ -1,0 +1,168 @@
+"""Text-analysis operators for a training-data pipeline (north-star
+extension, BASELINE.json): language ID, quality scoring, token
+counting, document fingerprinting — all as JVM-side Catalyst
+expressions (no Python UDFs in the hot path), each with a DuckDB
+oracle generated from the same dual-dialect expressions.
+
+All operators follow dual.py's STAGING RULE: the token array is
+materialized once per row in a first projection, and every downstream
+expression references that column — never re-tokenizes.
+
+At 100 TB these are embarrassingly parallel projections: zero
+shuffles, full whole-stage codegen, and the parquet reader prunes to
+the text column only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from hadoop_data_pipeline_spark.functions import dual
+
+#: Tiny deterministic stopword marker sets per language. This is a
+#: heuristic marker-word lang-ID (the container has no langdetect);
+#: the *operator contract* — argmax over per-language marker counts
+#: with a fixed tie-break order — is what matters and is oracle-checked.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
+
+
+def _in_list(var: str, words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"{var} IN ({quoted})"
+
+
+def marker_count_expr(toks_col: str, dialect: str, words: tuple[str, ...]) -> str:
+    """Count of tokens (from a staged tokens column) in a marker set."""
+    return dual.arr_size(
+        dual.arr_filter(toks_col, f"t -> {_in_list('t', words)}", dialect), dialect
+    )
+
+
+def lang_id_case_expr(count_cols: dict[str, str]) -> str:
+    """Argmax CASE over staged per-language count columns, ties broken
+    by dict order; 'und' when no marker hits. Dialect-neutral."""
+    names = list(count_cols)
+    whens = []
+    for i, lang in enumerate(names):
+        c = count_cols[lang]
+        cond = f"{c} > 0"
+        for j, other in enumerate(names):
+            if j < i:
+                cond += f" AND {c} > {count_cols[other]}"
+            elif j > i:
+                cond += f" AND {c} >= {count_cols[other]}"
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def quality_score_expr(col: str, toks_col: str, dialect: str) -> str:
+    """Composite quality score in [0,1] from the raw text column and a
+    staged tokens column:
+    0.4 * min(n_tokens/200, 1)                    (length)
+    + 0.3 * min(stopword_fraction * 5, 1)         (natural-language-ness)
+    + 0.3 * (1 - punctuation char ratio)          (cleanliness)
+    Same arithmetic order in both dialects; rounded to 6 decimals."""
+    n_tok = f"cast({dual.arr_size(toks_col, dialect)} as double)"
+    n_stop = f"cast({marker_count_expr(toks_col, dialect, STOPWORDS)} as double)"
+    n_chars = f"cast(length({col}) as double)"
+    flags = ", 'g'" if dialect == dual.DUCK else ""
+    n_punct = f"cast(length(regexp_replace({col}, '[^.!?,;:]', ''{flags})) as double)"
+    return (
+        f"round(0.4 * least({n_tok} / 200.0, 1.0)"
+        f" + 0.3 * least(({n_stop} / greatest({n_tok}, 1.0)) * 5.0, 1.0)"
+        f" + 0.3 * (1.0 - {n_punct} / greatest({n_chars}, 1.0)), 6)"
+    )
+
+
+def token_stats_exprs(col: str, toks_col: str, dialect: str) -> dict[str, str]:
+    """n_tokens / BPE-ish subtoken count / average token length."""
+    n_tok = dual.arr_size(toks_col, dialect)
+    if dialect == dual.SPARK:
+        bpe = f"size(regexp_extract_all({col}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0))"
+    else:
+        bpe = f"len(regexp_extract_all({col}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))"
+    avg_len = (
+        f"round(cast(length(replace({col}, ' ', '')) as double)"
+        f" / greatest(cast({n_tok} as double), 1.0), 6)"
+    )
+    return {"n_tokens": n_tok, "n_subtokens": bpe, "avg_token_len": avg_len}
+
+
+# ---------------------------------------------------------------------------
+# Spark DataFrame operators (staged)
+# ---------------------------------------------------------------------------
+
+
+def _with_tokens(df: DataFrame, col: str, keep: list[str]) -> DataFrame:
+    return df.selectExpr(*keep, col, f"{dual.tokens(col, dual.SPARK)} AS __toks")
+
+
+def token_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    staged = _with_tokens(df, col, ["doc_id"])
+    ex = token_stats_exprs(col, "__toks", dual.SPARK)
+    return staged.selectExpr(
+        "doc_id",
+        f"{ex['n_tokens']} AS n_tokens",
+        f"{ex['n_subtokens']} AS n_subtokens",
+        f"{ex['avg_token_len']} AS avg_token_len",
+    )
+
+
+def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    staged = _with_tokens(df, col, ["doc_id"])
+    counts = staged.selectExpr(
+        "doc_id",
+        *[
+            f"{marker_count_expr('__toks', dual.SPARK, words)} AS __c_{lang}"
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    case = lang_id_case_expr({lang: f"__c_{lang}" for lang in LANG_MARKERS})
+    return counts.selectExpr("doc_id", f"{case} AS lang_pred")
+
+
+def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    staged = _with_tokens(df, col, ["doc_id"])
+    return staged.selectExpr(
+        "doc_id", f"{quality_score_expr(col, '__toks', dual.SPARK)} AS quality"
+    )
+
+
+def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (reorder-detecting,
+    whitespace-normalizing)."""
+    staged = dual.stage_spark_token_hashes(df, col, ["doc_id"])
+    return staged.selectExpr(
+        "doc_id", f"{dual.fingerprint_from_hashes('__th', dual.SPARK)} AS fingerprint"
+    )
+
+
+def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """All-in-one enrichment used by pipeline consumers: token count,
+    predicted language, quality score, fingerprint."""
+    keep = df.columns
+    staged = df.selectExpr(*keep, f"{dual.tokens(col, dual.SPARK)} AS __toks")
+    staged = staged.selectExpr(
+        *keep,
+        "__toks",
+        f"{dual.hash_array('__toks', dual.SPARK)} AS __th",
+        *[
+            f"{marker_count_expr('__toks', dual.SPARK, words)} AS __c_{lang}"
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    case = lang_id_case_expr({lang: f"__c_{lang}" for lang in LANG_MARKERS})
+    return staged.selectExpr(
+        *keep,
+        f"size(__toks) AS n_tokens",
+        f"{case} AS lang_pred",
+        f"{quality_score_expr(col, '__toks', dual.SPARK)} AS quality",
+        f"{dual.fingerprint_from_hashes('__th', dual.SPARK)} AS fingerprint",
+    )

@@ -779,3 +779,293 @@ def running_sum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.sum("value").over(w), 2).alias("running_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3 — training-data extensions (SURVEY.md §7.2 step 8; north star):
+# text analysis, dedup family, similarity search, multimodal plumbing.
+# Oracles are GENERATED from the same dual-dialect expressions as the
+# Spark plans (hadoop_data_pipeline_spark/functions/dual.py), so both
+# engines compute the identical deterministic function. Oracle SQL uses
+# CTE staging mirroring the Spark-side projection staging.
+# ---------------------------------------------------------------------------
+
+from hadoop_data_pipeline_spark.functions import dual  # noqa: E402
+from hadoop_data_pipeline_spark.operators import dedup as dd  # noqa: E402
+from hadoop_data_pipeline_spark.operators import multimodal  # noqa: E402
+from hadoop_data_pipeline_spark.operators import similarity as sim  # noqa: E402
+from hadoop_data_pipeline_spark.operators import text as tx  # noqa: E402
+
+D = dual.DUCK
+
+
+def _duck_token_stats() -> str:
+    ex = tx.token_stats_exprs("text", "tk", D)
+    return (
+        f"WITH t AS (SELECT doc_id, text, {dual.tokens('text', D)} AS tk FROM documents) "
+        f"SELECT doc_id, {ex['n_tokens']} AS n_tokens, "
+        f"{ex['n_subtokens']} AS n_subtokens, "
+        f"{ex['avg_token_len']} AS avg_token_len FROM t"
+    )
+
+
+@register("text_token_stats", oracle=_duck_token_stats())
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex proxy) — pure
+    projection, zero shuffle, codegen'd."""
+    return tx.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _duck_lang_id() -> str:
+    counts = ", ".join(
+        f"{tx.marker_count_expr('tk', D, words)} AS c_{lang}"
+        for lang, words in tx.LANG_MARKERS.items()
+    )
+    case = tx.lang_id_case_expr({lang: f"c_{lang}" for lang in tx.LANG_MARKERS})
+    return (
+        f"WITH t AS (SELECT doc_id, {dual.tokens('text', D)} AS tk FROM documents), "
+        f"c AS (SELECT doc_id, {counts} FROM t) "
+        f"SELECT doc_id, {case} AS lang_pred FROM c"
+    )
+
+
+@register("lang_id_heuristic", oracle=_duck_lang_id())
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax with fixed tie-break)."""
+    return tx.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _duck_quality() -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, text, {dual.tokens('text', D)} AS tk FROM documents) "
+        f"SELECT doc_id, {tx.quality_score_expr('text', 'tk', D)} AS quality FROM t"
+    )
+
+
+@register("text_quality_score", oracle=_duck_quality())
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length / stopword / punct)."""
+    return tx.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _duck_fingerprint() -> str:
+    return (
+        f"WITH {dual.duck_token_hash_cte('documents', 'text', ['doc_id'])} "
+        f"SELECT doc_id, {dual.fingerprint_from_hashes('h', D)} AS fingerprint FROM th"
+    )
+
+
+@register("doc_fingerprint", oracle=_duck_fingerprint())
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint."""
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text) AS content_key, min(doc_id) AS doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-aggregate on md5(text) — digests shuffle, not
+    bodies; deterministic min-id survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.exact_dedup(docs, ["text"], "doc_id")
+    return out.select("content_key", "doc_id", "n_copies")
+
+
+def _mh_cols() -> str:
+    return ", ".join(
+        f"{dual.minhash_from_hashes('sh', k, D)} AS mh{k}"
+        for k in range(len(dual.MINHASH_AB))
+    )
+
+
+def _duck_minhash_sig() -> str:
+    return (
+        f"WITH {dual.duck_shingle_hash_cte('documents', 'text', ['doc_id'])} "
+        f"SELECT doc_id, {_mh_cols()} FROM h"
+    )
+
+
+@register("minhash_signatures_docs", oracle=_duck_minhash_sig())
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature over distinct word bigrams."""
+    return dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _duck_bands() -> str:
+    band_selects = []
+    for b in range(dual.N_BANDS):
+        cols = [f"mh{b * dual.BAND_ROWS + r}" for r in range(dual.BAND_ROWS)]
+        key = "md5(concat_ws('_', " + ", ".join(cols) + "))"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+        )
+    return (
+        f"sig AS (SELECT doc_id, {_mh_cols()} FROM h), "
+        "bands AS (" + " UNION ALL ".join(band_selects) + ")"
+    )
+
+
+_DUCK_JACCARD = (
+    "round(cast(len(list_intersect(ha.sh, hb.sh)) as double)"
+    " / cast(nullif(len(list_distinct(list_concat(ha.sh, hb.sh))), 0) as double), 6)"
+)
+
+
+def _duck_near_dup_sql(threshold: float) -> str:
+    return f"""
+    WITH {dual.duck_shingle_hash_cte('documents', 'text', ['doc_id'])},
+    {_duck_bands()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT * FROM (
+        SELECT id_a, id_b, {_DUCK_JACCARD} AS jaccard
+        FROM cand
+        JOIN h ha ON ha.doc_id = cand.id_a
+        JOIN h hb ON hb.doc_id = cand.id_b
+    ) WHERE jaccard >= {threshold}
+    """
+
+
+@register("near_dup_pairs_minhash", oracle=_duck_near_dup_sql(0.5))
+def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (bigram Jaccard >= 0.5 after exact
+    verification of LSH band candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.near_dup_pairs_minhash(docs, threshold=0.5)
+
+
+def _duck_ngram_jaccard_sql(threshold: float) -> str:
+    jacc = (
+        "round(cast(len(list_intersect(a.sh, b.sh)) as double)"
+        " / cast(nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) as double), 6)"
+    )
+    return f"""
+    WITH {dual.duck_shingle_hash_cte('documents', 'text', ['doc_id', 'lang'])}
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+               {jacc} AS jaccard
+        FROM h a JOIN h b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= {threshold}
+    """
+
+
+@register("ngram_jaccard_pairs_lang", oracle=_duck_ngram_jaccard_sql(0.3))
+def ngram_jaccard_pairs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked n-gram Jaccard (block = lang, threshold 0.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, block_cols=["lang"], threshold=0.3)
+
+
+def _duck_simhash_sql() -> str:
+    return (
+        f"WITH {dual.duck_token_hash_cte('documents', 'text', ['doc_id'])} "
+        f"SELECT doc_id, {dual.simhash_from_hashes('h', D)} AS simhash FROM th"
+    )
+
+
+@register("simhash_docs", oracle=_duck_simhash_sql())
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document."""
+    return dd.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _duck_cosine_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    cos = dual.cosine("q.qvec", "c.cvec", D)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS cand_id, embedding AS cvec FROM embeddings),
+    s AS (SELECT query_id, cand_id, {cos} AS cosine
+          FROM q CROSS JOIN c WHERE query_id <> cand_id)
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+        ) AS rn FROM s
+    ) WHERE rn <= {k}
+    """
+
+
+@register("embedding_cosine_topk", oracle=_duck_cosine_topk_sql())
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors for query vecs 0-9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.cosine_topk(emb, query_ids=list(range(10)), k=5)
+    return out.select("query_id", "cand_id", "cosine")
+
+
+def _duck_ann_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    bucket = dual.ann_bucket("embedding", D)
+    cos = dual.cosine("q.qvec", "c.cvec", D)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+          FROM e WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS cand_id, embedding AS cvec, bucket FROM e),
+    s AS (SELECT query_id, cand_id, {cos} AS cosine
+          FROM q JOIN c USING (bucket) WHERE query_id <> cand_id)
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+        ) AS rn FROM s
+    ) WHERE rn <= {k}
+    """
+
+
+@register("embedding_ann_lsh_topk", oracle=_duck_ann_topk_sql())
+def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (256)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.ann_topk_lsh(emb, query_ids=list(range(10)), k=5)
+    return out.select("query_id", "cand_id", "cosine")
+
+
+def _duck_near_dup_emb_sql(threshold: float) -> str:
+    cos = dual.cosine("a.embedding", "b.embedding", D)
+    return f"""
+    SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+               {cos} AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= {threshold}
+    """
+
+
+@register("embedding_near_dup_pairs", oracle=_duck_near_dup_emb_sql(0.3))
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label (cos >= 0.3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.embedding_near_dup_pairs(
+        emb, threshold=0.3, block_col="label"
+    ).withColumnRenamed("blk", "label")
+    return out.select("id_a", "id_b", "label", "cosine")
+
+
+@register(
+    "binary_payload_stats",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + byte length + md5
+    digest (DuckDB md5 is over the identical utf-8 bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(docs)
+    return payloads.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )

@@ -55,6 +55,7 @@ def get_session(
         # assume UTC-naive timestamps.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # Driver fixtures store events.ts as parquet TIMESTAMP(NANOS),
         # which Spark's reader otherwise rejects; read as long nanos and
         # convert in the loader (values are whole microseconds).

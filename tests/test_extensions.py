@@ -1,0 +1,132 @@
+"""Unit tests for the training-data extension operators: dedup family,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_data_pipeline_spark.operators import dedup as dd
+from hadoop_data_pipeline_spark.operators import multimodal as mm
+from hadoop_data_pipeline_spark.operators import similarity as sim
+from hadoop_data_pipeline_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (3, "the quick brown fox leaps over the lazy dog", "en"),  # near dup
+        (4, "der schnelle braune fuchs und der faule hund ist da", "de"),
+        (5, "completely different words here about spark engines", "en"),
+        (6, "x", "en"),  # single token -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    out = dd.exact_dedup(docs, ["text"], "doc_id")
+    rows = {r.doc_id: r.n_copies for r in out.collect()}
+    assert rows[1] == 2  # doc 2 collapsed into doc 1
+    assert 2 not in rows
+    assert rows[3] == 1
+
+
+def test_minhash_near_dup_finds_planted_pair(docs):
+    pairs = dd.near_dup_pairs_minhash(docs, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got  # identical docs always collide
+    for r in pairs:
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_single_token_doc_yields_null_signature(docs):
+    sig = dd.minhash_signatures(docs).where("doc_id = 6").collect()[0]
+    assert sig.mh0 is None  # no shingles -> NULL, never an error
+
+
+def test_ngram_jaccard_blocked(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, block_cols=["lang"], threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 4) not in got  # different lang block
+
+
+def test_simhash_identical_docs_equal(docs):
+    sig = {r.doc_id: r.simhash for r in dd.simhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]
+    assert 0 <= sig[1] < 2**16
+    groups = dd.simhash_dup_groups(docs).collect()
+    assert any(g.n_docs >= 2 for g in groups)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),   # near doc 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(vecs):
+    out = sim.cosine_topk(vecs, query_ids=[0], k=2)
+    got = [(r.cand_id, r.cosine) for r in out.orderBy("cosine", ascending=False).collect()]
+    assert got[0][0] == 1 and got[0][1] > 0.99
+    assert len(got) == 2
+
+
+def test_embedding_near_dup_blocked_by_label(vecs):
+    pairs = sim.embedding_near_dup_pairs(vecs, threshold=0.9, block_col="label")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1)}  # only the planted near-pair, same label
+
+
+def test_ann_bucket_deterministic(spark, vecs):
+    b1 = {r.vec_id: r.bucket for r in sim.with_bucket(vecs).collect()}
+    b2 = {r.vec_id: r.bucket for r in sim.with_bucket(vecs).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_text_features(docs):
+    feats = {r.doc_id: r for r in tx.add_text_features(docs).collect()}
+    assert feats[1].n_tokens == 9
+    assert feats[4].lang_pred == "de"
+    assert feats[1].lang_pred == "en"
+    assert 0.0 <= feats[1].quality <= 1.0
+    assert feats[1].fingerprint == feats[2].fingerprint
+    assert feats[1].fingerprint != feats[3].fingerprint
+
+
+def test_multimodal_feature_extraction(docs):
+    payloads = mm.attach_fake_payload(docs)
+    feats = {r.doc_id: r for r in mm.extract_features(payloads).collect()}
+    assert feats[1].n_bytes == len("the quick brown fox jumps over the lazy dog")
+    assert feats[1].byte_mean == feats[2].byte_mean  # deterministic
+    assert feats[1].head_hash == feats[2].head_hash
+    assert set(feats[1].asDict()) == {
+        "doc_id", "n_bytes", "byte_mean", "byte_std", "head_hash",
+    }
+
+
+def test_multimodal_decode_raises_without_codec(docs):
+    payloads = mm.attach_fake_payload(docs)
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; stub gate not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(payloads)
+
+
+def test_frame_sample_shape(docs):
+    payloads = mm.attach_fake_payload(docs)
+    frames = mm.frame_sample(payloads, every_n_bytes=16)
+    one = frames.where("doc_id = 1").orderBy("frame_idx").collect()
+    assert [r.byte_offset for r in one] == [0, 16, 32]
+    assert [r.frame_idx for r in one] == [0, 1, 2]
