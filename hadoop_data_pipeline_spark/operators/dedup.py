@@ -153,10 +153,10 @@ def near_dup_pairs_minhash(
         .distinct()
     )
     a = staged.selectExpr(
-        f"{id_col} AS id_a", "__sh AS sh_a", "size(__sh) AS n_a"
+        f"{id_col} AS id_a", "__sh AS sh_a", "size(array_distinct(__sh)) AS n_a"
     )
     b = staged.selectExpr(
-        f"{id_col} AS id_b", "__sh AS sh_b", "size(__sh) AS n_b"
+        f"{id_col} AS id_b", "__sh AS sh_b", "size(array_distinct(__sh)) AS n_b"
     )
     return (
         cand.join(a, "id_a")
@@ -175,26 +175,44 @@ def ngram_jaccard_pairs(
     block_cols: Sequence[str] = ("lang",),
     threshold: float = 0.15,
 ) -> DataFrame:
-    """Blocked n-gram Jaccard: exact bigram-set Jaccard for every pair
-    inside a blocking key (e.g. language). Quadratic inside a block —
-    the block must be low-cardinality-bounded at scale; prefer
-    near_dup_pairs_minhash when no natural block exists."""
+    """Blocked n-gram Jaccard via an inverted index: explode distinct
+    shingle hashes into (hash, id) postings, equi-join postings on
+    (block, hash), and COUNT the matches per pair — that count IS the
+    intersection size, so no per-pair array traversal ever happens.
+    |A ∪ B| = n_a + n_b - |A ∩ B| closes the Jaccard arithmetic.
+
+    Scale shape: the posting join shuffles (block, hash) keys and the
+    pair-count groupBy gets map-side partial aggregation; only pairs
+    that share >= 1 shingle are ever materialized (requires
+    ``threshold > 0``, which a Jaccard threshold always is in
+    practice). Hot shingles (boilerplate) are bounded by a
+    document-frequency cap at ingestion or AQE skew-join at runtime.
+    """
+    if threshold <= 0:
+        raise ValueError("inverted-index Jaccard requires threshold > 0")
     staged = staged_shingle_hashes(df, text_col, id_col, extra_cols=block_cols)
-    a = staged.selectExpr(
-        f"{id_col} AS id_a", *block_cols, "__sh AS sh_a", "size(__sh) AS n_a"
+    posts = staged.selectExpr(
+        id_col,
+        *block_cols,
+        "size(array_distinct(__sh)) AS n",
+        "explode(array_distinct(__sh)) AS __h",
     )
-    b = staged.selectExpr(
+    a = posts.selectExpr(f"{id_col} AS id_a", *block_cols, "n AS n_a", "__h")
+    b = posts.selectExpr(
         f"{id_col} AS id_b",
         *[f"{c} AS __b_{c}" for c in block_cols],
-        "__sh AS sh_b",
-        "size(__sh) AS n_b",
+        "n AS n_b",
+        "__h AS __hb",
     )
-    on = [F.col(c) == F.col(f"__b_{c}") for c in block_cols]
+    on = [F.col("__h") == F.col("__hb")] + [
+        F.col(c) == F.col(f"__b_{c}") for c in block_cols
+    ]
     return (
         a.join(b, on)
         .where(F.col("id_a") < F.col("id_b"))
         .where(_size_ratio_prefilter(threshold))
-        .withColumn("__i", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .groupBy("id_a", "id_b", *block_cols, "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
         .selectExpr("id_a", "id_b", *block_cols, f"{JACCARD_FROM_SIZES} AS jaccard")
         .where(F.col("jaccard") >= threshold)
     )
