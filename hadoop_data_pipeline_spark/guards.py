@@ -1,0 +1,120 @@
+"""SQL hygiene + semantic guards + execute-repair loop (SURVEY.md
+§2.12 L1-L3, §4.3).
+
+Behavioral parity with the reference's dashboard service
+(``dashboard/services/hive_gpt.py:46-65,135-170``; contract tests
+``tests/test_sql_safety.py``):
+
+* ``clean_sql`` strips markdown fences, normalizes smart quotes,
+  drops trailing semicolons.
+* ``fix_reserved_keywords`` backtick-quotes the bare identifier
+  ``date`` (idempotent — never double-wraps).
+* ``has_bad_remaining_sum`` rejects the *prohibited aggregation*:
+  ``SUM(CASE WHEN details='remaining' ...)`` — summing a point-in-time
+  balance over time is semantically wrong; the correct shape is the
+  latest-per-group argmax join (SURVEY.md §2.6 J1).
+* ``run_with_repair`` executes on ``spark.sql`` and asks an injectable
+  fixer (an LLM in production, a stub in tests) to repair the
+  statement on error, bounded attempts.
+
+Beyond the reference: ``plan_has_bad_remaining_sum`` re-checks the
+rule on Spark's **analyzed logical plan**, catching variants regex
+cannot (subqueries, aliases, implicit filters) — a post-analysis lint,
+not a Catalyst rewrite (it rejects + repairs rather than transforms).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+BAD_REMAINING_SUM_RE = re.compile(
+    r"SUM\s*\(\s*CASE\s+WHEN\s+\S*details\S*\s*=\s*['\"`]remaining['\"`]",
+    re.IGNORECASE,
+)
+
+REPAIR_HINT = (
+    "Never SUM amounts where details='remaining' over multiple dates — "
+    "remaining is a point-in-time balance. Use the latest date per "
+    "category instead: join on (category, MAX(`date`)) with "
+    "details='remaining', or ORDER BY `date` DESC LIMIT 1."
+)
+
+
+def fix_reserved_keywords(sql: str) -> str:
+    """Backtick-quote the bare ``date`` identifier (HiveQL reserved
+    word). Idempotent."""
+    return re.sub(r"(?<!`)\bdate\b(?!`)", "`date`", sql)
+
+
+def clean_sql(sql: str) -> str:
+    """Normalize LLM-emitted SQL: markdown fences, smart quotes,
+    trailing semicolon, then reserved-keyword quoting."""
+    sql = sql.strip()
+    if sql.startswith("```"):
+        sql = "\n".join(
+            line for line in sql.split("\n") if not line.startswith("```")
+        ).strip()
+    sql = sql.replace("‘", "'").replace("’", "'")
+    sql = sql.replace("“", '"').replace("”", '"')
+    sql = sql.rstrip(";").rstrip()
+    return fix_reserved_keywords(sql)
+
+
+def has_bad_remaining_sum(sql: str) -> bool:
+    """Regex form of the prohibited-aggregation lint (string level,
+    pre-execution)."""
+    return bool(BAD_REMAINING_SUM_RE.search(sql))
+
+
+def plan_has_bad_remaining_sum(
+    spark: SparkSession, sql: str, amount_col: str = "amount"
+) -> bool:
+    """Plan-level form: analyze the statement (no execution) and flag a
+    ``sum(amount)`` aggregate whose input subtree filters
+    ``details = remaining`` with no latest-date reduction (a max(date)
+    aggregate anywhere in the tree).
+
+    Strictly wider than the regex — catches ``SUM(amount)`` under a
+    ``WHERE details='remaining'`` without any CASE expression.
+    """
+    try:
+        analyzed = (
+            spark.sql(sql)._jdf.queryExecution().analyzed().toString()
+        )
+    except Exception:
+        return False  # unanalyzable SQL fails later with a better error
+    text = analyzed.lower()
+    sums_amount = re.search(rf"sum\([^)]*{re.escape(amount_col)}", text)
+    filters_remaining = re.search(r"details[^\n]{0,40}remaining", text)
+    takes_latest = re.search(r"max\([^)]*date", text) or "row_number" in text
+    return bool(sums_amount and filters_remaining and not takes_latest)
+
+
+def run_with_repair(
+    spark: SparkSession,
+    sql: str,
+    fixer: Callable[[str, str], str] | None = None,
+    max_attempts: int = 3,
+) -> tuple[DataFrame, str]:
+    """Execute ``sql`` with the guard + repair loop (reference
+    ``chat_with_data_full``): clean, lint (pre-emptive repair with
+    :data:`REPAIR_HINT` if prohibited), run, and on execution error ask
+    ``fixer(sql, error)`` for a corrected statement, <= ``max_attempts``
+    total executions. Returns (DataFrame, final SQL)."""
+    sql = clean_sql(sql)
+    if has_bad_remaining_sum(sql) and fixer is not None:
+        sql = clean_sql(fixer(sql, REPAIR_HINT))
+    last_error: Exception | None = None
+    for _ in range(max_attempts):
+        try:
+            return spark.sql(sql), sql
+        except Exception as e:  # noqa: BLE001 - any analysis/exec error
+            last_error = e
+            if fixer is None:
+                break
+            sql = clean_sql(fixer(sql, str(e)))
+    assert last_error is not None
+    raise last_error

@@ -1,0 +1,222 @@
+"""Declarative data-quality gate (SURVEY.md §2.13 C3).
+
+The five checks of the reference's ``jobs/data_quality.py`` with the
+same fatal/warn severities and pass/fail semantics, re-expressed as
+**fully distributed** Spark expressions:
+
+* The reference `collect()`s every distinct date to the driver and
+  does a driver-side adjacent-pair loop for the monotonic check
+  (``jobs/data_quality.py:56,95-101``) — fine at 10^3 rows, fatal at
+  100 TB. Here both become single aggregate / window jobs; the driver
+  only ever receives counts and <=3 sample rows per check.
+* Null counts for all checked columns are computed in ONE aggregate
+  pass instead of one filter-count job per column.
+
+Severity contract (reference ``README.md:237-245``): schema-missing,
+nulls in id columns, and bad date format are FATAL (block the load);
+total-vs-sum mismatch and non-monotonic remaining are WARN (load
+proceeds, report notes it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MONTH_RE = r"^\d{4}-\d{2}$"
+#: Sentinel date values (SURVEY.md §1.3).
+REQUIRED_SENTINELS = ("all-year-budget", "total spent", "remaining")
+
+#: The reference's 35-column wide-table contract (data_quality.py:11-26).
+ID_COLUMNS = ["date", "details"]
+TOTAL_COLUMN = "total_amount"
+
+
+@dataclass
+class CheckResult:
+    name: str
+    severity: str  # "fatal" | "warn"
+    passed: bool
+    messages: list[str] = field(default_factory=list)
+
+
+@dataclass
+class QualityReport:
+    results: list[CheckResult] = field(default_factory=list)
+
+    @property
+    def passed(self) -> bool:
+        """Fatal failures block the load; warnings do not."""
+        return all(r.passed or r.severity == "warn" for r in self.results)
+
+    @property
+    def errors(self) -> list[str]:
+        return [
+            m for r in self.results if not r.passed and r.severity == "fatal"
+            for m in r.messages
+        ]
+
+    @property
+    def warnings(self) -> list[str]:
+        return [
+            m for r in self.results if not r.passed and r.severity == "warn"
+            for m in r.messages
+        ]
+
+    def render(self, filepath: str = "") -> str:
+        lines = [f"File: {filepath}", ""]
+        if self.errors:
+            lines += ["ERRORS:", *self.errors, ""]
+        if self.warnings:
+            lines += ["WARNINGS:", *self.warnings]
+        return "\n".join(lines)
+
+
+def check_schema(df: DataFrame, expected_columns: list[str]) -> CheckResult:
+    """Missing columns are fatal; extra columns only warn (reported in
+    the message list but don't fail the check) — reference
+    ``check_schema`` contract."""
+    missing = sorted(set(expected_columns) - set(df.columns))
+    extra = sorted(set(df.columns) - set(expected_columns))
+    messages = []
+    if missing:
+        messages.append(f"Missing columns: {missing}")
+    if extra:
+        messages.append(f"Extra columns: {extra}")
+    return CheckResult("schema", "fatal", not missing, messages)
+
+
+def check_nulls(df: DataFrame, columns: list[str] = ID_COLUMNS) -> CheckResult:
+    """Null counts for every checked column in one aggregate pass."""
+    present = [c for c in columns if c in df.columns]
+    if not present:
+        return CheckResult("nulls", "fatal", True)
+    counts = df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in present]
+    ).collect()[0]
+    messages = [
+        f"Column '{c}' has {counts[c]} null rows" for c in present if counts[c]
+    ]
+    return CheckResult("nulls", "fatal", not messages, messages)
+
+
+def check_date_format(
+    df: DataFrame,
+    date_col: str = "date",
+    required_sentinels: tuple[str, ...] = REQUIRED_SENTINELS,
+) -> CheckResult:
+    """Every date is a ``YYYY-MM`` month key or a known sentinel, and
+    all required sentinels are present — one aggregate job (the
+    reference collects all distinct dates to the driver)."""
+    sentinels = F.array(*[F.lit(s) for s in required_sentinels])
+    d = F.col(date_col)
+    valid = d.rlike(MONTH_RE) | F.array_contains(sentinels, d)
+    agg = df.agg(
+        F.sum((~valid).cast("long")).alias("n_invalid"),
+        *[
+            F.max((d == F.lit(s)).cast("int")).alias(f"has_{i}")
+            for i, s in enumerate(required_sentinels)
+        ],
+    ).collect()[0]
+    messages = []
+    missing = {
+        s for i, s in enumerate(required_sentinels) if not agg[f"has_{i}"]
+    }
+    if missing:
+        messages.append(f"Missing required rows: {missing}")
+    if agg["n_invalid"]:
+        samples = [
+            r[0]
+            for r in df.where(~valid).select(date_col).limit(3).collect()
+        ]
+        messages.append(
+            f"Invalid date format ({agg['n_invalid']} rows): {samples}"
+        )
+    return CheckResult("date_format", "fatal", not messages, messages)
+
+
+def check_total_vs_sum(
+    df: DataFrame,
+    measure_columns: list[str],
+    total_col: str = TOTAL_COLUMN,
+    date_col: str = "date",
+    tolerance: float = 0.01,
+) -> CheckResult:
+    """WARN: |total - Σ coalesce(measure, 0)| <= tolerance * total on
+    analytics rows (month keys + all-year-budget). Reports <=3 samples."""
+    present = [c for c in measure_columns if c in df.columns]
+    if total_col not in df.columns or not present:
+        return CheckResult("total_vs_sum", "warn", True)
+    computed = sum((F.coalesce(F.col(c), F.lit(0.0)) for c in present), F.lit(0.0))
+    scope = F.col(date_col).rlike(MONTH_RE) | (F.col(date_col) == "all-year-budget")
+    bad = (
+        df.where(scope)
+        .select(date_col, "details", total_col, computed.alias("computed_sum"))
+        .where(
+            F.abs(F.col(total_col) - F.col("computed_sum"))
+            > F.col(total_col) * tolerance
+        )
+    )
+    samples = bad.limit(3).collect()
+    messages = [
+        f"total_amount mismatch at {r[date_col]}/{r['details']}: "
+        f"total={r[total_col]:.0f}, computed={r['computed_sum']:.0f}"
+        for r in samples
+    ]
+    return CheckResult("total_vs_sum", "warn", not messages, messages)
+
+
+def check_monotonic_non_increasing(
+    df: DataFrame,
+    value_col: str = TOTAL_COLUMN,
+    order_col: str = "date",
+    where=None,
+    partition_cols: list[str] | None = None,
+) -> CheckResult:
+    """WARN: ``value_col`` never increases along ``order_col`` — the
+    reference's remaining-balance invariant, as a lag window instead of
+    a driver-side pairwise loop (SURVEY.md §2.7 O1).
+
+    Default scope matches the reference: rows where
+    ``details = 'remaining'`` and the date is a month key."""
+    if where is None:
+        where = (F.col("details") == "remaining") & F.col(order_col).rlike(MONTH_RE)
+    w = Window.partitionBy(*(partition_cols or [])).orderBy(order_col)
+    prev = F.lag(value_col).over(w)
+    viol = (
+        df.where(where)
+        .select(order_col, F.col(value_col), prev.alias("__prev"))
+        .where(F.col("__prev").isNotNull() & (F.col(value_col) > F.col("__prev")))
+    )
+    samples = viol.orderBy(order_col).limit(3).collect()
+    messages = [
+        f"{value_col} increased at {r[order_col]}: "
+        f"{r['__prev']:.0f} -> {r[value_col]:.0f}"
+        for r in samples
+    ]
+    return CheckResult("monotonic", "warn", not messages, messages)
+
+
+def run_quality_checks(
+    df: DataFrame,
+    expected_columns: list[str],
+    measure_columns: list[str] | None = None,
+) -> QualityReport:
+    """The reference's five-check gate in order (schema, nulls, date
+    format, total-vs-sum, remaining-monotonic)."""
+    measures = measure_columns or [
+        c
+        for c in expected_columns
+        if c not in (*ID_COLUMNS, TOTAL_COLUMN)
+    ]
+    report = QualityReport()
+    report.results.append(check_schema(df, expected_columns))
+    report.results.append(check_nulls(df))
+    if "date" in df.columns:
+        report.results.append(check_date_format(df))
+        report.results.append(check_total_vs_sum(df, measures))
+        if "details" in df.columns and TOTAL_COLUMN in df.columns:
+            report.results.append(check_monotonic_non_increasing(df))
+    return report
