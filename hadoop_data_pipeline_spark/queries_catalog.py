@@ -1069,3 +1069,75 @@ def binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("payload").cast("bigint").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4 — event-time windows (SURVEY.md §2.10): the same functions
+# run unchanged on streaming DataFrames (see streaming/windows.py and
+# tests/test_streaming.py); batch mode makes them oracle-checkable.
+# ---------------------------------------------------------------------------
+
+from hadoop_data_pipeline_spark.streaming import windows as W  # noqa: E402
+
+
+@register(
+    "tumbling_daily_event_stats",
+    oracle="""
+    SELECT date_trunc('day', ts) AS win_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window stats per event_type (watermarked when
+    streaming; epoch-aligned windows == date_trunc in UTC)."""
+    return W.tumbling_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_2d_event_counts",
+    oracle="""
+    WITH s AS (
+        SELECT date_trunc('day', ts) - (k * INTERVAL 1 DAY) AS win_start, value
+        FROM events CROSS JOIN (SELECT unnest(range(2)) AS k) offs
+    )
+    SELECT win_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM s GROUP BY 1
+    """,
+)
+def sliding_2d_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day/1-day windows: each event lands in exactly 2
+    windows (the oracle materializes the fan-out with an explicit
+    k in {0,1} shift — same as Spark's Expand)."""
+    return W.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "session_window_user_stats",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, value, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), m AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ), g AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def session_window_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user. Spark merges windows
+    that OVERLAP (strict <), so the gaps-and-islands oracle starts a
+    new session at diff >= gap."""
+    return W.session_stats(load_table(spark, sf_dir, "events"))

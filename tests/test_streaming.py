@@ -1,0 +1,156 @@
+"""Structured Streaming tests (SURVEY.md §2.10): file-source pipeline
+with AvailableNow + checkpoint, batch/stream window equivalence, and
+the stateful running-totals operator."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from hadoop_data_pipeline_spark.sources.readers import load_table
+from hadoop_data_pipeline_spark.streaming import windows as W
+from hadoop_data_pipeline_spark.streaming.file_pipeline import StreamingFilePipeline
+from hadoop_data_pipeline_spark.streaming.stateful import running_totals_per_user
+
+WIDE_SCHEMA = (
+    "date string, total_amount double, details string, "
+    "m1 double, m2 double, m3 double"
+)
+
+
+def _write_csv(tmp_path, year, name, rows):
+    d = tmp_path / "raw" / f"year={year}"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / name).write_text(
+        "date,total_amount,details,m1,m2,m3\n"
+        + "\n".join(",".join(str(v) for v in r) for r in rows)
+    )
+
+
+def _events_stream_dir(spark, tmp_path):
+    """Materialize sf0.001 events as a normal-timestamp parquet dir the
+    file-source stream can read (the fixture itself is TIMESTAMP_NANOS)."""
+    out = str(tmp_path / "events_parquet")
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch.coalesce(2).write.mode("overwrite").parquet(out)
+    return out, batch
+
+
+def test_file_pipeline_available_now_and_checkpoint(spark, tmp_path):
+    _write_csv(
+        tmp_path, 2024, "a.csv",
+        [("2024-01", 6.0, "spent", 1.0, 2.0, 3.0),
+         ("all-year-budget", 60.0, "budget", 10.0, 20.0, 30.0)],
+    )
+    p = StreamingFilePipeline(
+        spark,
+        raw_root=str(tmp_path / "raw"),
+        wide_path=str(tmp_path / "wide"),
+        long_path=str(tmp_path / "long"),
+        checkpoint=str(tmp_path / "ckpt"),
+        schema=WIDE_SCHEMA,
+    )
+    seen_batches: list[int] = []
+
+    def hook(df, batch_id):
+        seen_batches.append(df.count())
+        p._write_batch(df, batch_id)
+
+    assert p.run_available_now(batch_hook=hook)
+    assert seen_batches == [2]
+    wide = spark.read.parquet(str(tmp_path / "wide"))
+    assert wide.count() == 2
+    assert spark.read.parquet(str(tmp_path / "long")).count() == 6
+
+    # Second trigger with one NEW file: checkpoint excludes the old one.
+    _write_csv(
+        tmp_path, 2023, "b.csv", [("2023-05", 3.0, "spent", 1.0, 1.0, 1.0)]
+    )
+    assert p.run_available_now(batch_hook=hook)
+    assert seen_batches == [2, 1]  # only the new file's rows
+    assert spark.read.parquet(str(tmp_path / "wide")).count() == 3
+
+    # Third trigger, nothing new -> empty or no batch.
+    assert p.run_available_now(batch_hook=hook)
+    assert sum(seen_batches) == 3
+
+
+def test_stream_windows_match_batch(spark, tmp_path):
+    src, batch = _events_stream_dir(spark, tmp_path)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = W.tumbling_stats(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("tumbling_out").collect()
+    }
+    want = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in W.tumbling_stats(batch).collect()
+    }
+    assert got == want
+
+
+def test_session_windows_match_batch(spark, tmp_path):
+    src, batch = _events_stream_dir(spark, tmp_path)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = W.session_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in spark.table("session_out").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in W.session_stats(batch).collect()
+    )
+    assert got == want
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    src, batch = _events_stream_dir(spark, tmp_path)
+    stream = spark.readStream.schema(batch.schema).parquet(src).select(
+        "user_id", "ts", "value"
+    )
+    out = running_totals_per_user(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    time.sleep(1)
+    # Last emitted row per user = final running totals == batch agg.
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("totals_out").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
