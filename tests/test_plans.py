@@ -1,0 +1,88 @@
+"""Physical-plan regression tests (SURVEY.md §4, scale contract).
+
+Correctness tests say WHAT each operator computes; these pin HOW —
+the plan properties that make the same code viable at 100 TB:
+column-pruned scans, filter pushdown to parquet, map-side partial
+aggregation, broadcast for small build sides, and window top-k
+pushdown. If a refactor silently loses one of these, this file fails
+even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_data_pipeline_spark import queries_catalog as qc
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return qc.QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def scans_of(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(spark, "filtered_sum_returned_revenue")
+    (scan,) = scans_of(plan)
+    # Only the 3 needed columns of lineitem's 16 reach the scan...
+    assert "[l_extendedprice" in scan and "l_returnflag" in scan
+    assert "l_orderkey" not in scan
+    # ...and the predicate is applied at the data source.
+    assert "l_returnflag" in scan.split("DataFilters:")[1]
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # Map-side combine: partial_sum below the exchange, final above.
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")
+
+
+def test_small_dims_broadcast(spark):
+    plan = plan_of(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # nation (25 rows) must never be the shuffle side of a sort-merge.
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_broadcasts(spark):
+    plan = plan_of(spark, "customers_without_orders")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_window_topk_pushdown(spark):
+    # rank-limit window queries get WindowGroupLimit: per-partition
+    # top-1 is taken BEFORE the shuffle, so the exchange moves one row
+    # per (user, event_type) per input partition instead of all rows.
+    plan = plan_of(spark, "latest_event_per_user_type")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[2]
+
+
+def test_unpivot_is_narrow(spark):
+    # Expand, not shuffle: wide->long must add zero exchanges beyond
+    # what the source scan needs.
+    plan = plan_of(spark, "unpivot_part_measures")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_token_stats", "doc_fingerprint", "simhash_docs"],
+)
+def test_text_projections_have_no_shuffle(spark, name):
+    # Pure per-row projections must stay shuffle-free end to end.
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    plan = plan_of(spark, "dedup_exact_docs")
+    scan = scans_of(plan)[0]
+    assert "text" in scan  # text read for hashing...
+    ex = plan.split("Exchange hashpartitioning")[1].split("\n")[0]
+    assert "__key" in ex or "content_key" in ex  # ...but only digests shuffle
