@@ -228,6 +228,14 @@ def cosine(a: str, b: str, dialect: str, decimals: int = 6) -> str:
     return f"round(({dot(a, b, dialect)}) / (({norm(a, dialect)}) * ({norm(b, dialect)})), {decimals})"
 
 
+def cosine_staged(a: str, b: str, na: str, nb: str, dialect: str, decimals: int = 6) -> str:
+    """Cosine with the norms STAGED as per-row columns (computed once
+    per vector, not once per pair). Bit-identical to :func:`cosine`
+    because the staged norm is the same expression with the same
+    evaluation order — only cached."""
+    return f"round(({dot(a, b, dialect)}) / ({na} * {nb}), {decimals})"
+
+
 def plane_literal(plane: list[int], dialect: str) -> str:
     vals = ", ".join(str(v) for v in plane)
     return f"array({vals})" if dialect == SPARK else f"[{vals}]"

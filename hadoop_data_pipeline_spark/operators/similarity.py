@@ -47,11 +47,14 @@ def cosine_topk(
     The query side is a handful of rows — broadcast it so the
     candidate scan never shuffles.
     """
+    nrm = dual.norm(vec_col, dual.SPARK)
     queries = df.where(F.col(id_col).isin(*query_ids)).selectExpr(
-        f"{id_col} AS query_id", f"{vec_col} AS qvec"
+        f"{id_col} AS query_id", f"{vec_col} AS qvec", f"{nrm} AS qn"
     )
-    cands = df.selectExpr(f"{id_col} AS cand_id", f"{vec_col} AS cvec")
-    cos = dual.cosine("qvec", "cvec", dual.SPARK)
+    cands = df.selectExpr(
+        f"{id_col} AS cand_id", f"{vec_col} AS cvec", f"{nrm} AS cn"
+    )
+    cos = dual.cosine_staged("qvec", "cvec", "qn", "cn", dual.SPARK)
     scored = (
         F.broadcast(queries)
         .crossJoin(cands)
@@ -73,13 +76,14 @@ def ann_topk_lsh(
     """Approximate top-k: only candidates in the query's LSH bucket are
     scored. Recall < 1 by design; bucket count (256) bounds the work."""
     bucketed = with_bucket(df, vec_col)
+    nrm = dual.norm(vec_col, dual.SPARK)
     queries = bucketed.where(F.col(id_col).isin(*query_ids)).selectExpr(
-        f"{id_col} AS query_id", f"{vec_col} AS qvec", "bucket"
+        f"{id_col} AS query_id", f"{vec_col} AS qvec", f"{nrm} AS qn", "bucket"
     )
     cands = bucketed.selectExpr(
-        f"{id_col} AS cand_id", f"{vec_col} AS cvec", "bucket"
+        f"{id_col} AS cand_id", f"{vec_col} AS cvec", f"{nrm} AS cn", "bucket"
     )
-    cos = dual.cosine("qvec", "cvec", dual.SPARK)
+    cos = dual.cosine_staged("qvec", "cvec", "qn", "cn", dual.SPARK)
     scored = (
         F.broadcast(queries)
         .join(cands, "bucket")
@@ -104,11 +108,14 @@ def embedding_near_dup_pairs(
     if block_col is None:
         df = with_bucket(df, vec_col)
         block_col = "bucket"
-    a = df.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS va", f"{block_col} AS blk")
-    b = df.selectExpr(
-        f"{id_col} AS id_b", f"{vec_col} AS vb", f"{block_col} AS __blk_b"
+    nrm = dual.norm(vec_col, dual.SPARK)
+    a = df.selectExpr(
+        f"{id_col} AS id_a", f"{vec_col} AS va", f"{nrm} AS na_", f"{block_col} AS blk"
     )
-    cos = dual.cosine("va", "vb", dual.SPARK)
+    b = df.selectExpr(
+        f"{id_col} AS id_b", f"{vec_col} AS vb", f"{nrm} AS nb_", f"{block_col} AS __blk_b"
+    )
+    cos = dual.cosine_staged("va", "vb", "na_", "nb_", dual.SPARK)
     return (
         a.join(b, F.col("blk") == F.col("__blk_b"))
         .where(F.col("id_a") < F.col("id_b"))
