@@ -100,6 +100,13 @@ class FS:
             stream.close()
 
 
+def repair_table_partitions(spark: SparkSession, table: str) -> None:
+    """K2: sync the catalog with partition directories written directly
+    to the filesystem (reference ``jobs/finance_pipeline.py:60`` uses
+    ``MSCK REPAIR TABLE`` after an external parquet write)."""
+    spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
 def extract_year_from_path(path: str) -> int | None:
     """Pull the fiscal year out of a ``year=YYYY`` path component
     (reference ``jobs/utils/hdfs.py:35-41``)."""

@@ -143,6 +143,12 @@ def normalize_workbook(
     return pdf.reset_index(drop=True)
 
 
+def export_csv(pdf, path: str) -> None:
+    """K6: CSV export with a BOM so Thai text opens correctly in Excel
+    (reference ``gpt_excel_fix_column.py:233`` uses utf-8-sig)."""
+    pdf.to_csv(path, index=False, encoding="utf-8-sig")
+
+
 def read_excel_grid(path: str, sheet_name: str) -> tuple[Grid, list[MergedRange]]:
     """openpyxl adapter -> (grid, merged ranges). Optional dependency."""
     try:

@@ -109,3 +109,55 @@ def suggest_chart(
         f"Question: {question}\nColumns: {df.columns}\nRows: {n_rows}",
     ).strip().lower()
     return out if out in {"bar", "line", "pie", "none"} else "none"
+
+
+def _parse_json_block(text: str) -> dict:
+    """Tolerant JSON extraction from an LLM reply (fences, prose)."""
+    import json
+    import re
+
+    m = re.search(r"\{.*\}", text, re.DOTALL)
+    if not m:
+        raise ValueError(f"no JSON object in LLM reply: {text[:200]}")
+    return json.loads(m.group(0))
+
+
+def analyze_workbook_structure(
+    client: LLMClient,
+    grid_preview: list[list],
+    merged_ranges: list[tuple] = (),
+) -> dict:
+    """L6: ask the LLM where the month/type columns live and which
+    values mark budget/spent/remaining rows (reference
+    ``gpt_excel_flexible_column.py:89-132``). Returns
+    ``{month_col, type_col, type_values: {...}}``; the caller feeds it
+    to :func:`ingestion.normalize_workbook`."""
+    reply = client(
+        "You analyze spreadsheet structure. Given the first rows of a "
+        "budget workbook (merged ranges listed separately), answer in "
+        'JSON only: {"month_col": <name-or-index>, "type_col": '
+        '<name-or-index>, "type_values": {"<cell value>": '
+        '"budget|spent|remaining", ...}}',
+        f"Rows: {grid_preview!r}\nMerged ranges: {list(merged_ranges)!r}",
+    )
+    out = _parse_json_block(reply)
+    for key in ("month_col", "type_col", "type_values"):
+        if key not in out:
+            raise ValueError(f"workbook analysis missing '{key}': {out}")
+    return out
+
+
+def translate_headers(
+    client: LLMClient, headers: list[str]
+) -> dict[str, str]:
+    """L7: map source-language (e.g. Thai) headers to snake_case
+    English names (reference ``gpt_excel_flexible_column.py:13-43``).
+    Unknown headers pass through unchanged."""
+    reply = client(
+        "Translate these spreadsheet column headers to concise "
+        "snake_case English identifiers. Answer in JSON only: "
+        '{"<original>": "<snake_case_name>", ...}',
+        repr(headers),
+    )
+    mapping = _parse_json_block(reply)
+    return {h: str(mapping.get(h, h)) for h in headers}
