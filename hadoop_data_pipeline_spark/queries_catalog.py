@@ -1141,3 +1141,206 @@ def session_window_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     that OVERLAP (strict <), so the gaps-and-islands oracle starts a
     new session at diff >= gap."""
     return W.session_stats(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 5 — widened relational coverage: set ops, cube, exact
+# percentiles, semi/outer-join TPC-H shapes (SURVEY.md §2.5 natural
+# extensions + §2.8).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_purchase_and_error",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users with both purchase and error events (one
+    aggregate-style shuffle; Spark plans it as a left-semi join)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "users_purchase_no_error",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: purchasers who never errored (left-anti under the hood)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.subtract(b)
+
+
+@register(
+    "cube_returnflag_linestatus",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one pass (Expand +
+    single shuffle — not 4 separate jobs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "median_price_by_segment",
+    oracle="""
+    WITH d AS (
+        SELECT c_mktsegment AS seg,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    med AS (
+        SELECT seg, avg(cents) AS median_cents FROM d
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY seg
+    ),
+    p90 AS (
+        SELECT seg, CAST(cents AS DOUBLE) AS p90_cents FROM d
+        WHERE rn = (9 * n + 9) // 10
+    )
+    SELECT seg AS c_mktsegment, median_cents, p90_cents
+    FROM med JOIN p90 USING (seg)
+    """,
+)
+def median_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + discrete p90 per segment as RANK SELECTION
+    (row_number over a keyed sort, pick integer positions) rather than
+    engine percentile builtins — continuous-quantile interpolation
+    differs across engines in the last ulp, rank arithmetic cannot.
+    Exact percentiles need the per-group sort either way; at scale
+    prefer approx_percentile (t-digest sketch) unless exactness is
+    contractual. Values are integer CENTS (avg of two middle cents is
+    an exact .0/.5 double) — decimal rounding of a .xx5 double differs
+    between engines at the last ulp, integer arithmetic cannot."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("seg").orderBy("price", "o_orderkey")
+    d = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("price"),
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+            "o_orderkey",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("seg")))
+    )
+    med = (
+        d.where(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("seg")
+        .agg(F.avg("cents").alias("median_cents"))
+    )
+    p90 = d.where(F.col("rn") == F.expr("(9 * n + 9) div 10")).select(
+        "seg", F.col("cents").cast("double").alias("p90_cents")
+    )
+    return med.join(p90, "seg").select(
+        F.col("seg").alias("c_mktsegment"), "median_cents", "p90_cents"
+    )
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join, then count per
+    priority. The semi join shuffles keys only, never duplicates
+    orders rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "customer_order_histogram",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers FROM (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) GROUP BY n_orders
+    """,
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join preserving order-less customers,
+    two-level aggregation (the second groupBy shuffles one row per
+    customer)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, revenue FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE revenue = (SELECT max(revenue) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue, keep the max via a rank
+    window over an unpartitioned frame (WindowGroupLimit keeps it
+    cheap) instead of recomputing the aggregate for a scalar subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"))
+    top = rev.withColumn("__r", F.rank().over(w)).where(F.col("__r") == 1).drop("__r")
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "revenue"
+    )
