@@ -1344,3 +1344,13 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", "revenue"
     )
+
+
+@register("media_feature_extract")  # no SQL oracle: mapInPandas kernel
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payloads -> Arrow batches
+    -> pandas kernel (byte stats standing in for pixel stats) ->
+    typed rows. Deliberately registered WITHOUT an oracle — the driver
+    records the weaker rows-only check for non-SQL-expressible ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_fake_payload(docs))

@@ -1,0 +1,87 @@
+"""Property-based check of the dual-dialect exactness claim
+(functions/dual.py): for arbitrary unicode text, the Spark expressions
+and the DuckDB expressions generated from the same builders produce
+IDENTICAL values — tokens, shingle hashes, minhash, simhash, rolling
+fingerprint. This is the foundation every extension oracle rests on;
+hypothesis probes the edges the fixtures don't (empty strings,
+whitespace-only, regex metacharacters, mixed scripts)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadoop_data_pipeline_spark.functions import dual
+
+ALPHABET = (
+    "abcXYZ019 \t\n"
+    "กขคงจฉ"   # Thai
+    "äöüß"      # Latin-1 accents
+    "中文字"     # CJK
+    ".,!?-_()[]{}*+\\^$|'\""  # regex metacharacters + quotes
+)
+
+texts_strategy = st.lists(
+    st.text(alphabet=ALPHABET, max_size=60), min_size=1, max_size=16
+)
+
+
+def _spark_results(spark, pdf: pd.DataFrame) -> list[tuple]:
+    df = spark.createDataFrame(pdf)
+    staged = dual.stage_spark_token_hashes(df, "text", ["i"])
+    tok = staged.selectExpr(
+        "i",
+        f"{dual.arr_size('__th', dual.SPARK)} AS n_tokens",
+        f"{dual.fingerprint_from_hashes('__th', dual.SPARK)} AS fp",
+        f"{dual.simhash_from_hashes('__th', dual.SPARK)} AS sh",
+    )
+    sh = dual.stage_spark_shingle_hashes(df, "text", ["i"]).selectExpr(
+        "i", f"{dual.minhash_from_hashes('__sh', 0, dual.SPARK)} AS mh0"
+    )
+    rows = {r["i"]: r for r in tok.collect()}
+    for r in sh.collect():
+        rows[r["i"]] = (*_row(rows[r["i"]]), r["mh0"])
+    return sorted(rows.values())
+
+
+def _row(r) -> tuple:
+    return (r["i"], r["n_tokens"], r["fp"], r["sh"])
+
+
+def _duck_results(pdf: pd.DataFrame) -> list[tuple]:
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    d = dual.DUCK
+    tok = con.execute(
+        f"""
+        WITH {dual.duck_token_hash_cte('docs', 'text', ['i'])}
+        SELECT i, {dual.arr_size('h', d)} AS n_tokens,
+               {dual.fingerprint_from_hashes('h', d)} AS fp,
+               {dual.simhash_from_hashes('h', d)} AS sh
+        FROM th ORDER BY i
+        """
+    ).fetchall()
+    mh = con.execute(
+        f"""
+        WITH {dual.duck_shingle_hash_cte('docs', 'text', ['i'])}
+        SELECT i, {dual.minhash_from_hashes('sh', 0, d)} AS mh0
+        FROM h ORDER BY i
+        """
+    ).fetchall()
+    mh_by_i = {r[0]: r[1] for r in mh}
+    return sorted((*t, mh_by_i[t[0]]) for t in tok)
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_strategy)
+def test_dual_text_exprs_engine_exact(spark, texts):
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    assert _spark_results(spark, pdf) == _duck_results(pdf)
