@@ -54,6 +54,24 @@ def swap_directory(fs: FS, src: str, dst: str) -> None:
     fs.delete(old)
 
 
+def compact_partition(
+    spark,
+    table_path: str,
+    partition_col: str,
+    partition_value: Any,
+    target_files: int = 1,
+) -> str:
+    """Rewrite one partition directory into ``target_files`` files via
+    the atomic swap — the small-files compaction an incremental
+    pipeline needs (many tiny appended files degrade scan parallelism
+    bookkeeping and NameNode memory at scale). Readers never observe a
+    partial state: the swap is the same rename dance as a data write.
+    """
+    partition_path = f"{table_path}/{partition_col}={partition_value}"
+    df = spark.read.parquet(partition_path).coalesce(target_files)
+    return atomic_write_partition(df, table_path, partition_col, partition_value)
+
+
 def atomic_write_partition(
     df: DataFrame,
     table_path: str,

@@ -92,25 +92,23 @@ def extract_features(df: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
+        def stats(b: bytes) -> tuple[float | None, float | None]:
+            if not len(b):
+                return None, None
+            arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float64)
+            return round(float(arr.mean()), 6), round(float(arr.std()), 6)
+
         for pdf in batches:
             payloads = pdf["payload"]
-            n = payloads.map(len)
-            mean = payloads.map(
-                lambda b: float(sum(b)) / len(b) if len(b) else None
-            )
-            std = []
-            for b, m in zip(payloads, mean):
-                if not len(b) or m is None:
-                    std.append(None)
-                else:
-                    var = sum((x - m) ** 2 for x in b) / len(b)
-                    std.append(round(var**0.5, 6))
+            pairs = [stats(b) for b in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n.astype("int64"),
-                    "byte_mean": [round(m, 6) if m is not None else None for m in mean],
-                    "byte_std": std,
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "byte_mean": [p[0] for p in pairs],
+                    "byte_std": [p[1] for p in pairs],
                     "head_hash": payloads.map(
                         lambda b: hashlib.md5(bytes(b[:16])).hexdigest()
                     ),

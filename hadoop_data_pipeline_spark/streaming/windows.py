@@ -19,6 +19,8 @@ shuffle on (window, key).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +73,24 @@ def sliding_counts(
         )
         .select(F.col("win.start").alias("win_start"), "n_events", "sum_value")
     )
+
+
+def dedup_events(
+    df: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once event dedup: drop repeats of ``keys``
+    within the watermark horizon (at-least-once sources -> exactly-once
+    downstream). State holds one entry per key and is evicted once the
+    watermark passes — include ``ts_col`` in the contract so eviction
+    is safe. Works identically on batch frames (plain dropDuplicates).
+    """
+    d = _maybe_watermark(df, ts_col, watermark)
+    if df.isStreaming:
+        return d.dropDuplicatesWithinWatermark(list(keys))
+    return d.dropDuplicates(list(keys))
 
 
 def session_stats(

@@ -376,3 +376,24 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert p.discover() == {}
     result2 = p.run()
     assert result2.years == []
+
+
+def test_compact_partition_preserves_data(spark, tmp_path):
+    table = str(tmp_path / "wide")
+    df = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(100)], "k string, v double"
+    ).repartition(8)
+    atomic.atomic_write_partition(df, table, "year", 2024)
+    part = f"{table}/year=2024"
+    files_before = [
+        f for f in FS(spark).list_files(part) if f.endswith(".parquet")
+    ]
+    assert len(files_before) > 1
+    atomic.compact_partition(spark, table, "year", 2024, target_files=1)
+    files_after = [
+        f for f in FS(spark).list_files(part) if f.endswith(".parquet")
+    ]
+    assert len(files_after) == 1
+    got = spark.read.parquet(part)
+    assert got.count() == 100
+    assert got.agg({"v": "sum"}).collect()[0][0] == sum(range(100))

@@ -154,3 +154,24 @@ def test_stateful_running_totals(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src, batch = _events_stream_dir(spark, tmp_path)
+    # Duplicate the whole source: at-least-once delivery simulation.
+    dup_dir = str(tmp_path / "events_dup")
+    batch.unionAll(batch).coalesce(2).write.mode("overwrite").parquet(dup_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(dup_dir)
+    out = W.dedup_events(stream, keys=["event_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert spark.table("dedup_out").count() == batch.count()
+    # Batch mode: same function, plain dropDuplicates.
+    assert W.dedup_events(batch.unionAll(batch)).count() == batch.count()
