@@ -1354,3 +1354,180 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     records the weaker rows-only check for non-SQL-expressible ops."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.attach_fake_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Batch 6 — more classic analytical shapes over the star schema
+# (TPC-H Q7/Q14/Q18/Q19/Q22 analogs on the driver fixtures).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT round(
+        100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) END)
+              / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-share aggregate over a dim join (part
+    broadcasts; one scalar row out)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "large_quantity_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_totalprice, sum_qty FROM (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: group-having on the fact, then join the survivors
+    (tiny after HAVING) back to orders/customer — survivors broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "disjunctive_brand_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 30)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 40
+           AND l_quantity BETWEEN 10 AND 50)
+    """,
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-conjunctions predicate spanning both join
+    sides — Catalyst still pushes the per-table conjuncts it can derive
+    below the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 40)
+        & F.col("l_quantity").between(10, 50)
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar-subquery threshold + anti join + aggregate.
+    The threshold is one number (broadcast by construction); the anti
+    join builds on orders' key column only."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    threshold = (
+        c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("t"))
+    )
+    rich = c.crossJoin(F.broadcast(threshold)).where(
+        F.col("c_acctbal") > F.col("t")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "nation_pair_trade_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name
+    """,
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: five-way star join with a cross-nation filter; all
+    dims broadcast, lineitem streams through one pipeline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.selectExpr("n_nationkey AS sn_key", "n_name AS supp_nation").where(
+        F.col("supp_nation").isin("NATION_1", "NATION_2")
+    )
+    cn = n.selectExpr("n_nationkey AS cn_key", "n_name AS cust_nation").where(
+        F.col("cust_nation").isin("NATION_1", "NATION_2")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
