@@ -1531,3 +1531,17 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume")
         )
     )
+
+
+@register("approx_distinct_users_per_type")  # rows-only: HLL sketch values
+def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type with the exact
+    count alongside. No SQL oracle on the approx column (sketch
+    estimates are engine-specific); registered for the rows-only
+    check. At 100 TB the sketch is THE way to count distincts: fixed
+    memory per group, order-independent merges, no second shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

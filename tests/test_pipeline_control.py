@@ -397,3 +397,48 @@ def test_compact_partition_preserves_data(spark, tmp_path):
     got = spark.read.parquet(part)
     assert got.count() == 100
     assert got.agg({"v": "sum"}).collect()[0][0] == sum(range(100))
+
+
+def test_pipeline_extra_column_warns_but_loads(spark, tmp_path):
+    # Extra columns are a warning, not fatal (reference check_schema).
+    _write_csv(
+        tmp_path, 2025, "f.csv",
+        [(r[0], r[1], r[2], r[3], r[4], r[5], 7.0) for r in _good_rows()],
+        header="date,total_amount,details,m1,m2,m3,surprise_col",
+    )
+    p = pipeline.IncrementalPipeline(
+        spark,
+        raw_root=str(tmp_path / "raw"),
+        wide_path=str(tmp_path / "staging"),
+        long_path=str(tmp_path / "curated"),
+        expected_columns=WIDE_COLS,
+    )
+    result = p.run()
+    assert result.processed == [2025]
+    schema_msgs = [
+        m
+        for r in result.years[0].report.results
+        if r.name == "schema"
+        for m in r.messages
+    ]
+    assert any("Extra" in m and "surprise_col" in m for m in schema_msgs)
+
+
+def test_pipeline_reprocess_after_failed_marker_removed(spark, tmp_path):
+    _write_csv(tmp_path, 2023, "bad.csv", [(None, 1.0, "spent", 1.0, 0.0, 0.0)])
+    p = pipeline.IncrementalPipeline(
+        spark,
+        raw_root=str(tmp_path / "raw"),
+        wide_path=str(tmp_path / "staging"),
+        long_path=str(tmp_path / "curated"),
+        expected_columns=WIDE_COLS,
+    )
+    assert p.run().failed == [2023]
+    # Operator fixes the file and clears the marker -> reprocessed.
+    f = tmp_path / "raw" / "year=2023" / "bad.csv"
+    f.write_text(
+        "date,total_amount,details,m1,m2,m3\n"
+        + "\n".join(",".join(str(v) for v in r) for r in _good_rows())
+    )
+    FS(spark).delete(str(f) + ".failed")
+    assert p.run().processed == [2023]
