@@ -14,4 +14,13 @@ SQL-safety guards, and the large-scale training-data operators
 
 __version__ = "0.1.0"
 
+from hadoop_data_pipeline_spark.atomic import (  # noqa: F401
+    atomic_write_partition,
+    compact_partition,
+)
+from hadoop_data_pipeline_spark.fs import FS  # noqa: F401
+from hadoop_data_pipeline_spark.pipeline import IncrementalPipeline  # noqa: F401
+from hadoop_data_pipeline_spark.quality import run_quality_checks  # noqa: F401
+from hadoop_data_pipeline_spark.retry import with_retry  # noqa: F401
 from hadoop_data_pipeline_spark.session import get_session  # noqa: F401
+from hadoop_data_pipeline_spark.versioning import Versioner  # noqa: F401
