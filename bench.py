@@ -29,6 +29,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in queries_catalog.QUERIES.items():
+        # Nudge the JVM between queries so one query's garbage doesn't
+        # bill the next one's timing (60 plans in one session otherwise
+        # produce multi-x run-to-run swings on allocation-heavy ops).
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1545,3 +1545,26 @@ def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "clicks_before_purchase",
+    oracle="""
+    SELECT a.user_id, a.event_id, count(*) AS n_clicks
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR
+    WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+    GROUP BY a.user_id, a.event_id
+    """,
+)
+def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (batch form of the stream-stream join in
+    streaming/windows.py): clicks within 1h before each purchase,
+    counted per purchase. Equi-key + time-range join; on streams the
+    same function runs with watermark-bounded state."""
+    ev = load_table(spark, sf_dir, "events")
+    joined = W.interval_join(ev)
+    return joined.groupBy("user_id", "event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )

@@ -75,6 +75,38 @@ def sliding_counts(
     )
 
 
+def interval_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: each ``left_type`` event
+    paired with the same key's ``right_type`` events in the preceding
+    ``lookback``. On streams both sides carry watermarks and the range
+    condition bounds the join state (rows older than
+    watermark+lookback are evicted); on batch it is a plain equi+range
+    join. Returns (key, left event_id, left ts, right ts)."""
+    left = events.where(F.col("event_type") == left_type).select(
+        key_col, "event_id", F.col(ts_col).alias("l_ts")
+    )
+    right = events.where(F.col("event_type") == right_type).select(
+        F.col(key_col).alias("__rk"), F.col(ts_col).alias("r_ts")
+    )
+    if events.isStreaming:
+        left = left.withWatermark("l_ts", watermark)
+        right = right.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(key_col) == F.col("__rk"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return left.join(right, cond).select(key_col, "event_id", "l_ts", "r_ts")
+
+
 def dedup_events(
     df: DataFrame,
     keys: Sequence[str] = ("event_id",),

@@ -175,3 +175,27 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert spark.table("dedup_out").count() == batch.count()
     # Batch mode: same function, plain dropDuplicates.
     assert W.dedup_events(batch.unionAll(batch)).count() == batch.count()
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    src, batch = _events_stream_dir(spark, tmp_path)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = W.interval_join(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["event_id"], r["l_ts"], r["r_ts"])
+        for r in spark.table("ij_out").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"], r["l_ts"], r["r_ts"])
+        for r in W.interval_join(batch).collect()
+    )
+    assert got and got == want
