@@ -54,7 +54,11 @@ MINHASH_AB: list[tuple[int, int]] = [
 N_BANDS = 4
 BAND_ROWS = 2
 
-SIMHASH_BITS = 16
+#: SimHash width: capped by the 28-bit base token hashes (higher bits
+#: of every hash are zero, so wider signatures would carry constant
+#: bits). 28 bits / 4 bands = 7-bit band keys -> 128-way candidate
+#: bucketing in the near-dup join.
+SIMHASH_BITS = 28
 
 #: Deterministic +/-1 hyperplanes for embedding LSH (8 planes x 64 dims).
 _rng = random.Random(20260813)

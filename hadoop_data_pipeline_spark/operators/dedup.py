@@ -21,7 +21,7 @@ Scale design (the part that matters at 100 TB)
   stage. Skewed buckets (boilerplate shingles) are AQE's skew-join
   problem, and pathological bucket sizes can be capped with a count
   filter before the join.
-* SimHash: one projection -> 16-bit signature; near-dup = equal
+* SimHash: one projection -> 28-bit signature; near-dup = equal
   signature (or small Hamming distance via band-split on the bits).
 """
 
@@ -221,10 +221,54 @@ def ngram_jaccard_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """16-bit SimHash per document from the staged token-hash array."""
+    """28-bit SimHash per document from the staged token-hash array."""
     staged = dual.stage_spark_token_hashes(df, text_col, [id_col])
     return staged.selectExpr(
         id_col, f"{dual.simhash_from_hashes('__th', dual.SPARK)} AS simhash"
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicates: pairs whose 28-bit signatures differ in
+    <= ``max_hamming`` bits.
+
+    Candidates come from banding the signature into ``n_bands`` nibble
+    keys: by pigeonhole, <= ``n_bands - 1`` flipped bits leave at least
+    one band identical, so for ``max_hamming < n_bands`` the candidate
+    set is LOSSLESS and verification (bit_count of xor) is exact — the
+    result equals the full quadratic scan without ever forming it.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("losslessness needs max_hamming < n_bands")
+    # Persist the signature frame: the self-join below would otherwise
+    # re-run the whole tokenize+hash+fold pipeline for BOTH sides. Two
+    # ints per document — cacheable at any corpus size (at production
+    # scale, write signatures to a table once instead).
+    sig = simhash_signatures(df, text_col, id_col).persist()
+    bits_per_band = dual.SIMHASH_BITS // n_bands
+    mask = (1 << bits_per_band) - 1
+    bands = sig.selectExpr(
+        id_col,
+        "simhash",
+        f"""inline(array({", ".join(
+            f"struct({b} AS band_id, shiftright(simhash, {b * bits_per_band}) & {mask} AS band_key)"
+            for b in range(n_bands)
+        )}))""",
+    )
+    a = bands.selectExpr(f"{id_col} AS id_a", "simhash AS sh_a", "band_id", "band_key")
+    b = bands.selectExpr(f"{id_col} AS id_b", "simhash AS sh_b", "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -118,6 +118,48 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+GAP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("median_gap_us", T.DoubleType(), True),
+        T.StructField("max_gap_us", T.DoubleType(), True),
+    ]
+)
+
+
+def user_gap_stats(events: DataFrame) -> DataFrame:
+    """Grouped custom kernel via ``applyInPandas`` (SURVEY.md §2.11):
+    per-user inter-event-gap statistics — the grouped-pandas shape for
+    logic that wants a whole key's rows in memory (numpy quantiles
+    here). One shuffle on the key; each group must fit an executor's
+    memory (fine for per-user event streams; a power-law key needs the
+    salting in operators/skew.py first)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # Whole-microsecond gaps as doubles: every value (and the
+        # median's average-of-two-middles) is exact in IEEE — no
+        # rounding step, so no engine-specific half-way behavior.
+        ts = np.sort(pdf["ts"].to_numpy(dtype="datetime64[us]"))
+        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.float64)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "median_gap_us": [
+                    float(np.median(gaps)) if len(gaps) else None
+                ],
+                "max_gap_us": [float(gaps.max()) if len(gaps) else None],
+            }
+        )
+
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandas(
+        kernel, GAP_STATS_SCHEMA
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled "frame"
     (byte offset) per payload — the explode shape a video pipeline

@@ -975,7 +975,7 @@ def _duck_simhash_sql() -> str:
 
 @register("simhash_docs", oracle=_duck_simhash_sql())
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signature per document."""
+    """28-bit SimHash signature per document."""
     return dd.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
@@ -1568,3 +1568,46 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "event_id").agg(
         F.count(F.lit(1)).alias("n_clicks")
     )
+
+
+def _duck_simhash_near_dup(max_hamming: int = 3) -> str:
+    return f"""
+    WITH {dual.duck_token_hash_cte('documents', 'text', ['doc_id'])},
+    sig AS (SELECT doc_id, {dual.simhash_from_hashes('h', D)} AS simhash FROM th)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("simhash_near_dup_pairs", oracle=_duck_simhash_near_dup())
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs via lossless nibble banding
+    (the oracle does the full quadratic scan; the Spark plan never
+    forms it — pigeonhole guarantees identical output)."""
+    return dd.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "user_event_gap_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(epoch_us(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                    AS DOUBLE) AS gap_us
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           quantile_cont(gap_us, 0.5) AS median_gap_us,
+           max(gap_us) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def user_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped kernel (numpy median of inter-event gaps)
+    vs a pure-SQL lag-window oracle — the Python kernel computes the
+    same statistic the declarative form defines. Median of exact
+    microsecond gaps: numpy median == quantile_cont on the same
+    doubles (average of two middles, same IEEE ops)."""
+    return multimodal.user_gap_stats(load_table(spark, sf_dir, "events"))

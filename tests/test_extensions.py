@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+from hadoop_data_pipeline_spark.functions import dual
 from hadoop_data_pipeline_spark.operators import dedup as dd
 from hadoop_data_pipeline_spark.operators import multimodal as mm
 from hadoop_data_pipeline_spark.operators import similarity as sim
@@ -55,7 +56,7 @@ def test_ngram_jaccard_blocked(docs):
 def test_simhash_identical_docs_equal(docs):
     sig = {r.doc_id: r.simhash for r in dd.simhash_signatures(docs).collect()}
     assert sig[1] == sig[2]
-    assert 0 <= sig[1] < 2**16
+    assert 0 <= sig[1] < 2**dual.SIMHASH_BITS
     groups = dd.simhash_dup_groups(docs).collect()
     assert any(g.n_docs >= 2 for g in groups)
 
