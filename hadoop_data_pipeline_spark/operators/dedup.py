@@ -136,7 +136,11 @@ def near_dup_pairs_minhash(
     exact Jaccard >= threshold. The staged hash frame feeds both the
     signature and the verification sides (one tokenize pass).
     """
-    staged = staged_shingle_hashes(df, text_col, id_col)
+    # Persist the staged hash arrays: they feed the signature side AND
+    # both verification sides — without the cache the tokenize/shingle/
+    # hash pipeline runs three times. ~k ints per doc; spills to disk
+    # if a 100 TB corpus outgrows executor memory (default level).
+    staged = staged_shingle_hashes(df, text_col, id_col).persist()
     sig = staged.selectExpr(
         id_col,
         *[
@@ -191,12 +195,14 @@ def ngram_jaccard_pairs(
     if threshold <= 0:
         raise ValueError("inverted-index Jaccard requires threshold > 0")
     staged = staged_shingle_hashes(df, text_col, id_col, extra_cols=block_cols)
+    # Persist the postings: both sides of the self-join read them, so
+    # the cache halves the tokenize+hash work and the exchange input.
     posts = staged.selectExpr(
         id_col,
         *block_cols,
         "size(array_distinct(__sh)) AS n",
         "explode(array_distinct(__sh)) AS __h",
-    )
+    ).persist()
     a = posts.selectExpr(f"{id_col} AS id_a", *block_cols, "n AS n_a", "__h")
     b = posts.selectExpr(
         f"{id_col} AS id_b",
