@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from hadoop_data_pipeline_spark import atomic, guards, pipeline, quality, retry
+from hadoop_data_pipeline_spark import atomic, pipeline, quality, retry
 from hadoop_data_pipeline_spark.fs import FS, extract_year_from_path
 from hadoop_data_pipeline_spark.versioning import Versioner
 
