@@ -278,6 +278,78 @@ def simhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: each node gets
+    the minimum reachable node id as its cluster label (connected
+    components). Returns (id_col, cluster_id).
+
+    Iterative min-label propagation: every round each node adopts the
+    smallest label among itself and its neighbors; converged when no
+    label changes. Rounds needed = graph diameter (near-dup clusters
+    are shallow — a handful of rounds in practice, ``max_iter`` is a
+    safety bound). Each round is one join + one aggregate;
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+    with iterations (the classic iterative-algorithm discipline on
+    Spark).
+    """
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.where(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup resolution: MinHash+LSH pairs -> connected
+    components -> (doc, cluster, is_canonical) where the canonical
+    survivor is the cluster's min id — what a training-data pipeline
+    actually keeps."""
+    pairs = near_dup_pairs_minhash(df, text_col, id_col, threshold)
+    comps = connected_components(pairs, df.select(id_col), id_col)
+    return comps.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def simhash_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

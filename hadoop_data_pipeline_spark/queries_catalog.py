@@ -1611,3 +1611,50 @@ def user_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond gaps: numpy median == quantile_cont on the same
     doubles (average of two middles, same IEEE ops)."""
     return multimodal.user_gap_stats(load_table(spark, sf_dir, "events"))
+
+
+def _duck_dedup_clusters(threshold: float = 0.5) -> str:
+    return f"""
+    WITH RECURSIVE {dual.duck_shingle_hash_cte('documents', 'text', ['doc_id'])},
+    {_duck_bands()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, {_DUCK_JACCARD} AS jaccard
+            FROM cand
+            JOIN h ha ON ha.doc_id = cand.id_a
+            JOIN h hb ON hb.doc_id = cand.id_b
+        ) WHERE jaccard >= {threshold}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, w.label FROM walk w JOIN edges e ON w.node = e.dst
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id,
+           (node = min(label)) AS is_canonical
+    FROM walk GROUP BY node
+    """
+
+
+@register("dedup_clusters_minhash", oracle=_duck_dedup_clusters())
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: MinHash+LSH pairs -> connected
+    components (iterative min-label propagation, lineage-checkpointed
+    per round) -> canonical survivor per cluster. The oracle computes
+    the same components with a recursive-CTE transitive closure —
+    feasible at oracle scale, while the Spark side's per-round
+    join+aggregate is the shape that survives a billion-document
+    graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dedup_clusters(docs, threshold=0.5)

@@ -131,3 +131,34 @@ def test_frame_sample_shape(docs):
     one = frames.where("doc_id = 1").orderBy("frame_idx").collect()
     assert [r.byte_offset for r in one] == [0, 16, 32]
     assert [r.frame_idx for r in one] == [0, 1, 2]
+
+
+def test_connected_components_hand_graph(spark):
+    # Components: {1,2,3,9}, {4,5}, {6} isolated, {7,8}.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (4, 5), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 10)], "doc_id bigint"
+    )
+    comps = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(pairs, nodes).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 9: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 7}
+
+
+def test_dedup_clusters_canonical_flags(docs):
+    out = dd.dedup_clusters(docs, threshold=0.5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # docs 1 and 2 are identical -> same cluster, min id canonical.
+    assert by_id[1]["cluster_id"] == by_id[2]["cluster_id"] == 1
+    assert by_id[1]["is_canonical"] and not by_id[2]["is_canonical"]
+    # every cluster has exactly one canonical member
+    import collections
+    per_cluster = collections.Counter(
+        r["cluster_id"] for r in out if r["is_canonical"]
+    )
+    clusters = {r["cluster_id"] for r in out}
+    assert set(per_cluster) == clusters
+    assert all(v == 1 for v in per_cluster.values())
