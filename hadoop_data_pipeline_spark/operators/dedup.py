@@ -350,6 +350,57 @@ def dedup_clusters(
     )
 
 
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_quality: float = 0.5,
+    langs: Sequence[str] = ("en", "de"),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composite a training-data pipeline actually runs: quality
+    floor -> language allowlist -> exact dedup (min-id survivor) ->
+    near-dup cluster resolution keeping canonical docs only. Returns
+    (id, lang) of the retained corpus.
+
+    Stage shapes: scoring/filtering are shuffle-free projections;
+    exact dedup is a window-min over md5 digests; near-dup is the
+    MinHash+LSH + connected-components path. Each stage strictly
+    shrinks the data before the next, more expensive one — the
+    ordering IS the optimization.
+    """
+    from pyspark.sql import Window
+
+    from hadoop_data_pipeline_spark.operators import text as tx
+
+    staged = df.selectExpr(
+        id_col, text_col, lang_col,
+        f"{dual.tokens(text_col, dual.SPARK)} AS __toks",
+    )
+    scored = staged.selectExpr(
+        id_col, text_col, lang_col,
+        f"{tx.quality_score_expr(text_col, '__toks', dual.SPARK)} AS __q",
+    )
+    filtered = scored.where(
+        (F.col("__q") >= min_quality) & F.col(lang_col).isin(*langs)
+    )
+    w = Window.partitionBy("__key")
+    exact = (
+        filtered.withColumn("__key", F.md5(F.col(text_col)))
+        .withColumn("__keep", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__keep"))
+        .select(id_col, text_col, lang_col)
+    )
+    clusters = dedup_clusters(exact, text_col, id_col, threshold)
+    return (
+        exact.join(
+            clusters.where(F.col("is_canonical")).select(id_col), id_col
+        )
+        .select(id_col, lang_col)
+    )
+
+
 def simhash_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1658,3 +1658,65 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.dedup_clusters(docs, threshold=0.5)
+
+
+def _duck_clean_corpus(
+    min_quality: float = 0.5, langs: tuple = ("en", "de"), threshold: float = 0.5
+) -> str:
+    lang_list = ", ".join(f"'{x}'" for x in langs)
+    q = tx.quality_score_expr("text", "tk", D)
+    return f"""
+    WITH RECURSIVE t0 AS (
+        SELECT doc_id, text, lang, {dual.tokens('text', D)} AS tk FROM documents
+    ),
+    filtered AS (
+        SELECT doc_id, text, lang FROM t0
+        WHERE {q} >= {min_quality} AND lang IN ({lang_list})
+    ),
+    exact AS (
+        SELECT doc_id, text, lang FROM (
+            SELECT doc_id, text, lang,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+            FROM filtered
+        ) WHERE doc_id = keep
+    ),
+    {dual.duck_shingle_hash_cte('exact', 'text', ['doc_id'])},
+    {_duck_bands()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, {_DUCK_JACCARD} AS jaccard
+            FROM cand
+            JOIN h ha ON ha.doc_id = cand.id_a
+            JOIN h hb ON hb.doc_id = cand.id_b
+        ) WHERE jaccard >= {threshold}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM exact
+        UNION
+        SELECT e.src, w.label FROM walk w JOIN edges e ON w.node = e.dst
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+    SELECT exact.doc_id AS doc_id, exact.lang AS lang
+    FROM exact JOIN comp ON exact.doc_id = comp.node
+    WHERE comp.node = comp.cluster_id
+    """
+
+
+@register("clean_corpus", oracle=_duck_clean_corpus())
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality floor (>=0.5) -> lang
+    allowlist (en, de) -> exact dedup -> near-dup canonicalization.
+    Every stage shrinks the corpus before the next pays more per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.clean_corpus(docs)

@@ -85,3 +85,60 @@ def _duck_results(pdf: pd.DataFrame) -> list[tuple]:
 def test_dual_text_exprs_engine_exact(spark, texts):
     pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
     assert _spark_results(spark, pdf) == _duck_results(pdf)
+
+
+vec_strategy = st.lists(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000).map(lambda i: i / 100.0),
+        min_size=8,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=vec_strategy)
+def test_dual_cosine_engine_exact(spark, vecs):
+    """Cosine (incl. staged-norm form) and LSH bucket ids are
+    bit-identical across engines for arbitrary small vectors."""
+    import duckdb as ddb
+
+    pdf = pd.DataFrame({"i": range(len(vecs)), "v": vecs})
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "i bigint, v array<double>",
+    )
+    nrm = dual.norm("v", dual.SPARK)
+    a = df.selectExpr("i AS ia", "v AS va", f"{nrm} AS na")
+    b = df.selectExpr("i AS ib", "v AS vb", f"{nrm} AS nb")
+    spark_rows = sorted(
+        (r["ia"], r["ib"], r["c"])
+        for r in a.crossJoin(b)
+        .where("ia < ib AND na > 0 AND nb > 0")
+        .selectExpr(
+            "ia", "ib",
+            f"{dual.cosine_staged('va', 'vb', 'na', 'nb', dual.SPARK)} AS c",
+        )
+        .collect()
+    )
+    con = ddb.connect()
+    con.register("vecs", pdf)
+    d = dual.DUCK
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT a.i, b.i, {dual.cosine('a.v', 'b.v', d)}
+            FROM vecs a JOIN vecs b ON a.i < b.i
+            WHERE {dual.norm('a.v', d)} > 0 AND {dual.norm('b.v', d)} > 0
+            """
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
