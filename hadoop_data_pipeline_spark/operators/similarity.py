@@ -95,6 +95,89 @@ def ann_topk_lsh(
     )
 
 
+def ann_topk_ivf(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer assigns every vector to
+    a centroid cell; each query scores only the cells of its
+    ``n_probe`` nearest centroids (~n_probe/n_centroids of the corpus).
+
+    Train/assign uses Spark ML KMeans (seeded — deterministic for
+    fixed data). At 100 TB the quantizer trains on a sample, the cell
+    id is computed once at ingest, and the probe join hash-partitions
+    on the cell — the classic IVF trade: recall for a
+    corpus-fraction's worth of dot products. Registered rows-only (a
+    trained quantizer isn't SQL-expressible).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_feat = df.withColumn("__feat", array_to_vector(F.col(vec_col)))
+    km = (
+        KMeans(k=n_centroids, seed=42, maxIter=10, featuresCol="__feat")
+        .fit(with_feat.select("__feat"))
+    )
+    assigned = (
+        km.transform(with_feat)
+        .withColumnRenamed("prediction", "cell")
+        .drop("__feat")
+        .persist()
+    )
+    # Distance of a vector to every centroid as one expression array;
+    # the query side probes the n_probe smallest.
+    cents = [[float(x) for x in c] for c in km.clusterCenters()]
+    d2 = ", ".join(
+        "aggregate(zip_with(%s, array(%s), (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), cast(0.0 as double), (a, v) -> a + v)"
+        % (vec_col, ", ".join(str(v) for v in c))
+        for c in cents
+    )
+    probes = (
+        assigned.where(F.col(id_col).isin(*query_ids))
+        .selectExpr(
+            f"{id_col} AS query_id",
+            f"{vec_col} AS qvec",
+            f"{dual.norm(vec_col, dual.SPARK)} AS qn",
+            f"array({d2}) AS __d2",
+        )
+        .selectExpr(
+            "query_id",
+            "qvec",
+            "qn",
+            f"""transform(
+                slice(array_sort(zip_with(__d2, sequence(0, {n_centroids - 1}),
+                      (d, i) -> struct(d AS d, i AS i))), 1, {n_probe}),
+                s -> s.i) AS probe_cells""",
+        )
+        .select(
+            "query_id", "qvec", "qn",
+            F.explode("probe_cells").alias("cell"),
+        )
+    )
+    cands = assigned.selectExpr(
+        f"{id_col} AS cand_id",
+        f"{vec_col} AS cvec",
+        f"{dual.norm(vec_col, dual.SPARK)} AS cn",
+        "cell",
+    )
+    cos = dual.cosine_staged("qvec", "cvec", "qn", "cn", dual.SPARK)
+    scored = (
+        F.broadcast(probes)
+        .join(cands, "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .selectExpr("query_id", "cand_id", f"{cos} AS cosine")
+        .distinct()  # a candidate may appear via multiple probed cells
+    )
+    return top_k_per_group(
+        scored, ["query_id"], "cosine", k=k, tie_breakers=["cand_id"]
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1720,3 +1720,14 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage shrinks the corpus before the next pays more per row."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.clean_corpus(docs)
+
+
+@register("embedding_ann_ivf_topk")  # rows-only: trained quantizer
+def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer (16 cells, 2 probed) + exact
+    cosine within probed cells. Rows-only driver check — a trained
+    quantizer is not SQL-expressible; recall vs brute force is tested
+    in tests/test_extensions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.ann_topk_ivf(emb, query_ids=list(range(10)), k=5)
+    return out.select("query_id", "cand_id", "cosine")

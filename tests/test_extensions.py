@@ -162,3 +162,27 @@ def test_dedup_clusters_canonical_flags(docs):
     clusters = {r["cluster_id"] for r in out}
     assert set(per_cluster) == clusters
     assert all(v == 1 for v in per_cluster.values())
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = list(range(10))
+    brute = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.cosine_topk(emb, qids, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.ann_topk_ivf(emb, qids, k=5, n_centroids=8, n_probe=3).collect()
+    }
+    # Approximate by design: demand decent recall, not equality.
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # Determinism: same call twice -> identical result.
+    ivf2 = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.ann_topk_ivf(emb, qids, k=5, n_centroids=8, n_probe=3).collect()
+    }
+    assert ivf == ivf2
