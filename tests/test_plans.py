@@ -86,3 +86,24 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     assert "text" in scan  # text read for hashing...
     ex = plan.split("Exchange hashpartitioning")[1].split("\n")[0]
     assert "__key" in ex or "content_key" in ex  # ...but only digests shuffle
+
+
+def test_semi_join_broadcasts(spark):
+    plan = plan_of(spark, "order_priority_counts")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_interval_join_is_not_cartesian(spark):
+    # equi-key + time-range join must plan as a keyed join (hash/SMJ),
+    # never a cartesian/broadcast-nested-loop over all rows.
+    plan = plan_of(spark, "clicks_before_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cube_is_single_expand_pass(spark):
+    plan = plan_of(spark, "cube_returnflag_linestatus")
+    assert "Expand" in plan
+    # one scan feeds all grouping sets
+    assert len(scans_of(plan)) == 1
