@@ -1731,3 +1731,30 @@ def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = sim.ann_topk_ivf(emb, query_ids=list(range(10)), k=5)
     return out.select("query_id", "cand_id", "cosine")
+
+
+@register(
+    "small_quantity_part_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN (
+        SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_cut
+        FROM lineitem GROUP BY l_partkey
+    ) cuts ON l_partkey = cuts.pk
+    WHERE l_quantity < qty_cut
+    """,
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated into
+    an aggregate + self-join (Catalyst plans the correlated subquery
+    the same way; writing the join explicitly keeps the per-part cut
+    computed once, not per probe row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(cuts, li.l_partkey == cuts.pk)
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

@@ -199,3 +199,34 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         for r in W.interval_join(batch).collect()
     )
     assert got and got == want
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    # Stream-static join: the streaming fact enriched by a static dim
+    # (broadcast per micro-batch, no state needed).
+    src, batch = _events_stream_dir(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [("click", 0.0), ("view", 0.0), ("purchase", 10.0),
+         ("signup", 5.0), ("error", -1.0)],
+        "event_type string, weight double",
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream.join(dim, "event_type").selectExpr(
+        "event_id", "value * weight AS weighted"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table("enriched_out").agg({"weighted": "sum"}).collect()[0][0]
+    want = (
+        batch.join(dim, "event_type")
+        .selectExpr("value * weight AS weighted")
+        .agg({"weighted": "sum"})
+        .collect()[0][0]
+    )
+    assert abs(got - want) < 1e-6
