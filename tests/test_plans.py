@@ -107,3 +107,10 @@ def test_cube_is_single_expand_pass(spark):
     assert "Expand" in plan
     # one scan feeds all grouping sets
     assert len(scans_of(plan)) == 1
+
+
+def test_topk_orderby_limit_is_bounded(spark):
+    # ORDER BY ... LIMIT k must plan as TakeOrderedAndProject (k rows
+    # per partition cross the wire), not a global sort.
+    plan = plan_of(spark, "top_returning_customers")
+    assert "TakeOrderedAndProject" in plan
