@@ -98,14 +98,20 @@ def run_with_repair(
     sql: str,
     fixer: Callable[[str, str], str] | None = None,
     max_attempts: int = 3,
+    lint_plan: bool = True,
 ) -> tuple[DataFrame, str]:
     """Execute ``sql`` with the guard + repair loop (reference
     ``chat_with_data_full``): clean, lint (pre-emptive repair with
-    :data:`REPAIR_HINT` if prohibited), run, and on execution error ask
-    ``fixer(sql, error)`` for a corrected statement, <= ``max_attempts``
-    total executions. Returns (DataFrame, final SQL)."""
+    :data:`REPAIR_HINT` if prohibited — the regex catches the CASE
+    form, the analyzed-plan walk catches the rest), run, and on
+    execution error ask ``fixer(sql, error)`` for a corrected
+    statement, <= ``max_attempts`` total executions. Returns
+    (DataFrame, final SQL)."""
     sql = clean_sql(sql)
-    if has_bad_remaining_sum(sql) and fixer is not None:
+    if fixer is not None and (
+        has_bad_remaining_sum(sql)
+        or (lint_plan and plan_has_bad_remaining_sum(spark, sql))
+    ):
         sql = clean_sql(fixer(sql, REPAIR_HINT))
     last_error: Exception | None = None
     for _ in range(max_attempts):

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hadoop_data_pipeline_spark.atomic import atomic_write_partition
 from hadoop_data_pipeline_spark.pipeline import wide_to_long
 
 
@@ -75,29 +76,20 @@ class StreamingFilePipeline:
         return df.select(*cols, F.col("year").cast("int").alias("year"))
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch sink: dynamic-overwrite the touched partitions
-        in the wide zone, then derive + overwrite the long zone.
-
-        Partition-level atomicity for concurrent readers comes from
-        ``atomic.atomic_write_partition`` when pointed at a metastore
-        table; plain dynamic overwrite is used here for the zone dirs.
-        """
-        wide = self.normalize(batch_df)
-        (
-            wide.repartition("year")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("year")
-            .parquet(self.wide_path)
-        )
-        long_df = wide_to_long(wide)
-        (
-            long_df.repartition("year")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("year")
-            .parquet(self.long_path)
-        )
+        """foreachBatch sink: the SAME atomic rename-swap per touched
+        partition as the batch pipeline (one write path for both
+        modes) — concurrent readers of the zone never observe a
+        half-written year. The touched-year list is bounded by the
+        micro-batch's file set (driver-side collect of a few ints)."""
+        wide = self.normalize(batch_df).persist()
+        years = [r["year"] for r in wide.select("year").distinct().collect()]
+        for y in years:
+            year_df = wide.where(F.col("year") == y)
+            atomic_write_partition(year_df, self.wide_path, "year", y)
+            atomic_write_partition(
+                wide_to_long(year_df), self.long_path, "year", y
+            )
+        wide.unpersist()
 
     def run_available_now(
         self,

@@ -148,3 +148,19 @@ def test_run_with_repair_exhausts(spark):
         guards.run_with_repair(
             spark, "SELECT * FROM missing", fixer=lambda s, e: s, max_attempts=2
         )
+
+
+def test_run_with_repair_plan_lint_preemptive(spark, long_view):
+    # The regex misses plain SUM-without-CASE; the plan lint catches it
+    # pre-execution and routes through the fixer with the hint.
+    calls = []
+
+    def fixer(sql, error):
+        calls.append(error)
+        return "SELECT SUM(amount) AS s FROM finance_long WHERE details = 'spent'"
+
+    bad = "SELECT SUM(amount) AS s FROM finance_long WHERE details = 'remaining'"
+    assert guards.has_bad_remaining_sum(bad) is False
+    df, _ = guards.run_with_repair(spark, bad, fixer=fixer)
+    assert df.collect()[0]["s"] == 10.0
+    assert calls and "point-in-time" in calls[0]
