@@ -209,8 +209,26 @@ class IncrementalPipeline:
             year, files, True, report, wide_rows, long_rows, version_id
         )
 
-    def run(self) -> PipelineResult:
+    def run(self, parallel_years: int = 1) -> PipelineResult:
+        """Process all pending years. ``parallel_years > 1`` submits
+        years concurrently from driver threads — Spark schedules the
+        independent job chains in parallel (FAIR/FIFO pools), which is
+        how a multi-year backfill saturates a large cluster instead of
+        running year-sized jobs back to back. Years are independent by
+        construction (disjoint partitions, disjoint markers)."""
+        pending = sorted(self.discover().items())
         result = PipelineResult()
-        for year, files in sorted(self.discover().items()):
-            result.years.append(self.run_year(year, files))
+        if parallel_years <= 1:
+            for year, files in pending:
+                result.years.append(self.run_year(year, files))
+            return result
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallel_years) as pool:
+            futures = [
+                pool.submit(self.run_year, year, files)
+                for year, files in pending
+            ]
+            result.years = [f.result() for f in futures]
+        result.years.sort(key=lambda y: y.year)
         return result

@@ -203,20 +203,106 @@ def run_quality_checks(
     df: DataFrame,
     expected_columns: list[str],
     measure_columns: list[str] | None = None,
+    combined: bool = True,
 ) -> QualityReport:
     """The reference's five-check gate in order (schema, nulls, date
-    format, total-vs-sum, remaining-monotonic)."""
+    format, total-vs-sum, remaining-monotonic).
+
+    ``combined=True`` (default) computes every row-local check metric
+    in ONE aggregate pass over the table — at 100 TB each separate
+    check action is its own full scan, so the combined form turns
+    ~5 scans into 1 aggregate + 1 window job, fetching bounded samples
+    only for checks that actually failed."""
     measures = measure_columns or [
         c
         for c in expected_columns
         if c not in (*ID_COLUMNS, TOTAL_COLUMN)
     ]
+    if combined:
+        return _run_combined(df, expected_columns, measures)
     report = QualityReport()
     report.results.append(check_schema(df, expected_columns))
     report.results.append(check_nulls(df))
     if "date" in df.columns:
         report.results.append(check_date_format(df))
         report.results.append(check_total_vs_sum(df, measures))
+        if "details" in df.columns and TOTAL_COLUMN in df.columns:
+            report.results.append(check_monotonic_non_increasing(df))
+    return report
+
+
+def _run_combined(
+    df: DataFrame, expected_columns: list[str], measures: list[str]
+) -> QualityReport:
+    """Single-pass metric collection for all row-local checks."""
+    report = QualityReport()
+    report.results.append(check_schema(df, expected_columns))
+
+    null_cols = [c for c in ID_COLUMNS if c in df.columns]
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+        for c in null_cols
+    ]
+    has_date = "date" in df.columns
+    present_measures = [c for c in measures if c in df.columns]
+    do_total = has_date and TOTAL_COLUMN in df.columns and present_measures
+    if has_date:
+        d = F.col("date")
+        sentinels = F.array(*[F.lit(s) for s in REQUIRED_SENTINELS])
+        valid = d.rlike(MONTH_RE) | F.array_contains(sentinels, d)
+        aggs.append(F.sum((~valid).cast("long")).alias("__n_bad_date"))
+        aggs += [
+            F.max((d == F.lit(s)).cast("int")).alias(f"__has_{i}")
+            for i, s in enumerate(REQUIRED_SENTINELS)
+        ]
+        if do_total:
+            computed = sum(
+                (F.coalesce(F.col(c), F.lit(0.0)) for c in present_measures),
+                F.lit(0.0),
+            )
+            scope = d.rlike(MONTH_RE) | (d == "all-year-budget")
+            mismatch = scope & (
+                F.abs(F.col(TOTAL_COLUMN) - computed)
+                > F.col(TOTAL_COLUMN) * 0.01
+            )
+            aggs.append(F.sum(mismatch.cast("long")).alias("__n_total_bad"))
+    if not aggs:
+        return report
+    m = df.agg(*aggs).collect()[0]
+
+    null_msgs = [
+        f"Column '{c}' has {m[f'__null_{c}']} null rows"
+        for c in null_cols
+        if m[f"__null_{c}"]
+    ]
+    report.results.append(CheckResult("nulls", "fatal", not null_msgs, null_msgs))
+
+    if has_date:
+        msgs = []
+        missing = {
+            s
+            for i, s in enumerate(REQUIRED_SENTINELS)
+            if not m[f"__has_{i}"]
+        }
+        if missing:
+            msgs.append(f"Missing required rows: {missing}")
+        if m["__n_bad_date"]:
+            d = F.col("date")
+            sentinels = F.array(*[F.lit(s) for s in REQUIRED_SENTINELS])
+            valid = d.rlike(MONTH_RE) | F.array_contains(sentinels, d)
+            samples = [r[0] for r in df.where(~valid).select("date").limit(3).collect()]
+            msgs.append(
+                f"Invalid date format ({m['__n_bad_date']} rows): {samples}"
+            )
+        report.results.append(
+            CheckResult("date_format", "fatal", not msgs, msgs)
+        )
+        if do_total:
+            if m["__n_total_bad"]:
+                # Bounded sample fetch only on failure.
+                report.results.append(check_total_vs_sum(df, present_measures))
+            else:
+                report.results.append(CheckResult("total_vs_sum", "warn", True))
         if "details" in df.columns and TOTAL_COLUMN in df.columns:
             report.results.append(check_monotonic_non_increasing(df))
     return report

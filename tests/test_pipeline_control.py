@@ -442,3 +442,40 @@ def test_pipeline_reprocess_after_failed_marker_removed(spark, tmp_path):
     )
     FS(spark).delete(str(f) + ".failed")
     assert p.run().processed == [2023]
+
+
+def test_quality_combined_equals_separate(spark):
+    # The single-pass gate and the per-check gate agree on every
+    # severity/pass/message outcome for good and bad inputs.
+    cases = [
+        _good_rows(),
+        _good_rows() + [(None, 1.0, "spent", 1.0, 0.0, 0.0)],
+        _good_rows() + [("01/2024", 1.0, "spent", 1.0, 0.0, 0.0)],
+        _good_rows() + [("2024-04", 100.0, "spent", 1.0, 1.0, 1.0)],
+        _good_rows() + [("2024-04", 999.0, "remaining", 333.0, 333.0, 333.0)],
+        [r for r in _good_rows() if r[0] != "all-year-budget"],
+    ]
+    for rows in cases:
+        df = _wide_df(spark, rows)
+        combined = quality.run_quality_checks(df, WIDE_COLS, combined=True)
+        separate = quality.run_quality_checks(df, WIDE_COLS, combined=False)
+        assert combined.passed == separate.passed
+        assert combined.errors == separate.errors
+        assert combined.warnings == separate.warnings
+
+
+def test_pipeline_parallel_years(spark, tmp_path):
+    for year in (2021, 2022, 2023, 2024):
+        _write_csv(tmp_path, year, f"finance_{year}.csv", _good_rows())
+    p = pipeline.IncrementalPipeline(
+        spark,
+        raw_root=str(tmp_path / "raw"),
+        wide_path=str(tmp_path / "staging"),
+        long_path=str(tmp_path / "curated"),
+        expected_columns=WIDE_COLS,
+    )
+    result = p.run(parallel_years=4)
+    assert result.processed == [2021, 2022, 2023, 2024]
+    for year in (2021, 2022, 2023, 2024):
+        assert spark.read.parquet(str(tmp_path / f"staging/year={year}")).count() == 9
+        assert spark.read.parquet(str(tmp_path / f"curated/year={year}")).count() == 21
