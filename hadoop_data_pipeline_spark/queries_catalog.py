@@ -1862,3 +1862,60 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@register(
+    "supplier_count_by_part_attrs",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size BETWEEN 10 AND 30
+    GROUP BY p_brand, p_type
+    """,
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per attribute pair — Spark
+    expands to a two-phase aggregate (distinct keys first, then
+    counts), all map-side combined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size").between(10, 30))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "monthly_revenue_moving_avg",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY 1
+    )
+    SELECT ship_month, revenue,
+           round(avg(revenue) OVER (
+               ORDER BY ship_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 2) AS revenue_ma3
+    FROM m
+    """,
+)
+def monthly_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend analytics: monthly revenue + 3-month trailing moving
+    average (frame-bounded window over the pre-aggregated month rows —
+    the window input is tiny because aggregation happens first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("ship_month")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    w = Window.orderBy("ship_month").rowsBetween(-2, 0)
+    return monthly.select(
+        "ship_month",
+        "revenue",
+        F.round(F.avg("revenue").over(w), 2).alias("revenue_ma3"),
+    )
