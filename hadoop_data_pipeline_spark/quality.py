@@ -199,6 +199,30 @@ def check_monotonic_non_increasing(
     return CheckResult("monotonic", "warn", not messages, messages)
 
 
+def check_domain(
+    df: DataFrame,
+    column: str,
+    allowed: tuple[str, ...],
+    severity: str = "fatal",
+) -> CheckResult:
+    """Column values restricted to a closed domain (e.g. the long
+    table's ``details`` in {budget, spent, remaining} — FIXTURES.md
+    §2). One aggregate; <=3 offending samples on failure."""
+    if column not in df.columns:
+        return CheckResult(f"domain_{column}", severity, True)
+    bad = ~F.col(column).isin(*allowed) | F.col(column).isNull()
+    n = df.agg(F.sum(bad.cast("long")).alias("n")).collect()[0]["n"] or 0
+    messages = []
+    if n:
+        samples = [
+            r[0] for r in df.where(bad).select(column).limit(3).collect()
+        ]
+        messages.append(
+            f"Column '{column}' outside domain {allowed} ({n} rows): {samples}"
+        )
+    return CheckResult(f"domain_{column}", severity, not messages, messages)
+
+
 def run_quality_checks(
     df: DataFrame,
     expected_columns: list[str],

@@ -1919,3 +1919,32 @@ def monthly_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.avg("revenue").over(w), 2).alias("revenue_ma3"),
     )
+
+
+@register(
+    "json_prop_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_with_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def json_prop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON props
+    column (get_json_object — JVM-side JSON path, no UDF) and
+    aggregate. At scale, promote hot JSON fields to real columns at
+    ingest; path extraction per row is for the long tail."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("__k", k)
+        .where(F.col("__k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_k"),
+            F.round(F.avg("__k"), 4).alias("avg_k"),
+        )
+    )

@@ -479,3 +479,14 @@ def test_pipeline_parallel_years(spark, tmp_path):
     for year in (2021, 2022, 2023, 2024):
         assert spark.read.parquet(str(tmp_path / f"staging/year={year}")).count() == 9
         assert spark.read.parquet(str(tmp_path / f"curated/year={year}")).count() == 21
+
+
+def test_check_domain(spark):
+    df = _wide_df(spark, _good_rows() + [("2024-05", 1.0, "typo", 1.0, 0.0, 0.0)])
+    res = quality.check_domain(df, "details", ("budget", "spent", "remaining"))
+    assert not res.passed
+    assert "typo" in res.messages[0]
+    ok = quality.check_domain(
+        _wide_df(spark, _good_rows()), "details", ("budget", "spent", "remaining")
+    )
+    assert ok.passed

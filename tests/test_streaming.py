@@ -230,3 +230,47 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         .collect()[0][0]
     )
     assert abs(got - want) < 1e-6
+
+
+def test_streaming_and_batch_pipelines_agree(spark, tmp_path):
+    # The same raw input through the marker-file batch pipeline and the
+    # checkpointed streaming pipeline yields identical curated data.
+    rows = [("all-year-budget", 60.0, "budget", 10.0, 20.0, 30.0),
+            ("2024-01", 6.0, "spent", 1.0, 2.0, 3.0),
+            ("2024-02", 5.0, "remaining", 1.0, 2.0, 2.0),
+            ("total spent", 6.0, "spent", 1.0, 2.0, 3.0),
+            ("remaining", 5.0, "remaining", 1.0, 2.0, 2.0)]
+    for sub in ("a", "b"):
+        d = tmp_path / sub / "raw" / "year=2024"
+        d.mkdir(parents=True)
+        (d / "f.csv").write_text(
+            "date,total_amount,details,m1,m2,m3\n"
+            + "\n".join(",".join(str(v) for v in r) for r in rows)
+        )
+    from hadoop_data_pipeline_spark.pipeline import IncrementalPipeline
+
+    batch = IncrementalPipeline(
+        spark,
+        raw_root=str(tmp_path / "a" / "raw"),
+        wide_path=str(tmp_path / "a" / "wide"),
+        long_path=str(tmp_path / "a" / "long"),
+        expected_columns=["date", "total_amount", "details", "m1", "m2", "m3"],
+    )
+    assert batch.run().processed == [2024]
+    stream = StreamingFilePipeline(
+        spark,
+        raw_root=str(tmp_path / "b" / "raw"),
+        wide_path=str(tmp_path / "b" / "wide"),
+        long_path=str(tmp_path / "b" / "long"),
+        checkpoint=str(tmp_path / "b" / "ckpt"),
+        schema=WIDE_SCHEMA,
+    )
+    assert stream.run_available_now()
+    a = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "a/long/year=2024")).collect())
+    )
+    b = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "b/long/year=2024")).collect())
+    )
+    assert a == b
+    assert len(a) == 9  # 3 analytics rows x 3 measures (sentinels dropped)
