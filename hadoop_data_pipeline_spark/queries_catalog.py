@@ -1948,3 +1948,22 @@ def json_prop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("__k"), 4).alias("avg_k"),
         )
     )
+
+
+@register(
+    "latest_order_join_form",
+    oracle="""
+    SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o
+    JOIN (SELECT o_custkey AS ck, MAX(o_orderdate) AS max_date
+          FROM orders GROUP BY o_custkey) latest
+      ON o.o_custkey = latest.ck AND o.o_orderdate = latest.max_date
+    """,
+)
+def latest_order_join_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 in the reference's own formulation (MAX-date subquery +
+    equi-join, sidebar.py:44-62) — keeps ALL rows tied at the max,
+    unlike the row_number form; the aggregated side broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = Q.latest_per_group_join(orders, ["o_custkey"], "o_orderdate")
+    return out.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
