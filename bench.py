@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+ONE compact JSON line as the final stdout line:
+{"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+"n_queries": N, "queries": {...headline subset...}}.
+Full per-query timings go to BENCH_DETAILS.json next to this file
+(the driver captures only a bounded stdout tail, so the final line
+must stay small).
 
 Each query is forced end-to-end with the ``noop`` write format (full
 computation, no driver-side collect) after a warm-up of the session.
@@ -42,12 +46,39 @@ def main() -> None:
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    result = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    failed = sorted(n for n, v in timings.items() if v < 0)
+    # Headline: the 5 slowest queries only — keeps the final line well
+    # under the driver's stdout-tail capture limit.
+    slowest = dict(
+        sorted(
+            ((n, v) for n, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    details = {
         "metric": "catalog_total_runtime",
         "value": round(sum(v for v in timings.values() if v >= 0), 3),
         "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "failed": failed,
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    with open(details_path, "w") as fh:
+        json.dump(details, fh, indent=1, sort_keys=True)
+    result = {
+        "metric": "catalog_total_runtime",
+        "value": details["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "queries": slowest,
     }
     print(json.dumps(result))
 

@@ -153,3 +153,32 @@ def distinct_ordered(df: DataFrame, col: str, descending: bool = True) -> DataFr
     """A6: SELECT DISTINCT col ORDER BY col."""
     out = df.select(col).distinct()
     return out.orderBy(F.col(col).desc() if descending else F.col(col).asc())
+
+
+def user_gap_stats_window(events: DataFrame) -> DataFrame:
+    """Per-user inter-event-gap statistics, entirely JVM-side — the
+    default path for this statistic (the ``applyInPandas`` kernel in
+    ``operators/multimodal.py`` stays as the custom-kernel
+    demonstration of the same semantics).
+
+    lag-window for the gaps, then a grouped exact ``percentile`` for
+    the median: one hash exchange on ``user_id``, no Python stage.
+    Gaps are whole microseconds stored as doubles, so the median's
+    average-of-two-middles is IEEE-exact and matches both the numpy
+    kernel and DuckDB's ``quantile_cont``. At extreme per-user
+    cardinalities swap ``percentile`` for ``approx_percentile`` (fixed
+    memory) — exact parity is the default because the driver oracle
+    hash-compares values.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = events.select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+        .cast("double")
+        .alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

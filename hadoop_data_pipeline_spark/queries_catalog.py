@@ -1613,6 +1613,29 @@ def user_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.user_gap_stats(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "user_event_gap_stats_window",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(epoch_us(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                    AS DOUBLE) AS gap_us
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           quantile_cont(gap_us, 0.5) AS median_gap_us,
+           max(gap_us) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def user_event_gap_stats_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side default for the same statistic as
+    ``user_event_gap_stats``: lag-window gaps + grouped exact
+    percentile — no Python stage anywhere in the plan (pinned in
+    tests/test_plans.py)."""
+    return Q.user_gap_stats_window(load_table(spark, sf_dir, "events"))
+
+
 def _duck_dedup_clusters(threshold: float = 0.5) -> str:
     return f"""
     WITH RECURSIVE {dual.duck_shingle_hash_cte('documents', 'text', ['doc_id'])},
@@ -1967,3 +1990,94 @@ def latest_order_join_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     out = Q.latest_per_group_join(orders, ["o_custkey"], "o_orderdate")
     return out.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Driver correctness window
+# ---------------------------------------------------------------------------
+# The round driver oracle-checks the FIRST 50 registered queries, so
+# registration order is part of the contract: the 50 below cover every
+# SURVEY.md §2 operator ID (including both J1 forms) plus the
+# dedup/similarity/text/multimodal/streaming extensions; redundant
+# micro-variants and TPC-H-shaped extras sit past the window (still
+# oracle-checked by tools/oracle_check.py and tests/test_catalog_oracle.py).
+
+_DRIVER_WINDOW = [
+    # J1 / J2 latest-per-group family (flagship + reference join form)
+    "latest_event_per_user_type",
+    "latest_order_per_customer",
+    "latest_order_join_form",
+    "latest_event_global",
+    # Projection / predicate operators (P1-P14)
+    "cast_and_literal_projection",
+    "provenance_file_name",
+    "regexp_extract_source_id",
+    "rlike_sentinel_filter",
+    "null_and_nonzero_counts",
+    "membership_filter",
+    "value_remap",
+    "forward_fill_purchase_value",
+    # Reshape (R1/R2)
+    "unpivot_part_measures",
+    "pivot_user_event_values",
+    # Aggregation (A1-A8)
+    "count_orders_per_year",
+    "distinct_user_event_pairs",
+    "filtered_sum_returned_revenue",
+    "grouped_max_event_ts",
+    "horizontal_sum_lineitem",
+    "distinct_order_years",
+    "case_when_agg_per_user",
+    # Ordering / quality (O1-O4)
+    "monotonic_violations_user_value",
+    "top3_orders_per_customer",
+    "running_sum_per_user",
+    # Set ops (§2.8)
+    "union_high_low_value_events",
+    "users_purchase_and_error",
+    "users_purchase_no_error",
+    # Windowed / streaming-equivalent (§2.10)
+    "tumbling_daily_event_stats",
+    "sliding_2d_event_counts",
+    "session_window_user_stats",
+    # TPC-H-shaped headliners (multi-join + agg pipelines)
+    "pricing_summary",
+    "revenue_by_nation",
+    "shipping_priority_top10",
+    # Text analysis extensions
+    "text_token_stats",
+    "lang_id_heuristic",
+    "text_quality_score",
+    "doc_fingerprint",
+    # Dedup extensions (exact -> minhash -> simhash -> ngram -> clusters)
+    "dedup_exact_docs",
+    "minhash_signatures_docs",
+    "near_dup_pairs_minhash",
+    "ngram_jaccard_pairs_lang",
+    "simhash_docs",
+    "simhash_near_dup_pairs",
+    "dedup_clusters_minhash",
+    "clean_corpus",
+    # Similarity search extensions
+    "embedding_cosine_topk",
+    "embedding_ann_lsh_topk",
+    "embedding_near_dup_pairs",
+    # Multimodal / custom-kernel extensions
+    "binary_payload_stats",
+    "user_event_gap_stats_window",
+]
+
+
+def _apply_driver_window() -> None:
+    window = set(_DRIVER_WINDOW)
+    missing = window - QUERIES.keys()
+    if missing:
+        raise RuntimeError(f"driver-window queries not registered: {missing}")
+    order = _DRIVER_WINDOW + [n for n in QUERIES if n not in window]
+    for mapping in (QUERIES, ORACLES):
+        ordered = {n: mapping[n] for n in order if n in mapping}
+        mapping.clear()
+        mapping.update(ordered)
+
+
+_apply_driver_window()

@@ -9,8 +9,7 @@ carried across batches and restarts (checkpointed).
 
 Arrow moves each key-group to Python as pandas batches — the
 documented slow path relative to JVM expressions, acceptable because
-state logic runs once per key per micro-batch, not per row
-(``/opt/skills/guides/pyspark_guide.md`` pattern). Per-key state must
+state logic runs once per key per micro-batch, not per row. Per-key state must
 stay small and bounded; unbounded per-key growth belongs in a keyed
 state store with TTL (set ``GroupStateTimeout`` accordingly).
 """

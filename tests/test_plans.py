@@ -114,3 +114,33 @@ def test_topk_orderby_limit_is_bounded(spark):
     # per partition cross the wire), not a global sort.
     plan = plan_of(spark, "top_returning_customers")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gap_stats_window_has_no_python_stage(spark):
+    # The default gap-stats path is the lag-window + percentile form:
+    # one hash exchange on user_id and zero Python/Arrow stages (the
+    # applyInPandas kernel remains as the custom-kernel variant).
+    plan = plan_of(spark, "user_event_gap_stats_window")
+    for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_driver_window_covers_load_bearing_queries():
+    # The round driver oracle-checks only the FIRST 50 registered
+    # queries — pin that the window holds the load-bearing set and that
+    # every windowed query has a value-hash (not rows-only) oracle.
+    names = list(qc.QUERIES)
+    first50 = names[:50]
+    for required in (
+        "latest_event_per_user_type",
+        "latest_order_join_form",
+        "clean_corpus",
+        "dedup_clusters_minhash",
+        "near_dup_pairs_minhash",
+        "ngram_jaccard_pairs_lang",
+        "user_event_gap_stats_window",
+        "pricing_summary",
+    ):
+        assert required in first50, required
+    assert all(n in qc.ORACLES for n in first50)
