@@ -77,8 +77,14 @@ class FS:
     def write_text(self, p: str, content: str) -> None:
         """Write a small text file (manifests, reports). Control-plane
         only — never row data."""
+        self.write_bytes(p, content.encode("utf-8"))
+
+    def write_bytes(self, p: str, content: bytes) -> None:
+        """Write a small binary file (uploads via the REST façade).
+        Control-plane sized — bulk data belongs to the DataFrame
+        writers, not a single driver-side stream."""
         out = self._fs(p).create(self._path(p), True)
-        out.write(bytearray(content.encode("utf-8")))
+        out.write(bytearray(content))
         out.close()
 
     def read_text(self, p: str) -> str | None:

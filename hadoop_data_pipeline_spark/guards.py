@@ -18,9 +18,14 @@ Behavioral parity with the reference's dashboard service
   statement on error, bounded attempts.
 
 Beyond the reference: ``plan_has_bad_remaining_sum`` re-checks the
-rule on Spark's **analyzed logical plan**, catching variants regex
-cannot (subqueries, aliases, implicit filters) — a post-analysis lint,
-not a Catalyst rewrite (it rejects + repairs rather than transforms).
+rule on Spark's **parsed logical plan**, catching variants the string
+regex cannot (subqueries, formatting, CTE indirection) — a pre-analysis
+lint, not a Catalyst rewrite (it rejects + repairs rather than
+transforms). Parsing, unlike ``spark.sql``, NEVER executes: command
+statements (INSERT / CTAS / DROP) run eagerly under ``spark.sql``, so
+an analysis-based lint would execute LLM-emitted DML a second time
+before the repair loop's own execution. The parser also exposes the
+query subtree inside an INSERT, so DML statements get linted too.
 """
 
 from __future__ import annotations
@@ -72,21 +77,23 @@ def has_bad_remaining_sum(sql: str) -> bool:
 def plan_has_bad_remaining_sum(
     spark: SparkSession, sql: str, amount_col: str = "amount"
 ) -> bool:
-    """Plan-level form: analyze the statement (no execution) and flag a
+    """Plan-level form: PARSE the statement (guaranteed no execution —
+    ``spark.sql`` would eagerly run INSERT/CTAS/DROP) and flag a
     ``sum(amount)`` aggregate whose input subtree filters
     ``details = remaining`` with no latest-date reduction (a max(date)
     aggregate anywhere in the tree).
 
     Strictly wider than the regex — catches ``SUM(amount)`` under a
-    ``WHERE details='remaining'`` without any CASE expression.
+    ``WHERE details='remaining'`` without any CASE expression, in
+    subqueries/CTEs, and inside the query part of DML statements.
     """
     try:
-        analyzed = (
-            spark.sql(sql)._jdf.queryExecution().analyzed().toString()
+        parsed = (
+            spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
         )
     except Exception:
-        return False  # unanalyzable SQL fails later with a better error
-    text = analyzed.lower()
+        return False  # unparsable SQL fails later with a better error
+    text = parsed.toString().lower()
     sums_amount = re.search(rf"sum\([^)]*{re.escape(amount_col)}", text)
     filters_remaining = re.search(r"details[^\n]{0,40}remaining", text)
     takes_latest = re.search(r"max\([^)]*date", text) or "row_number" in text

@@ -178,6 +178,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_cols: Sequence[str] = ("lang",),
     threshold: float = 0.15,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Blocked n-gram Jaccard via an inverted index: explode distinct
     shingle hashes into (hash, id) postings, equi-join postings on
@@ -189,8 +190,17 @@ def ngram_jaccard_pairs(
     pair-count groupBy gets map-side partial aggregation; only pairs
     that share >= 1 shingle are ever materialized (requires
     ``threshold > 0``, which a Jaccard threshold always is in
-    practice). Hot shingles (boilerplate) are bounded by a
-    document-frequency cap at ingestion or AQE skew-join at runtime.
+    practice).
+
+    ``max_doc_freq`` is the hot-shingle guard — THE failure mode of
+    inverted-index Jaccard at corpus scale: a boilerplate shingle with
+    document frequency d contributes O(d^2) join rows. Shingles whose
+    blocked df exceeds the cap are dropped from the index BEFORE the
+    self-join (standard IR practice — such shingles carry no
+    discriminating signal; intersections shrink, so the reported
+    jaccard is a lower bound for affected pairs). The hot list itself
+    has at most n_postings / max_doc_freq entries, so it broadcasts.
+    Pass ``None`` for the exact uncapped semantics.
     """
     if threshold <= 0:
         raise ValueError("inverted-index Jaccard requires threshold > 0")
@@ -203,6 +213,19 @@ def ngram_jaccard_pairs(
         "size(array_distinct(__sh)) AS n",
         "explode(array_distinct(__sh)) AS __h",
     ).persist()
+    if max_doc_freq is not None:
+        # df per (block, hash) is one partial-agg shuffle of small keys;
+        # the resulting hot list is tiny, so anti-joining it back onto
+        # the postings broadcasts instead of reshuffling them.
+        hot = (
+            posts.groupBy(*block_cols, "__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select(*block_cols, "__h")
+        )
+        posts = posts.join(
+            F.broadcast(hot), [*block_cols, "__h"], "left_anti"
+        ).persist()
     a = posts.selectExpr(f"{id_col} AS id_a", *block_cols, "n AS n_a", "__h")
     b = posts.selectExpr(
         f"{id_col} AS id_b",
@@ -296,6 +319,12 @@ def connected_components(
     ``localCheckpoint`` truncates the lineage so the plan doesn't grow
     with iterations (the classic iterative-algorithm discipline on
     Spark).
+
+    Labels are the node ids THEMSELVES (any orderable type — numeric
+    or string ids both work; min-label propagation only needs a total
+    order), so ``cluster_id`` is always the minimum reachable id and
+    stays in id space. No numeric cast: a cast would silently turn
+    non-numeric string ids into NULL labels.
     """
     edges = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")
@@ -304,7 +333,7 @@ def connected_components(
         .persist()
     )
     labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (

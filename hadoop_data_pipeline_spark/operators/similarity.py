@@ -184,13 +184,41 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    max_block_size: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold), blocked by ``block_col`` (or the LSH bucket when no
-    label exists) so the pair space is bounded per block."""
+    label exists) so the pair space is bounded per block.
+
+    The within-block all-pairs contract is ENFORCED, not assumed:
+    blocks are counted up front (one column-pruned aggregate scan) and
+    a block larger than ``max_block_size`` raises instead of silently
+    planning an O(n^2) join — a 10M-row block is 50 trillion pairs.
+    The remedy is a finer block key (``block_col=None`` switches to
+    the 256-way LSH bucket, or compose label+bucket); ``None``
+    disables the guard for callers that have pre-validated blocks.
+    """
     if block_col is None:
         df = with_bucket(df, vec_col)
         block_col = "bucket"
+    if max_block_size is not None:
+        oversized = (
+            df.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_block_size)
+            .limit(3)
+            .collect()
+        )
+        if oversized:
+            worst = ", ".join(
+                f"{r[block_col]}={r['__n']}" for r in oversized
+            )
+            raise ValueError(
+                f"embedding_near_dup_pairs: block(s) exceed "
+                f"max_block_size={max_block_size} ({worst}); use a finer "
+                f"block key (e.g. block_col=None for LSH buckets) or "
+                f"raise the bound explicitly"
+            )
     nrm = dual.norm(vec_col, dual.SPARK)
     a = df.selectExpr(
         f"{id_col} AS id_a", f"{vec_col} AS va", f"{nrm} AS na_", f"{block_col} AS blk"

@@ -232,3 +232,70 @@ class IncrementalPipeline:
             result.years = [f.result() for f in futures]
         result.years.sort(key=lambda y: y.year)
         return result
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    """spark-submit / cron entry (C7): sensor -> run -> notify.
+
+    Mirrors the reference DAG's three-step flow (file sensor,
+    spark-submit, success notification — ``airflow/dags/hadoop_dag.py``)
+    as one idempotent invocation: exit 0 with a JSON summary on stdout
+    when everything pending processed (or nothing was pending), exit 1
+    when any year failed its DQ gate. Marker files make re-runs no-ops,
+    so any scheduler cadence is safe (see docs/ORCHESTRATION.md).
+    """
+    import argparse
+    import json as _json
+    import sys
+
+    ap = argparse.ArgumentParser(
+        prog="hadoop_data_pipeline_spark.pipeline",
+        description="Incremental DQ-gated ETL over a raw CSV zone",
+    )
+    ap.add_argument("--raw-root", required=True)
+    ap.add_argument("--wide-path", required=True)
+    ap.add_argument("--long-path", required=True)
+    ap.add_argument("--versions-root", default=None)
+    ap.add_argument("--expected-columns", default=None,
+                    help="comma-separated; default: derive from data")
+    ap.add_argument("--parallel-years", type=int, default=1)
+    ap.add_argument("--check-only", action="store_true",
+                    help="sensor mode: exit 0 iff pending input exists")
+    args = ap.parse_args(argv)
+
+    from hadoop_data_pipeline_spark.session import get_session
+
+    spark = get_session("incremental_pipeline")
+    pipe = IncrementalPipeline(
+        spark,
+        raw_root=args.raw_root,
+        wide_path=args.wide_path,
+        long_path=args.long_path,
+        versions_root=args.versions_root,
+        expected_columns=(
+            args.expected_columns.split(",") if args.expected_columns else None
+        ),
+    )
+    if args.check_only:
+        pending = pipe.discover()
+        print(_json.dumps({"pending_years": sorted(pending)}))
+        return 0 if pending else 1
+    result = pipe.run(parallel_years=args.parallel_years)
+    summary = {
+        "years": [
+            {
+                "year": y.year,
+                "passed": y.passed,
+                "wide_rows": y.wide_rows,
+                "long_rows": y.long_rows,
+                "version_id": y.version_id,
+            }
+            for y in result.years
+        ]
+    }
+    print(_json.dumps(summary), file=sys.stdout)
+    return 0 if all(y.passed for y in result.years) else 1
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via main()
+    raise SystemExit(main())

@@ -944,26 +944,54 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.near_dup_pairs_minhash(docs, threshold=0.5)
 
 
-def _duck_ngram_jaccard_sql(threshold: float) -> str:
-    jacc = (
-        "round(cast(len(list_intersect(a.sh, b.sh)) as double)"
-        " / cast(nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) as double), 6)"
-    )
+def _duck_ngram_jaccard_sql(threshold: float, max_doc_freq: int) -> str:
+    """Posting-list oracle mirroring the Spark operator exactly,
+    including the hot-shingle document-frequency cap: intersections
+    count only shingles whose blocked df <= the cap, while set sizes
+    n_a/n_b stay the full distinct-shingle counts."""
     return f"""
-    WITH {dual.duck_shingle_hash_cte('documents', 'text', ['doc_id', 'lang'])}
-    SELECT * FROM (
+    WITH {dual.duck_shingle_hash_cte('documents', 'text', ['doc_id', 'lang'])},
+    posts AS (
+        SELECT doc_id, lang, len(list_distinct(sh)) AS n,
+               unnest(list_distinct(sh)) AS hsh
+        FROM h
+    ),
+    kept AS (
+        SELECT lang, hsh FROM posts
+        GROUP BY lang, hsh HAVING count(*) <= {max_doc_freq}
+    ),
+    pk AS (
+        SELECT p.doc_id, p.lang, p.n, p.hsh
+        FROM posts p JOIN kept k ON p.lang = k.lang AND p.hsh = k.hsh
+    ),
+    pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
-               {jacc} AS jaccard
-        FROM h a JOIN h b ON a.lang = b.lang AND a.doc_id < b.doc_id
+               a.n AS n_a, b.n AS n_b, count(*) AS i
+        FROM pk a JOIN pk b
+          ON a.lang = b.lang AND a.hsh = b.hsh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT id_a, id_b, lang, jaccard FROM (
+        SELECT id_a, id_b, lang,
+               round(cast(i AS double)
+                     / cast(nullif(n_a + n_b - i, 0) AS double), 6) AS jaccard
+        FROM pairs
     ) WHERE jaccard >= {threshold}
     """
 
 
-@register("ngram_jaccard_pairs_lang", oracle=_duck_ngram_jaccard_sql(0.3))
+@register(
+    "ngram_jaccard_pairs_lang", oracle=_duck_ngram_jaccard_sql(0.3, 100)
+)
 def ngram_jaccard_pairs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact blocked n-gram Jaccard (block = lang, threshold 0.3)."""
+    """Blocked n-gram Jaccard (block = lang, threshold 0.3) with the
+    hot-shingle df cap (100) that bounds the posting self-join —
+    the oracle applies the identical cap, so the hash compare is
+    exact."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, block_cols=["lang"], threshold=0.3)
+    return dd.ngram_jaccard_pairs(
+        docs, block_cols=["lang"], threshold=0.3, max_doc_freq=100
+    )
 
 
 def _duck_simhash_sql() -> str:

@@ -60,8 +60,19 @@ def get_session(
         # which Spark's reader otherwise rejects; read as long nanos and
         # convert in the loader (values are whole microseconds).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    from pyspark import SparkContext
+
+    if SparkContext._active_spark_context is None:
+        # Driver memory can only be set before the JVM launches, so this
+        # is honest ONLY when this process is about to create the first
+        # context (local dev / bench). On a cluster — or any process
+        # with a live context — it would silently no-op: size the driver
+        # at submit time instead (``spark-submit --driver-memory``).
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -42,12 +42,17 @@ def content_checksum(df: DataFrame) -> str:
     """Order-insensitive distributed content hash: per-row md5 over the
     concatenated values (null-tagged), truncated to 28 bits, summed.
     One aggregate job; no data to the driver beyond a single number."""
+    # Each column is coalesced onto an explicit NULL sentinel BEFORE
+    # concat_ws (which silently skips NULLs): rows differing only in
+    # WHICH column is null, e.g. ('a', NULL, 'b') vs ('a', 'b', NULL),
+    # must hash differently or restore verification could pass on
+    # null-corrupted data.
+    tagged = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+        for c in df.columns
+    ]
     row_hash = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])),
-            1,
-            7,
-        ),
+        F.substring(F.md5(F.concat_ws("\x1f", *tagged)), 1, 7),
         16,
         10,
     ).cast("bigint")

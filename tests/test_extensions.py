@@ -4,6 +4,7 @@ similarity search, text analysis, multimodal plumbing."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hadoop_data_pipeline_spark.functions import dual
 from hadoop_data_pipeline_spark.operators import dedup as dd
@@ -86,6 +87,21 @@ def test_embedding_near_dup_blocked_by_label(vecs):
     assert got == {(0, 1)}  # only the planted near-pair, same label
 
 
+def test_embedding_near_dup_block_size_guard(spark, vecs):
+    # A degenerate blocking column (every row in one block) must raise
+    # instead of silently planning an all-pairs join over the corpus.
+    one_block = vecs.withColumn("label", F.lit(0))
+    with pytest.raises(ValueError, match="max_block_size"):
+        sim.embedding_near_dup_pairs(
+            one_block, threshold=0.9, block_col="label", max_block_size=3
+        )
+    # Guard off -> lazy plan builds as before.
+    pairs = sim.embedding_near_dup_pairs(
+        one_block, threshold=0.9, block_col="label", max_block_size=None
+    )
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 1)}
+
+
 def test_ann_bucket_deterministic(spark, vecs):
     b1 = {r.vec_id: r.bucket for r in sim.with_bucket(vecs).collect()}
     b2 = {r.vec_id: r.bucket for r in sim.with_bucket(vecs).collect()}
@@ -146,6 +162,32 @@ def test_connected_components_hand_graph(spark):
         for r in dd.connected_components(pairs, nodes).collect()
     }
     assert comps == {1: 1, 2: 1, 3: 1, 9: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 7}
+
+
+def test_connected_components_string_ids(spark):
+    # Non-numeric ids must label natively (a numeric cast would turn
+    # every label NULL and collapse the whole corpus into one cluster).
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "id_a string, id_b string",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in ["doc-a", "doc-b", "doc-c", "doc-x", "doc-y", "doc-z"]],
+        "doc_id string",
+    )
+    comps = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(pairs, nodes).collect()
+    }
+    assert comps == {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "doc-x": "doc-x",
+        "doc-y": "doc-x",
+        "doc-z": "doc-z",
+    }
+    assert all(c is not None for c in comps.values())
 
 
 def test_dedup_clusters_canonical_flags(docs):

@@ -81,3 +81,36 @@ def test_medallion_flow_to_serving_and_restore(spark, tmp_path):
     restored = spark.read.parquet(str(tmp_path / "staging/year=2024"))
     assert restored.count() == 9
     assert restored.where(F.col("date") == "all-year-budget").count() == 1
+
+
+def test_cli_entry_sensor_run_notify(spark, tmp_path, capsys):
+    # C7: the spark-submit/cron entry point — sensor mode detects
+    # pending input, a run emits a JSON summary and exits 0, re-run is
+    # an idempotent no-op (markers), sensor then reports nothing left.
+    import json
+
+    from hadoop_data_pipeline_spark import pipeline as pl
+
+    _write_year(tmp_path, 2025, 60.0)
+    argv_common = [
+        "--raw-root", str(tmp_path / "raw"),
+        "--wide-path", str(tmp_path / "wide"),
+        "--long-path", str(tmp_path / "curated"),
+        "--expected-columns", ",".join(WIDE_COLS),
+    ]
+    assert pl.main(["--check-only", *argv_common]) == 0  # pending exists
+    capsys.readouterr()
+
+    assert pl.main(argv_common) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["years"][0]["year"] == 2025
+    assert summary["years"][0]["passed"] is True
+    assert summary["years"][0]["long_rows"] > 0
+
+    # idempotent: nothing pending, sensor exits 1, run processes zero
+    assert pl.main(["--check-only", *argv_common]) == 1
+    capsys.readouterr()
+    assert pl.main(argv_common) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
+        "years": []
+    }

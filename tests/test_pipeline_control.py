@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from hadoop_data_pipeline_spark import atomic, pipeline, quality, retry
 from hadoop_data_pipeline_spark.fs import FS, extract_year_from_path
-from hadoop_data_pipeline_spark.versioning import Versioner
+from hadoop_data_pipeline_spark.versioning import Versioner, content_checksum
 
 # ---------------------------------------------------------------------------
 # FS utilities
@@ -116,6 +116,20 @@ def test_group_by_year_skips_unmatched():
 def _write_partition(spark, path, value):
     df = spark.createDataFrame([(value, 1.0)], "k string, v double")
     return atomic.atomic_write_partition(df, path, "year", 2024)
+
+
+def test_content_checksum_distinguishes_null_positions(spark):
+    # concat_ws skips NULLs, so without per-column null tagging
+    # ('a', NULL, 'b') and ('a', 'b', NULL) would hash identically and
+    # restore verification could pass on null-corrupted data.
+    schema = "c1 string, c2 string, c3 string"
+    a = spark.createDataFrame([("a", None, "b")], schema)
+    b = spark.createDataFrame([("a", "b", None)], schema)
+    assert content_checksum(a) != content_checksum(b)
+    # order-insensitivity still holds
+    c = spark.createDataFrame([("x", "y", "z"), ("a", None, "b")], schema)
+    d = spark.createDataFrame([("a", None, "b"), ("x", "y", "z")], schema)
+    assert content_checksum(c) == content_checksum(d)
 
 
 def test_atomic_write_and_overwrite(spark, tmp_path):

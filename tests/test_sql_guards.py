@@ -109,6 +109,27 @@ def test_plan_lint_allows_spent_sum(spark, long_view):
     assert guards.plan_has_bad_remaining_sum(spark, sql) is False
 
 
+def test_plan_lint_never_executes_commands(spark, long_view):
+    # The lint must PARSE, not run: spark.sql() executes command
+    # statements (DROP/INSERT/CTAS) eagerly, which would double-run
+    # LLM-emitted DML before the repair loop's own execution.
+    spark.sql("CREATE OR REPLACE TEMP VIEW guard_probe AS SELECT 1 AS x")
+    guards.plan_has_bad_remaining_sum(spark, "DROP VIEW guard_probe")
+    assert spark.table("guard_probe").count() == 1  # still there
+    spark.catalog.dropTempView("guard_probe")
+
+
+def test_plan_lint_sees_query_inside_insert(spark, long_view):
+    # The parsed plan exposes the query subtree of a DML statement, so
+    # the prohibited aggregation is flagged even wrapped in an INSERT —
+    # and flagging it does NOT require (or cause) the insert to run.
+    sql = (
+        "INSERT INTO nonexistent_target "
+        "SELECT SUM(amount) AS s FROM finance_long WHERE details = 'remaining'"
+    )
+    assert guards.plan_has_bad_remaining_sum(spark, sql) is True
+
+
 # -- execute-repair loop -----------------------------------------------------
 
 
