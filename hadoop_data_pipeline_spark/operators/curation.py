@@ -1,0 +1,356 @@
+"""Corpus-curation operators for a training-data pipeline (north-star
+extension alongside :mod:`dedup` / :mod:`similarity` / :mod:`text`):
+repetition-based quality signals, PII detection/redaction,
+deterministic train/val/test splitting, corpus-wide vocabulary,
+benchmark-contamination checks, weighted corpus mixing, and semantic
+(embedding-space) deduplication.
+
+Every operator is defined over :mod:`~hadoop_data_pipeline_spark.functions.dual`
+dual-dialect expressions so the DuckDB oracle computes the identical
+deterministic function — no tolerance compares, no seeded randomness.
+
+Scale notes (100 TB discipline), per operator:
+
+* ``repetition_stats`` / ``pii_stats`` — embarrassingly parallel JVM
+  projections: zero shuffle, full whole-stage codegen, parquet scan
+  pruned to (id, text).
+* ``hash_split`` / ``corpus_mix_sample`` — *stateless* hash routing:
+  no shuffle, no sampled-state to coordinate, stable under retries and
+  under corpus growth (a document's split never changes when other
+  documents arrive — the property that keeps eval sets honest).
+* ``token_vocab`` — explode + partial aggregation: the zipfian head
+  (hot tokens) is absorbed map-side before the exchange, so the
+  shuffle carries one row per (task, token), not per occurrence;
+  top-k goes through ``TakeOrderedAndProject`` (no global sort).
+* ``contamination_check`` — the benchmark side is small by
+  construction (eval suites are KBs-to-MBs); its postings BROADCAST,
+  so the 100 TB corpus is never shuffled at all — a map-side
+  hash-join + per-pair count.
+* ``semantic_dedup`` — LSH/label-blocked candidate pairs (never
+  all-pairs) resolved to clusters with the iterative min-label
+  propagation of :func:`dedup.connected_components`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from hadoop_data_pipeline_spark.functions import dual
+from hadoop_data_pipeline_spark.operators import dedup as dd
+from hadoop_data_pipeline_spark.operators import similarity as sim
+
+# ---------------------------------------------------------------------------
+# PII patterns — dialect-portable regexes: no backslash classes (\d, \b)
+# so the same literal parses identically under Java regex (Spark) and
+# RE2 (DuckDB), and no SQL-string escaping is needed.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    "ipv4": (
+        "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+        "<IP>",
+    ),
+    "phone": (
+        "[+][0-9][0-9 ()-]{6,}[0-9]",
+        "<PHONE>",
+    ),
+}
+#: Redaction order matters (an email's local part can contain digits);
+#: fixed here so both dialects apply the identical chain.
+PII_ORDER: tuple[str, ...] = ("email", "ipv4", "phone")
+
+
+def pii_count_expr(col: str, kind: str, dialect: str) -> str:
+    pat, _ = PII_PATTERNS[kind]
+    if dialect == dual.SPARK:
+        return f"size(regexp_extract_all({col}, '{pat}', 0))"
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
+def pii_redact_expr(col: str, dialect: str) -> str:
+    """Chained global regexp_replace over all PII kinds, in PII_ORDER.
+    Spark replaces globally by default; DuckDB needs the 'g' flag."""
+    flags = ", 'g'" if dialect == dual.DUCK else ""
+    expr = col
+    for kind in PII_ORDER:
+        pat, repl = PII_PATTERNS[kind]
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}'{flags})"
+    return expr
+
+
+def pii_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII counts plus the redacted text's length and md5
+    (the digest keys downstream exact-dedup of the *cleaned* corpus).
+    Zero shuffle; the text column never leaves the executor."""
+    d = dual.SPARK
+    return df.selectExpr(
+        id_col,
+        *[f"{pii_count_expr(col, k, d)} AS n_{k}" for k in PII_ORDER],
+        f"length({pii_redact_expr(col, d)}) AS redacted_len",
+        f"md5({pii_redact_expr(col, d)}) AS redacted_md5",
+    )
+
+
+def redact_pii(df: DataFrame, col: str = "text") -> DataFrame:
+    """Replace PII in-place (same column name), all other columns kept."""
+    keep = [c for c in df.columns if c != col]
+    return df.selectExpr(
+        *keep, f"{pii_redact_expr(col, dual.SPARK)} AS {col}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality signals (Gopher-style filters, dialect-exact)
+# ---------------------------------------------------------------------------
+
+
+def repetition_exprs(toks_col: str, dialect: str) -> dict[str, str]:
+    """Duplicate-token and duplicate-bigram fractions from a staged
+    tokens column — the classic "machine-generated boilerplate"
+    signals. Ratios of integers, rounded identically both sides."""
+    n = f"cast({dual.arr_size(toks_col, dialect)} as double)"
+    nd = f"cast({dual.arr_size(dual.arr_distinct(toks_col, dialect), dialect)} as double)"
+    bi = dual.shingles_from_tokens(toks_col, dialect, n=2)
+    nbd = f"cast({dual.arr_size(bi, dialect)} as double)"
+    return {
+        "dup_token_frac": f"round(1.0 - {nd} / greatest({n}, 1.0), 6)",
+        "dup_bigram_frac": (
+            f"(CASE WHEN {n} <= 1.0 THEN 0.0"
+            f" ELSE round(1.0 - {nbd} / ({n} - 1.0), 6) END)"
+        ),
+    }
+
+
+def repetition_stats(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens, dup_token_frac, dup_bigram_frac) — pure staged
+    projection, no shuffle; filters compose with text.quality_score."""
+    staged = df.selectExpr(
+        id_col, f"{dual.tokens(col, dual.SPARK)} AS __toks"
+    )
+    ex = repetition_exprs("__toks", dual.SPARK)
+    return staged.selectExpr(
+        id_col,
+        "size(__toks) AS n_tokens",
+        f"{ex['dup_token_frac']} AS dup_token_frac",
+        f"{ex['dup_bigram_frac']} AS dup_bigram_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splitting & weighted corpus mixing
+# ---------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 10_000
+
+
+def split_bucket_expr(id_col: str, salt: str, dialect: str) -> str:
+    """Stable bucket in [0, SPLIT_BUCKETS): 28-bit md5 of the salted id.
+    Salting decorrelates independent splits over the same corpus."""
+    keyed = f"concat(cast({id_col} as string), '|{salt}')"
+    return f"({dual.md5_int(keyed, dialect)} % {SPLIT_BUCKETS})"
+
+
+def split_case_expr(bucket: str, weights: Mapping[str, float]) -> str:
+    """CASE over cumulative weight thresholds, in dict order. Weights
+    must sum to 1 (validated by callers); the last split absorbs the
+    rounding remainder so every bucket lands somewhere."""
+    names = list(weights)
+    whens, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        whens.append(f"WHEN {bucket} < {int(round(acc * SPLIT_BUCKETS))} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds ``bucket`` and
+    ``split`` columns. Purely stateless — no shuffle, no sampling
+    state, retry-safe, and stable as the corpus grows (assignment
+    depends only on the row's own id + salt)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = split_bucket_expr(id_col, salt, dual.SPARK)
+    return df.selectExpr(
+        "*", f"{bucket} AS bucket"
+    ).selectExpr("*", f"{split_case_expr('bucket', weights)} AS split")
+
+
+def mix_rate_case_expr(
+    source_col: str, rates: Mapping[str, float], default_rate: float
+) -> str:
+    whens = " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(round(r * SPLIT_BUCKETS))}"
+        for s, r in rates.items()
+    )
+    return f"CASE {whens} ELSE {int(round(default_rate * SPLIT_BUCKETS))} END"
+
+
+def corpus_mix_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Weighted corpus mixing: keep each row with its source's rate,
+    decided by a stable hash of (id, source, salt) — the deterministic
+    analogue of ``df.sample`` that is reproducible across runs,
+    retries, and partitionings (``sample`` is none of those). Filter
+    only — no shuffle; composes with any downstream partitioning."""
+    keyed = f"concat(cast({id_col} as string), '|', {source_col}, '|{salt}')"
+    bucket = f"({dual.md5_int(keyed, dual.SPARK)} % {SPLIT_BUCKETS})"
+    thresh = mix_rate_case_expr(source_col, rates, default_rate)
+    return df.where(F.expr(f"{bucket} < {thresh}"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide vocabulary (wordcount with a scale-honest plan)
+# ---------------------------------------------------------------------------
+
+
+def token_vocab(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", k: int = 50
+) -> DataFrame:
+    """Top-k corpus vocabulary: (token, tf, df) ordered by tf desc with
+    a deterministic token tie-break. tf counts occurrences, df counts
+    distinct documents. The zipfian-head skew is absorbed by map-side
+    partial aggregation; top-k is ``TakeOrderedAndProject`` (no global
+    sort materialized)."""
+    toks = df.selectExpr(
+        id_col, f"explode({dual.tokens(col, dual.SPARK)}) AS token"
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct(id_col).alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Flag corpus documents whose shingles are contained in a
+    benchmark/eval document: containment(c, b) = |sh(c) ∩ sh(b)| /
+    |sh(c)| >= threshold. Returns (corpus_id, bench_id, n_overlap,
+    containment).
+
+    The benchmark side is broadcast (eval suites are tiny relative to
+    a training corpus), so the corpus is scanned once with a map-side
+    hash join on shingle hashes — the 100 TB side never shuffles; the
+    only exchange is the per-(corpus, bench) pair count, which is
+    bounded by matches, not corpus size.
+    """
+    c = dd.staged_shingle_hashes(corpus, col, id_col).selectExpr(
+        f"{id_col} AS corpus_id",
+        "size(array_distinct(__sh)) AS n_c",
+        "explode(array_distinct(__sh)) AS __h",
+    )
+    b = dd.staged_shingle_hashes(benchmark, col, id_col).selectExpr(
+        f"{id_col} AS bench_id",
+        "explode(array_distinct(__sh)) AS __h",
+    )
+    pairs = (
+        c.join(F.broadcast(b), "__h")
+        .groupBy("corpus_id", "bench_id", "n_c")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .selectExpr(
+            "corpus_id",
+            "bench_id",
+            "n_overlap",
+            "round(cast(n_overlap as double) / cast(n_c as double), 6)"
+            " AS containment",
+        )
+    )
+    return pairs.where(F.col("containment") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: embedding-space near-dup clusters)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-space dedup: cosine near-dup pairs (label- or
+    LSH-blocked, never all-pairs) -> connected components -> one
+    canonical (min-id) survivor per semantic cluster. Returns
+    (id_col, cluster_id, is_canonical) for every input row.
+
+    This is the embedding analogue of ``dedup.dedup_clusters`` and
+    shares its scale shape: bounded candidate blocks, iterative
+    min-label propagation with lineage checkpoints.
+    """
+    pairs = sim.embedding_near_dup_pairs(
+        emb, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_col=block_col,
+    ).select("id_a", "id_b")
+    comps = dd.connected_components(pairs, emb.select(id_col), id_col=id_col)
+    return comps.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus composition report
+# ---------------------------------------------------------------------------
+
+
+def per_source_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus composition by source: docs, total/avg token volume,
+    distinct languages. One partial-agg shuffle keyed by source."""
+    staged = df.selectExpr(
+        id_col,
+        source_col,
+        "lang",
+        f"{dual.arr_size(dual.tokens(col, dual.SPARK), dual.SPARK)} AS __n",
+    )
+    return (
+        staged.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("__n"), 6).alias("avg_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

@@ -1,0 +1,189 @@
+"""Unit tests for the corpus-curation operators (operators/curation.py):
+PII redaction, repetition signals, deterministic splits/mixing,
+vocabulary, contamination, semantic dedup. The catalog-level oracle
+checks run in test_catalog_oracle.py; these pin the operator semantics
+on planted fixtures (the synthetic corpus is PII-free, so redaction
+behavior is only observable here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_data_pipeline_spark.operators import curation as cur
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "contact alice@example.com or bob.smith@corp.co.uk today"),
+        (2, "server at 192.168.0.1 and backup at 10.0.0.254 are up"),
+        (3, "call +1 (555) 123-4567 for help"),
+        (4, "no sensitive content in this one at all"),
+        (5, "mixed: eve@test.org from 8.8.8.8 dialing +44 20 7946 0958"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_counts(pii_docs):
+    got = {r.doc_id: r for r in cur.pii_stats(pii_docs).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (2, 0, 0)
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 2, 0)
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 1)
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (0, 0, 0)
+    assert (got[5].n_email, got[5].n_ipv4, got[5].n_phone) == (1, 1, 1)
+
+
+def test_pii_redaction_replaces_all(pii_docs):
+    out = {r.doc_id: r.text for r in cur.redact_pii(pii_docs).collect()}
+    assert out[1] == "contact <EMAIL> or <EMAIL> today"
+    assert out[2] == "server at <IP> and backup at <IP> are up"
+    assert out[3] == "call <PHONE> for help"
+    assert out[4] == "no sensitive content in this one at all"
+    assert "<EMAIL>" in out[5] and "<IP>" in out[5] and "<PHONE>" in out[5]
+    # columns other than text are preserved
+    assert set(cur.redact_pii(pii_docs).columns) == {"doc_id", "text"}
+
+
+def test_repetition_stats_hand_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 tokens, 1 distinct, bigrams: only "a a"
+            (2, "a b c d"),          # all distinct
+            (3, "x"),                # single token -> bigram frac 0 by contract
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cur.repetition_stats(df).collect()}
+    assert got[1].dup_token_frac == 0.75       # 1 - 1/4
+    assert got[1].dup_bigram_frac == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert got[2].dup_token_frac == 0.0
+    assert got[2].dup_bigram_frac == 0.0
+    assert got[3].dup_token_frac == 0.0
+    assert got[3].dup_bigram_frac == 0.0
+
+
+@pytest.fixture(scope="module")
+def id_range(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_split_disjoint_exhaustive_and_stable(id_range):
+    out = cur.hash_split(id_range)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 2000          # exhaustive
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    assert 0.06 <= counts["val"] / 2000 <= 0.14
+    assert 0.06 <= counts["test"] / 2000 <= 0.14
+    # determinism: identical assignment on re-computation
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in cur.hash_split(id_range).collect()}
+    assert a == b
+    # growth stability: a subset corpus assigns identically
+    subset = id_range.where("doc_id < 500")
+    c = {r.doc_id: r.split for r in cur.hash_split(subset).collect()}
+    assert c == {k: v for k, v in a.items() if k < 500}
+
+
+def test_hash_split_salt_decorrelates(id_range):
+    a = {r.doc_id: r.split for r in cur.hash_split(id_range).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in cur.hash_split(id_range, salt="other").collect()
+    }
+    assert a != b  # different salt -> different (still valid) split
+
+
+def test_hash_split_rejects_bad_weights(id_range):
+    with pytest.raises(ValueError, match="sum to 1"):
+        cur.hash_split(id_range, weights={"train": 0.8, "val": 0.1})
+
+
+def test_corpus_mix_rates(spark):
+    df = (
+        spark.range(0, 3000)
+        .selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b'"
+            " ELSE 'c' END AS source",
+        )
+    )
+    kept = cur.corpus_mix_sample(df, {"a": 0.1, "b": 0.5})
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.05 <= counts["a"] / 1000 <= 0.15
+    assert 0.42 <= counts["b"] / 1000 <= 0.58
+    assert counts["c"] == 1000  # default rate 1.0 keeps everything
+    # deterministic: same rows survive a second evaluation
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {
+        r.doc_id
+        for r in cur.corpus_mix_sample(df, {"a": 0.1, "b": 0.5}).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_token_vocab_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b b a a"), (2, "b c c a")], "doc_id long, text string"
+    )
+    rows = cur.token_vocab(df, k=10).collect()
+    assert [(r.token, r.tf, r.df) for r in rows] == [
+        ("a", 3, 2),  # tf tie with b broken by token asc
+        ("b", 3, 2),
+        ("c", 2, 1),
+    ]
+
+
+def test_contamination_planted(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # contained in bench
+            (11, "totally unrelated words appear here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    got = cur.contamination_check(corpus, bench, threshold=0.5).collect()
+    assert [(r.corpus_id, r.bench_id) for r in got] == [(10, 1)]
+    assert got[0].containment == 1.0  # every corpus shingle is in bench
+
+
+def test_semantic_dedup_clusters(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0], 0),   # near-dup of 0 (same label)
+        (2, [0.0, 1.0, 0.0], 0),      # same label, far away
+        (3, [0.999, 0.01, 0.0], 1),   # near 0 but different label block
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.vec_id: r for r in cur.semantic_dedup(emb, threshold=0.95).collect()}
+    assert got[0].cluster_id == 0 and got[0].is_canonical
+    assert got[1].cluster_id == 0 and not got[1].is_canonical
+    assert got[2].cluster_id == 2 and got[2].is_canonical
+    assert got[3].cluster_id == 3 and got[3].is_canonical  # blocked away
+    # downstream keep-list: canonical rows only
+    kept = {k for k, v in got.items() if v.is_canonical}
+    assert kept == {0, 2, 3}
+
+
+def test_per_source_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "s1", "en"),
+            (2, "four five", "s1", "de"),
+            (3, "six", "s2", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    got = {r.source: r for r in cur.per_source_stats(df).collect()}
+    assert got["s1"].n_docs == 2
+    assert got["s1"].total_tokens == 5
+    assert got["s1"].n_langs == 2
+    assert got["s2"].avg_tokens == 1.0

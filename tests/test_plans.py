@@ -144,3 +144,38 @@ def test_driver_window_covers_load_bearing_queries():
     ):
         assert required in first50, required
     assert all(n in qc.ORACLES for n in first50)
+
+
+@pytest.mark.parametrize(
+    "name", ["repetition_quality_stats", "pii_redaction_stats"]
+)
+def test_curation_projections_have_no_shuffle(spark, name):
+    # Repetition/PII signals are per-row projections: zero exchanges,
+    # and the regex/array work stays JVM-side (no Python stages).
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_split_and_mix_are_stateless_filters(spark):
+    # Hash split adds columns, mix filters rows — neither may shuffle
+    # (statelessness is the scale contract: no sampled state, no sort).
+    for name in ("train_val_test_split", "corpus_mix_sample"):
+        assert "Exchange" not in plan_of(spark, name), name
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    # The benchmark side must broadcast so the corpus side (100 TB in
+    # production) is never shuffled for the join itself; the only hash
+    # exchange is the bounded per-(corpus,bench) pair aggregation.
+    plan = plan_of(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_topk_partial_agg_and_bounded_sort(spark):
+    # Zipfian-head tokens are combined map-side; top-k never sorts the
+    # full vocabulary globally.
+    plan = plan_of(spark, "token_vocab_top50")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
