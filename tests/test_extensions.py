@@ -149,8 +149,11 @@ def test_frame_sample_shape(docs):
     assert [r.frame_idx for r in one] == [0, 1, 2]
 
 
-def test_connected_components_hand_graph(spark):
-    # Components: {1,2,3,9}, {4,5}, {6} isolated, {7,8}.
+@pytest.mark.parametrize("edge_limit", [2_000_000, 0])
+def test_connected_components_hand_graph(spark, edge_limit):
+    # Components: {1,2,3,9}, {4,5}, {6} isolated, {7,8}. edge_limit=0
+    # forces the distributed hash-min loop; the default takes the
+    # driver union-find fast path — both must agree exactly.
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 9), (4, 5), (7, 8)], "id_a bigint, id_b bigint"
     )
@@ -159,12 +162,15 @@ def test_connected_components_hand_graph(spark):
     )
     comps = {
         r["doc_id"]: r["cluster_id"]
-        for r in dd.connected_components(pairs, nodes).collect()
+        for r in dd.connected_components(
+            pairs, nodes, driver_edge_limit=edge_limit
+        ).collect()
     }
     assert comps == {1: 1, 2: 1, 3: 1, 9: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 7}
 
 
-def test_connected_components_string_ids(spark):
+@pytest.mark.parametrize("edge_limit", [2_000_000, 0])
+def test_connected_components_string_ids(spark, edge_limit):
     # Non-numeric ids must label natively (a numeric cast would turn
     # every label NULL and collapse the whole corpus into one cluster).
     pairs = spark.createDataFrame(
@@ -177,7 +183,9 @@ def test_connected_components_string_ids(spark):
     )
     comps = {
         r["doc_id"]: r["cluster_id"]
-        for r in dd.connected_components(pairs, nodes).collect()
+        for r in dd.connected_components(
+            pairs, nodes, driver_edge_limit=edge_limit
+        ).collect()
     }
     assert comps == {
         "doc-a": "doc-a",
