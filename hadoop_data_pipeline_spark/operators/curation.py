@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from hadoop_data_pipeline_spark.functions import dual
 from hadoop_data_pipeline_spark.operators import dedup as dd
@@ -352,5 +352,167 @@ def per_source_stats(
             F.sum("__n").cast("bigint").alias("total_tokens"),
             F.round(F.avg("__n"), 6).alias("avg_tokens"),
             F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (C4-style "line") dedup
+# ---------------------------------------------------------------------------
+
+
+def intdiv(a: str, b: str, dialect: str) -> str:
+    """Integer floor division, identically in both engines."""
+    op = "div" if dialect == dual.SPARK else "//"
+    return f"(({a}) {op} ({b}))"
+
+
+def segment_exprs(
+    toks_col: str, dialect: str, seg_len: int
+) -> tuple[str, str]:
+    """(segment-index list, segment-text lambda body) from a staged
+    tokens column. Segment ``i`` (0-based) covers tokens
+    ``[i*L+1, min((i+1)*L, n)]`` (1-based, inclusive) — the last
+    segment is allowed to run short. The caller explodes/unnests the
+    index list and evaluates the text expression per index column."""
+    n = dual.arr_size(toks_col, dialect)
+    n_seg = intdiv(f"{n} + {seg_len - 1}", str(seg_len), dialect)
+    idx_list = dual.index_range("0", f"({n_seg}) - 1", dialect)
+
+    def seg_text(i: str) -> str:
+        rng = dual.index_range(
+            f"({i}) * {seg_len} + 1",
+            f"least((({i}) + 1) * {seg_len}, {n})",
+            dialect,
+        )
+        elems = dual.transform(
+            rng, f"j -> {dual.element(toks_col, 'j', dialect)}", dialect
+        )
+        join_fn = "array_join" if dialect == dual.SPARK else "array_to_string"
+        return f"{join_fn}({elems}, ' ')"
+
+    return idx_list, seg_text("__i")
+
+
+def segment_dedup(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 8,
+) -> DataFrame:
+    """C4-style global segment dedup: split every document into
+    non-overlapping ``seg_len``-token segments, keep only the corpus's
+    FIRST occurrence of each segment (ordered by (id, segment index)),
+    and rebuild the document from its surviving segments. Returns
+    (id, n_segments, n_kept, clean_len, clean_md5) for EVERY input
+    document — a fully-deduped document survives with n_kept=0 and
+    empty text.
+
+    Scale shape: the first-occurrence pick is one ``row_number``
+    window hash-partitioned on the segment's md5 — each digest's
+    partition is independent, so the shuffle carries (digest, id,
+    seg_idx) keys, never the corpus text twice; the rebuild is one
+    groupBy(id) whose input is already deduped (strictly smaller than
+    the corpus). The reference corpus has no newline structure, so the
+    segmentation is fixed-width by tokens; swap ``segment_exprs`` for
+    a newline split when documents have real lines.
+    """
+    toks = df.selectExpr(id_col, f"{dual.tokens(col, dual.SPARK)} AS __tk")
+    idx_list, seg_text = segment_exprs("__tk", dual.SPARK, seg_len)
+    segs = toks.selectExpr(
+        id_col, "__tk", f"explode({idx_list}) AS __i"
+    ).selectExpr(id_col, "__i", f"md5({seg_text}) AS __d", f"{seg_text} AS __seg")
+    w = Window.partitionBy("__d").orderBy(id_col, "__i")
+    kept = (
+        segs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__i", "__seg"))
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                " ",
+            ).alias("__clean"),
+        )
+    )
+    totals = toks.selectExpr(id_col, f"size({idx_list}) AS n_segments")
+    return (
+        totals.join(kept, id_col, "left")
+        .selectExpr(
+            id_col,
+            "n_segments",
+            "coalesce(n_kept, 0) AS n_kept",
+            "length(coalesce(__clean, '')) AS clean_len",
+            "md5(coalesce(__clean, '')) AS clean_md5",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing (training-output layout)
+# ---------------------------------------------------------------------------
+
+
+def pack_shards(
+    df: DataFrame,
+    budget: int = 2_000,
+    col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """Assign every document to a training shard so each shard holds
+    ~``budget`` tokens: documents are laid out in deterministic
+    (split, id) order and shard_id = floor(start_offset / budget).
+    Returns (id, split, n_tokens, shard_id).
+
+    The global running sum is computed HIERARCHICALLY — the shape that
+    survives 100 TB, where a single ORDER BY window would funnel the
+    corpus through one partition:
+
+    1. within-bucket prefix sums (window over (split, id div W) — each
+       bucket is at most W rows, partitions stay bounded);
+    2. per-bucket totals cumulated across buckets (tiny frame: one row
+       per W documents) and broadcast back as bucket offsets;
+    3. start = bucket_offset + within_prefix - n_tokens.
+
+    Identical arithmetic to the flat window (integer sums), so the
+    DuckDB oracle can use the plain single-window form.
+    """
+    n_expr = dual.arr_size(dual.tokens(col, dual.SPARK), dual.SPARK)
+    bkt = intdiv(id_col, str(bucket_width), dual.SPARK)
+    staged = df.selectExpr(
+        id_col, split_col, f"{n_expr} AS n_tokens", f"{bkt} AS __b"
+    )
+    w_in = (
+        Window.partitionBy(split_col, "__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = staged.withColumn("__cum", F.sum("n_tokens").over(w_in))
+    bucket_totals = staged.groupBy(split_col, "__b").agg(
+        F.sum("n_tokens").alias("__bs")
+    )
+    w_b = (
+        Window.partitionBy(split_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = bucket_totals.withColumn(
+        "__off", F.sum("__bs").over(w_b) - F.col("__bs")
+    ).select(split_col, "__b", "__off")
+    return (
+        within.join(F.broadcast(offsets), [split_col, "__b"])
+        .selectExpr(
+            id_col,
+            split_col,
+            "n_tokens",
+            f"{intdiv('__off + __cum - n_tokens', str(budget), dual.SPARK)}"
+            " AS shard_id",
         )
     )

@@ -2218,6 +2218,291 @@ def per_source_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 8 — segment dedup, shard packing, and the remaining classic
+# TPC-H shapes (Q2/Q9/Q11/Q21 analogs adapted to the driver fixtures:
+# no partsupp table, so supply cost derives from p_retailprice).
+# ---------------------------------------------------------------------------
+
+_SEG_LEN = 8
+
+
+def _duck_segment_dedup() -> str:
+    idx_list, seg_text = cur.segment_exprs("tk", D, _SEG_LEN)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {dual.tokens('text', D)} AS tk FROM documents
+    ),
+    s AS (
+        SELECT doc_id, unnest({idx_list}) AS __i, tk FROM t
+    ),
+    seg AS (
+        SELECT doc_id, __i, {seg_text} AS __seg, md5({seg_text}) AS __d
+        FROM s
+    ),
+    kept AS (
+        SELECT doc_id, __i, __seg,
+               row_number() OVER (
+                   PARTITION BY __d ORDER BY doc_id, __i
+               ) AS rn
+        FROM seg
+    ),
+    rebuilt AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(__seg, ' ' ORDER BY __i) AS clean
+        FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id, len({idx_list}) AS n_segments,
+           coalesce(n_kept, 0) AS n_kept,
+           length(coalesce(clean, '')) AS clean_len,
+           md5(coalesce(clean, '')) AS clean_md5
+    FROM t LEFT JOIN rebuilt ON t.doc_id = rebuilt.doc_id
+    """
+
+
+@register("segment_dedup_docs", oracle=_duck_segment_dedup())
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global segment dedup: only the corpus's first
+    occurrence of each 8-token segment survives; documents are rebuilt
+    from surviving segments (every doc stays in the output, possibly
+    empty). First-occurrence pick is one window hash-partitioned on
+    the segment digest — text never shuffles twice."""
+    return cur.segment_dedup(
+        load_table(spark, sf_dir, "documents"), seg_len=_SEG_LEN
+    )
+
+
+def _duck_pack_shards(budget: int) -> str:
+    bucket = cur.split_bucket_expr("doc_id", "split-v1", D)
+    case = cur.split_case_expr(
+        "bucket", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return f"""
+    WITH b AS (
+        SELECT doc_id, len({dual.tokens('text', D)}) AS n_tokens,
+               {bucket} AS bucket, text
+        FROM documents
+    ),
+    s AS (SELECT doc_id, n_tokens, {case} AS split FROM b),
+    c AS (
+        SELECT doc_id, split, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY split ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM s
+    )
+    SELECT doc_id, split, n_tokens,
+           (cum - n_tokens) // {budget} AS shard_id
+    FROM c
+    """
+
+
+@register("pack_token_shards", oracle=_duck_pack_shards(2000))
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-output shard layout: documents packed into ~2000-token
+    shards in deterministic (split, doc_id) order. The running sum is
+    hierarchical (bounded window partitions + tiny bucket-offset
+    frame) so no single partition ever sees the whole corpus; the
+    oracle uses the equivalent flat window."""
+    docs = cur.hash_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return cur.pack_shards(docs, budget=2000)
+
+
+@register(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH pli AS (
+        SELECT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS u
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 10
+    ),
+    m AS (SELECT l_partkey AS pk, min(u) AS best FROM pli GROUP BY 1),
+    c AS (
+        SELECT m.pk, m.best, min(l_suppkey) AS sk
+        FROM pli JOIN m ON l_partkey = m.pk AND u = m.best
+        GROUP BY 1, 2
+    )
+    SELECT pk AS p_partkey, round(best, 6) AS best_unit_price,
+           sk AS s_suppkey, s_name, n_name
+    FROM c
+    JOIN supplier ON sk = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (adapted: unit price from lineitem stands in for the
+    missing partsupp supply cost): per small part, the supplier with
+    the minimum unit price — agg-then-join-back (the correlated-
+    subquery plan), supplier/nation dims broadcast, deterministic
+    min-suppkey tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pli = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("u"),
+    )
+    m = pli.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("u").alias("best")
+    )
+    c = (
+        pli.join(m, (pli.l_partkey == m.pk) & (pli.u == m.best))
+        .groupBy("pk", "best")
+        .agg(F.min("l_suppkey").alias("sk"))
+    )
+    return (
+        c.join(F.broadcast(s), c.sk == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.round("best", 6).alias("best_unit_price"),
+            "s_suppkey", "s_name", "n_name",
+        )
+    )
+
+
+@register(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n_name, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.05), 2) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (adapted: 5% of retail price stands in for the missing
+    partsupp supply cost): per-nation-per-year profit on 'red' parts.
+    Part/supplier/nation broadcast; lineitem-orders is the only
+    shuffled join; one partial-agg exchange on (nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.05
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "part_revenue_concentration",
+    oracle="""
+    WITH r AS (
+        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, round(rev, 2) AS revenue
+    FROM r WHERE rev > 1.5 * (SELECT avg(rev) FROM r)
+    """,
+)
+def part_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-group sums kept only when they beat a global
+    scalar threshold (1.5x the mean part revenue). Two-pass over ONE
+    grouped frame (reused, not recomputed): the scalar side is a
+    1-row broadcast, so the second pass is a map-side filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    thresh = r.agg((F.avg("rev") * 1.5).alias("t"))
+    return (
+        r.crossJoin(F.broadcast(thresh))
+        .where(F.col("rev") > F.col("t"))
+        .select("l_partkey", F.round("rev", 2).alias("revenue"))
+    )
+
+
+@register(
+    "sole_failing_supplier",
+    oracle="""
+    WITH f AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_returnflag = 'R'
+    ),
+    l2 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s_name, count(*) AS numwait
+    FROM f
+    JOIN orders ON o_orderkey = f.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON f.l_suppkey = s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM l2
+        WHERE l2.l_orderkey = f.l_orderkey
+          AND l2.l_suppkey <> f.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM f f2
+        WHERE f2.l_orderkey = f.l_orderkey
+          AND f2.l_suppkey <> f.l_suppkey
+    )
+    GROUP BY s_name
+    """,
+)
+def sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the EXISTS / NOT-EXISTS pair compiles to a left-semi
+    plus a left-anti join on the order key (equi key + supplier
+    inequality residual) — suppliers who were the only one to return
+    lines on a multi-supplier finished order. Supplier dim broadcast;
+    both semi/anti joins shuffle key columns only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    f = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    ).distinct()
+    f2 = f.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    cand = (
+        f.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            f2,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(o, cand.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------
 # The round driver oracle-checks the FIRST 50 registered queries, so
