@@ -114,9 +114,12 @@ def arr_distinct(arr: str, dialect: str) -> str:
 
 
 def element(arr: str, idx: str, dialect: str) -> str:
-    """1-based element access in both engines."""
+    """1-based element access in both engines. Spark's ``element_at``
+    requires an INT index while expressions derived from ``div`` /
+    ``sequence`` arithmetic widen to BIGINT, so the index is always
+    cast (a no-op when it is already INT)."""
     if dialect == SPARK:
-        return f"element_at({arr}, {idx})"
+        return f"element_at({arr}, cast(({idx}) as int))"
     return f"{arr}[{idx}]"
 
 

@@ -2369,8 +2369,9 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profit_by_nation_year",
     oracle="""
     SELECT n_name, year(o_orderdate) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - p_retailprice * l_quantity * 0.05), 2) AS profit
+           sum(cast(round(l_extendedprice * (1 - l_discount) * 100
+                          - p_retailprice * l_quantity * 5) AS bigint))
+           / 100.0 AS profit
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -2384,7 +2385,15 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape (adapted: 5% of retail price stands in for the missing
     partsupp supply cost): per-nation-per-year profit on 'red' parts.
     Part/supplier/nation broadcast; lineitem-orders is the only
-    shuffled join; one partial-agg exchange on (nation, year)."""
+    shuffled join; one partial-agg exchange on (nation, year).
+
+    The aggregate is integer-cents: each row's profit is rounded to a
+    BIGINT cent count (per-row scalar double math is bit-identical in
+    both engines, and both round halves away from zero for doubles),
+    summed exactly, and divided by 100 at the end. ``round(sum(double),
+    2)`` is NOT oracle-stable — float accumulation order can land the
+    sum on a .xx5 half-boundary where Spark and DuckDB disagree by one
+    ulp (seen at sf0.01, NATION_21/2000)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(
         F.col("p_name").like("%red%")
@@ -2392,16 +2401,17 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * 0.05
+    profit_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        - F.col("p_retailprice") * F.col("l_quantity") * 5
+    ).cast("bigint")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg((F.sum(profit_cents) / 100.0).alias("profit"))
     )
 
 
