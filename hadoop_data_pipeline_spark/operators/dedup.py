@@ -141,6 +141,15 @@ def near_dup_pairs_minhash(
     # hash pipeline runs three times. ~k ints per doc; spills to disk
     # if a 100 TB corpus outgrows executor memory (default level).
     staged = staged_shingle_hashes(df, text_col, id_col).persist()
+    return _near_dup_pairs_from_staged(staged, id_col, threshold)
+
+
+def _near_dup_pairs_from_staged(
+    staged: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Pair pipeline over an already-staged (and caller-persisted)
+    shingle-hash frame — lets composites like :func:`dedup_clusters`
+    own the cache lifetime and release it once the pairs are consumed."""
     sig = staged.selectExpr(
         id_col,
         *[
@@ -353,23 +362,31 @@ def connected_components(
     join is always total: a label is by construction some node's id,
     so every label row finds its target.
     """
-    half = pairs.selectExpr("id_a", "id_b").distinct().persist()
-    n_edges = half.count()
+    half = pairs.selectExpr("id_a", "id_b").distinct()
     id_type = nodes.schema[id_col].dataType.simpleString()
 
-    if n_edges <= driver_edge_limit:
-        mapping = _driver_union_find(half.collect())
-        half.unpersist()
-        spark = nodes.sparkSession
-        map_df = spark.createDataFrame(
-            mapping, f"__n {id_type}, __l {id_type}"
-        )
-        return nodes.join(
-            F.broadcast(map_df), nodes[id_col] == map_df.__n, "left"
-        ).select(
-            id_col, F.coalesce("__l", F.col(id_col)).alias("cluster_id")
-        )
+    if driver_edge_limit > 0:
+        # Single-job bounded probe: collect at most limit+1 edges. If
+        # the limit wasn't hit we have the WHOLE edge set (limit larger
+        # than the data returns everything), so the driver path never
+        # needs a separate count() pass over the expensive LSH+verify
+        # pipeline — one job instead of two.
+        probe = half.limit(driver_edge_limit + 1).collect()
+        if len(probe) <= driver_edge_limit:
+            mapping = _driver_union_find(probe)
+            spark = nodes.sparkSession
+            map_df = spark.createDataFrame(
+                mapping, f"__n {id_type}, __l {id_type}"
+            )
+            return nodes.join(
+                F.broadcast(map_df), nodes[id_col] == map_df.__n, "left"
+            ).select(
+                id_col, F.coalesce("__l", F.col(id_col)).alias("cluster_id")
+            )
 
+    # Distributed path: the edge frame is read every round, so NOW the
+    # persist pays for itself.
+    half = half.persist()
     edges = (
         half.selectExpr("id_a AS src", "id_b AS dst")
         .unionByName(half.selectExpr("id_b AS src", "id_a AS dst"))
@@ -468,9 +485,20 @@ def dedup_clusters(
     """Full near-dup resolution: MinHash+LSH pairs -> connected
     components -> (doc, cluster, is_canonical) where the canonical
     survivor is the cluster's min id — what a training-data pipeline
-    actually keeps."""
-    pairs = near_dup_pairs_minhash(df, text_col, id_col, threshold)
+    actually keeps.
+
+    Owns the staged-hash cache: :func:`connected_components` runs its
+    edge-probe job eagerly, so by the time it returns the cache has
+    done its work and is released here instead of leaking across
+    queries (repeated invocations were accumulating cached frames and
+    causing GC-driven run-to-run variance at sf0.1). On the distributed
+    CC fallback the first materialization of the edge frame recomputes
+    the tokenize pipeline up to 3x within that one job — an accepted
+    trade for not holding the cache through the iterative loop."""
+    staged = staged_shingle_hashes(df, text_col, id_col).persist()
+    pairs = _near_dup_pairs_from_staged(staged, id_col, threshold)
     comps = connected_components(pairs, df.select(id_col), id_col)
+    staged.unpersist()
     return comps.select(
         id_col,
         "cluster_id",

@@ -68,24 +68,35 @@ def read_csv(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver fixture table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as long nanoseconds
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
-    microsecond timestamp (the fixture values are whole microseconds,
-    so the conversion is lossless and matches DuckDB's view).
+    Normalizes the ``ts`` event-time column to one canonical type —
+    plain ``TIMESTAMP`` (session tz, UTC here) — regardless of how the
+    fixture generation wrote it:
+
+    - parquet ``timestamp[us]`` without timezone loads as
+      ``TIMESTAMP_NTZ``, which ``unix_micros`` / ``withWatermark``
+      reject; with a UTC session the cast to ``TIMESTAMP`` is lossless.
+    - legacy parquet TIMESTAMP(NANOS) loads as ``bigint`` nanoseconds
+      under ``spark.sql.legacy.parquet.nanosAsLong`` (values are whole
+      microseconds, so the conversion is lossless).
+
+    Every downstream consumer (window queries, watermarked streams,
+    the DuckDB oracle comparisons) sees the same ``TIMESTAMP`` type.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover - read-only conf on some builds
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    ts_fields = [
-        f.name
-        for f in df.schema.fields
-        if f.name == "ts" and f.dataType.simpleString() == "bigint"
-    ]
-    for c in ts_fields:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    for f in df.schema.fields:
+        if f.name != "ts":
+            continue
+        kind = f.dataType.simpleString()
+        if kind == "bigint":
+            df = df.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+            )
+        elif kind == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
