@@ -68,19 +68,22 @@ def read_csv(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver fixture table from ``{sf_dir}/{name}.parquet``.
 
-    Normalizes the ``ts`` event-time column to one canonical type —
-    plain ``TIMESTAMP`` (session tz, UTC here) — regardless of how the
+    Normalizes every time column to one canonical type — plain
+    ``TIMESTAMP`` (session tz, UTC here) — regardless of how the
     fixture generation wrote it:
 
     - parquet ``timestamp[us]`` without timezone loads as
       ``TIMESTAMP_NTZ``, which ``unix_micros`` / ``withWatermark``
       reject; with a UTC session the cast to ``TIMESTAMP`` is lossless.
-    - legacy parquet TIMESTAMP(NANOS) loads as ``bigint`` nanoseconds
-      under ``spark.sql.legacy.parquet.nanosAsLong`` (values are whole
-      microseconds, so the conversion is lossless).
+    - legacy parquet TIMESTAMP(NANOS) loads ``ts`` as ``bigint``
+      nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong``
+      (values are whole microseconds, so the conversion is lossless).
 
     Every downstream consumer (window queries, watermarked streams,
-    the DuckDB oracle comparisons) sees the same ``TIMESTAMP`` type.
+    the DuckDB oracle comparisons) sees the same ``TIMESTAMP`` type;
+    ``tests/test_operators_core.py::test_fixture_schema_contract``
+    pins the post-load schema so a driver-side fixture regeneration
+    fails one obvious test instead of six scattered ones.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -88,10 +91,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for f in df.schema.fields:
-        if f.name != "ts":
-            continue
         kind = f.dataType.simpleString()
-        if kind == "bigint":
+        if f.name == "ts" and kind == "bigint":
             df = df.withColumn(
                 f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
             )

@@ -141,6 +141,33 @@ def test_multimodal_decode_raises_without_codec(docs):
         mm.decode_image(payloads)
 
 
+def test_multimodal_decode_with_codec(spark, docs):
+    """Real decode path — runs wherever PIL/pillow exists (skips in
+    codec-less containers). A known 2x1 PNG must decode to exact
+    dimensions and pixel stats; a corrupt payload must land in
+    decode_error, not kill the stage."""
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    img = Image.new("RGB", (2, 1))
+    img.putpixel((0, 0), (0, 0, 0))
+    img.putpixel((1, 0), (255, 255, 255))
+    img.save(buf, format="PNG")
+    payloads = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not an image"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.decode_image(payloads).collect()}
+    ok = rows[1]
+    assert (ok.width, ok.height, ok.mode, ok.format) == (2, 1, "RGB", "PNG")
+    assert ok.pixel_mean == 127.5 and ok.decode_error is None
+    bad = rows[2]
+    assert bad.decode_error is not None and bad.width is None
+
+
 def test_frame_sample_shape(docs):
     payloads = mm.attach_fake_payload(docs)
     frames = mm.frame_sample(payloads, every_n_bytes=16)

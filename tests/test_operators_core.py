@@ -97,3 +97,62 @@ def test_filtered_sum_and_grouped_max(spark):
     assert s.sum_v == 3.0
     m = {r.k: r.max_v for r in Q.grouped_max(df, ["k"], "v").collect()}
     assert m == {"x": 2.0, "y": 10.0}
+
+
+# Canonical post-load_table dtypes for every driver fixture table.
+# This is the fixture-type CONTRACT: when the driver regenerates the
+# parquet with different physical types (it has: TIMESTAMP(NANOS) ->
+# timestamp_ntz between rounds 3 and 4), this one test fails loudly
+# instead of six scattered consumers (unix_micros, withWatermark, ...).
+FIXTURE_SCHEMA_CONTRACT = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint", "o_custkey": "bigint",
+        "o_orderstatus": "string", "o_totalprice": "double",
+        "o_orderdate": "timestamp", "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double",
+        "l_tax": "double", "l_returnflag": "string",
+        "l_linestatus": "string", "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint", "embedding": "array<float>", "label": "int",
+    },
+}
+
+
+def test_fixture_schema_contract(spark):
+    from hadoop_data_pipeline_spark.sources.readers import (
+        TESTDATA_TABLES,
+        load_table,
+    )
+
+    assert set(TESTDATA_TABLES) == set(FIXTURE_SCHEMA_CONTRACT)
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", name)
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        assert got == FIXTURE_SCHEMA_CONTRACT[name], f"{name} drifted: {got}"

@@ -76,9 +76,11 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001
@@ -100,7 +102,7 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"MATCH {name}: rows={len(sdf)}")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    print(f"\n{n_run - len(failed)}/{n_run} pass")
     return 1 if failed else 0
 
 
