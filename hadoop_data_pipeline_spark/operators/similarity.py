@@ -109,19 +109,34 @@ def ann_topk_ivf(
     ``n_probe`` nearest centroids (~n_probe/n_centroids of the corpus).
 
     Train/assign uses Spark ML KMeans (seeded — deterministic for
-    fixed data). At 100 TB the quantizer trains on a sample, the cell
-    id is computed once at ingest, and the probe join hash-partitions
-    on the cell — the classic IVF trade: recall for a
-    corpus-fraction's worth of dot products. Registered rows-only (a
-    trained quantizer isn't SQL-expressible).
+    fixed data). The quantizer trains on a seeded hash-sample capped
+    at ``train_cap`` vectors — a coarse quantizer needs only enough
+    points to place ``n_centroids`` centers, so at 100 TB training
+    never scans the corpus; the cell id is computed once at ingest
+    and the probe join hash-partitions on the cell — the classic IVF
+    trade: recall for a corpus-fraction's worth of dot products.
+    Registered rows-only (a trained quantizer isn't SQL-expressible).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    train_cap = max(200 * n_centroids, 1000)
     with_feat = df.withColumn("__feat", array_to_vector(F.col(vec_col)))
+    # Deterministic sample: hash the id, keep the smallest-bucket rows.
+    # limit() after the hash-order sort keeps the sample identical as
+    # the corpus grows at the margin (pure sample(fraction) would need
+    # a count() pass to size the fraction).
+    train = (
+        with_feat.select(
+            id_col, "__feat", F.crc32(F.col(id_col).cast("string")).alias("__r")
+        )
+        .orderBy("__r", id_col)
+        .limit(train_cap)
+        .select("__feat")
+    )
     km = (
         KMeans(k=n_centroids, seed=42, maxIter=10, featuresCol="__feat")
-        .fit(with_feat.select("__feat"))
+        .fit(train)
     )
     assigned = (
         km.transform(with_feat)

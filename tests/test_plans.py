@@ -179,3 +179,48 @@ def test_vocab_topk_partial_agg_and_bounded_sort(spark):
     plan = plan_of(spark, "token_vocab_top50")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+#: Queries ALLOWED an unpartitioned window: audited bounded frames
+#: whose size grows with calendar span / group count, not data volume.
+BOUNDED_GLOBAL_WINDOWS = {"monthly_revenue_moving_avg"}  # ~84 month rows
+
+
+def _unpartitioned_window_nodes(df) -> list[str]:
+    """Walk the physical plan tree and return every Window-family node
+    whose partition spec is empty (the 'move everything to one
+    partition' shape that kills a row-level path at scale)."""
+    stack = [df._jdf.queryExecution().executedPlan()]
+    found: list[str] = []
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if "Window" in cls:
+            try:
+                if node.partitionSpec().isEmpty():
+                    found.append(cls)
+            except Exception:  # node without partitionSpec
+                pass
+        kids = node.children()
+        for i in range(kids.length()):
+            stack.append(kids.apply(i))
+        # AQE wraps the real plan; descend into it too.
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+    return found
+
+
+def test_no_unaudited_global_windows(spark):
+    """Catalog-wide scale audit: no query may plan an unpartitioned
+    window unless it is on the audited bounded allowlist. This is the
+    durable form of Spark's WindowExec warning (which bench.py
+    downgrades): a NEW global window on a row-level path fails here."""
+    offenders = {}
+    for name, fn in qc.QUERIES.items():
+        try:
+            nodes = _unpartitioned_window_nodes(fn(spark, SF))
+        except Exception:
+            continue  # non-plannable-without-execution paths
+        if nodes and name not in BOUNDED_GLOBAL_WINDOWS:
+            offenders[name] = nodes
+    assert not offenders, f"unaudited global windows: {offenders}"
