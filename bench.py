@@ -47,9 +47,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in queries_catalog.QUERIES.items():
-        # Nudge the JVM between queries so one query's garbage doesn't
-        # bill the next one's timing (60 plans in one session otherwise
-        # produce multi-x run-to-run swings on allocation-heavy ops).
+        # Isolate queries from each other: drop any persisted frames a
+        # prior query left behind (the dedup/similarity pipelines cache
+        # staged arrays whose lifetime is the lazy result — a later
+        # query must not pay their memory), then nudge the JVM so one
+        # query's garbage doesn't bill the next one's timing.
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
