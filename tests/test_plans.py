@@ -224,3 +224,27 @@ def test_no_unaudited_global_windows(spark):
         if nodes and name not in BOUNDED_GLOBAL_WINDOWS:
             offenders[name] = nodes
     assert not offenders, f"unaudited global windows: {offenders}"
+
+
+def test_ts_normalization_preserves_pushdown(spark):
+    """load_table casts timestamp_ntz columns to timestamp (UTC
+    session). The cast is order-preserving, so Catalyst must still
+    push ts predicates and column pruning through it to the parquet
+    scan — without this, every time-filtered query on a 100 TB events
+    table would scan the full table."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF, "events")
+    q = (
+        ev.where(F.col("ts") >= "2024-06-01")
+        .where(F.col("value") > 100)
+        .select("event_id", "ts")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    (scan,) = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    pushed = scan.split("PushedFilters:")[1]
+    assert "GreaterThanOrEqual(ts" in pushed and "GreaterThan(value" in pushed
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "props" not in read_schema and "event_type" not in read_schema
