@@ -63,6 +63,35 @@ def latest_per_group_join(
     return df.join(F.broadcast(latest), [*keys, order_col], "inner")
 
 
+def latest_per_group_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    payload_cols: Sequence[str],
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """J1 (aggregation form): ``max_by`` over a composite ordering
+    struct.
+
+    Plan shape: partial ``max_by`` before the exchange, so each input
+    partition contributes ONE candidate row per key to the shuffle
+    (struct-valued buffers make Spark pick SortAggregate, which sorts
+    by the grouping key only — there is no ``order_col``-descending
+    sort anywhere, unlike the window form). One scan, one
+    candidate-per-key shuffle, no join. Deterministic under ties via
+    the composite ``(order_col, *tie_breakers)`` struct comparison.
+    """
+    ordering = ", ".join([order_col, *tie_breakers])
+    payload = ", ".join([order_col, *payload_cols])
+    agg = F.expr(f"max_by(struct({payload}), struct({ordering}))").alias("__m")
+    out = df.groupBy(*keys).agg(agg)
+    return out.select(
+        *keys,
+        F.col(f"__m.{order_col}").alias(order_col),
+        *[F.col(f"__m.{c}").alias(c) for c in payload_cols],
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: Sequence[str],

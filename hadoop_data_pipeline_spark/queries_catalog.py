@@ -2426,6 +2426,37 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "latest_event_agg_form",
+    oracle="""
+    SELECT user_id, event_type, ts, value FROM (
+        SELECT user_id, event_type, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_agg_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 aggregation form: same result as the window form via
+    ``max_by`` over a composite ordering struct. Map-side partials
+    mean each input partition ships one candidate per key — at
+    billions of events the exchange moves group cardinality, not row
+    count — and only the grouping key is ever sorted (SortAggregate),
+    never the timestamp ordering. The oracle is the window SQL: all
+    three J1 forms must agree row-for-row."""
+    events = load_table(spark, sf_dir, "events")
+    return Q.latest_per_group_agg(
+        events,
+        ["user_id", "event_type"],
+        "ts",
+        payload_cols=["value"],
+        tie_breakers=["event_id"],
+    )
+
+
+@register(
     "part_revenue_concentration",
     oracle="""
     WITH r AS (

@@ -156,3 +156,24 @@ def test_fixture_schema_contract(spark):
         df = load_table(spark, "/root/testdata/sf0.001", name)
         got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         assert got == FIXTURE_SCHEMA_CONTRACT[name], f"{name} drifted: {got}"
+
+
+def test_latest_per_group_agg_matches_window(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10, 10.0),
+            ("a", 3, 11, 30.0),
+            ("a", 3, 12, 31.0),  # tie on t -> id 12 wins
+            ("b", 2, 13, 7.0),
+        ],
+        "k string, t int, id int, v double",
+    )
+    agg = Q.latest_per_group_agg(
+        df, ["k"], "t", payload_cols=["v"], tie_breakers=["id"]
+    )
+    got = {(r.k, r.t, r.v) for r in agg.collect()}
+    assert got == {("a", 3, 31.0), ("b", 2, 7.0)}
+    win = Q.latest_per_group(df, ["k"], "t", tie_breakers=["id"]).select(
+        "k", "t", "v"
+    )
+    assert got == {(r.k, r.t, r.v) for r in win.collect()}

@@ -248,3 +248,17 @@ def test_ts_normalization_preserves_pushdown(spark):
     assert "GreaterThanOrEqual(ts" in pushed and "GreaterThan(value" in pushed
     read_schema = scan.split("ReadSchema:")[1]
     assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_latest_agg_form_partial_aggregates_before_shuffle(spark):
+    # The max_by aggregation form must plan partial aggregation below
+    # the exchange (one candidate per key per partition crosses the
+    # shuffle) and must never sort by the timestamp ordering — its
+    # SortAggregate sorts by the grouping key only.
+    plan = plan_of(spark, "latest_event_agg_form")
+    assert "partial_max_by" in plan
+    # parent prints before child: the Exchange consumes the partial agg
+    assert plan.index("Exchange") < plan.index("partial_max_by")
+    for line in plan.splitlines():
+        if line.strip().startswith("Sort "):
+            assert "ts" not in line and "DESC" not in line
