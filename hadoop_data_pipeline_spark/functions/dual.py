@@ -113,6 +113,20 @@ def arr_distinct(arr: str, dialect: str) -> str:
     return f"{fn}({arr})"
 
 
+def ordered_distinct(arr: str, dialect: str) -> str:
+    """First-occurrence-order distinct of a STAGED array column,
+    identical in both engines: keep element x at position i iff the
+    array's first occurrence of x IS i. (Spark's ``array_distinct``
+    documents first-occurrence order, but DuckDB's ``list_distinct``
+    does not guarantee order — the mirrored index-lambda form is
+    order-deterministic in both.) O(n²) per row; for the within-doc
+    units this is applied to (tokens/sentences), n is small and
+    per-row — embarrassingly parallel, no shuffle."""
+    if dialect == SPARK:
+        return f"filter({arr}, (x, i) -> array_position({arr}, x) = i + 1)"
+    return f"list_filter({arr}, (x, i) -> list_position({arr}, x) = i)"
+
+
 def element(arr: str, idx: str, dialect: str) -> str:
     """1-based element access in both engines. Spark's ``element_at``
     requires an INT index while expressions derived from ``div`` /

@@ -246,6 +246,53 @@ def token_vocab(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Unigram-LM pseudo-perplexity quality signal — the shape of a
+    KenLM perplexity filter with the n-gram model replaced by a
+    unigram model trained on the corpus itself (no external model in
+    this container; swapping in real LM probabilities changes only the
+    vocab frame). Score = mean token log-probability with add-k
+    smoothing; unusually low scores flag gibberish / atypical docs:
+
+        avg_logp(d) = (1/|d|) * sum_t ln((tf(t) + s) / (T + s·V))
+
+    Scale shapes: the vocabulary is one partial-agg shuffle on token
+    keys; (T, V) is a 1-row aggregate broadcast by cross join; doc
+    scoring joins postings to the vocab on token — a plain hash join
+    whose zipf-head skew is AQE's skew-join case. Deterministic, no
+    sampling; returns (id, n_tokens, avg_logp).
+    """
+    toks = df.selectExpr(
+        id_col, f"explode({dual.tokens(col, dual.SPARK)}) AS token"
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    s = float(smoothing)
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.expr(
+                        f"ln((tf + {s}) / (cast(__T as double) + {s} * __V))"
+                    )
+                ),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark contamination
 # ---------------------------------------------------------------------------

@@ -557,6 +557,37 @@ def clean_corpus(
     )
 
 
+def dedup_within_doc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """WITHIN-document repetition removal (C4/Gopher-style cleanup):
+    drop repeated units inside each document, keeping first
+    occurrences in order. Unit = whitespace token here; the same shape
+    applies to lines/sentences/paragraphs by swapping the split regex.
+
+    Pure per-row projection — zero shuffle at any corpus size; the
+    ordered-distinct is the mirrored index-lambda form so the DuckDB
+    oracle is bit-identical (see ``dual.ordered_distinct``). Returns
+    (id, n_units, n_unique_units, dedup_ratio, text_dedup).
+    """
+    staged = df.selectExpr(
+        id_col, f"{dual.tokens(text_col, dual.SPARK)} AS __toks"
+    )
+    uniq = staged.selectExpr(
+        id_col,
+        "__toks",
+        f"{dual.ordered_distinct('__toks', dual.SPARK)} AS __uniq",
+    )
+    return uniq.selectExpr(
+        id_col,
+        "size(__toks) AS n_units",
+        "size(__uniq) AS n_unique_units",
+        "round(cast(size(__uniq) as double)"
+        " / cast(nullif(size(__toks), 0) as double), 6) AS dedup_ratio",
+        "concat_ws(' ', __uniq) AS text_dedup",
+    )
+
+
 def simhash_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -877,6 +877,31 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("content_key", "doc_id", "n_copies")
 
 
+def _duck_within_doc_dedup() -> str:
+    toks = dual.tokens("text", D)
+    uniq = dual.ordered_distinct("toks", D)
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    u AS (SELECT doc_id, toks, {uniq} AS uniq FROM t)
+    SELECT doc_id,
+           len(toks) AS n_units,
+           len(uniq) AS n_unique_units,
+           round(cast(len(uniq) as double)
+                 / cast(nullif(len(toks), 0) as double), 6) AS dedup_ratio,
+           array_to_string(uniq, ' ') AS text_dedup
+    FROM u
+    """
+
+
+@register("within_doc_dedup", oracle=_duck_within_doc_dedup())
+def within_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal (C4/Gopher-style): drop
+    repeated tokens per document keeping first occurrences in order —
+    a zero-shuffle per-row projection at any corpus size, with the
+    order-deterministic distinct mirrored in both engines."""
+    return dd.dedup_within_doc(load_table(spark, sf_dir, "documents"))
+
+
 def _mh_cols() -> str:
     return ", ".join(
         f"{dual.minhash_from_hashes('sh', k, D)} AS mh{k}"
@@ -2113,6 +2138,31 @@ def token_vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side partial agg absorbs the zipfian head; top-k is
     TakeOrderedAndProject."""
     return cur.token_vocab(load_table(spark, sf_dir, "documents"), k=50)
+
+
+def _duck_unigram_logprob(s: float) -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, unnest({dual.tokens('text', 'duck')}) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+    tot AS (SELECT sum(tf) AS T, count(*) AS V FROM vocab)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln((vocab.tf + {s}) / (CAST(tot.T AS double) + {s} * tot.V))), 6)
+               AS avg_logp
+    FROM t JOIN vocab ON t.token = vocab.token CROSS JOIN tot
+    GROUP BY t.doc_id
+    """
+
+
+@register("unigram_logprob_quality", oracle=_duck_unigram_logprob(0.5))
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM pseudo-perplexity quality signal: mean smoothed token
+    log-probability per document, model trained on the corpus itself
+    (the KenLM-filter shape with the LM swapped for a vocab frame)."""
+    return cur.unigram_logprob_score(load_table(spark, sf_dir, "documents"))
 
 
 def _duck_contamination(threshold: float) -> str:

@@ -187,3 +187,20 @@ def test_per_source_stats(spark):
     assert got["s1"].total_tokens == 5
     assert got["s1"].n_langs == 2
     assert got["s2"].avg_tokens == 1.0
+
+
+def test_unigram_logprob_score(spark):
+    # "common common common" docs must score higher (less negative)
+    # than a doc of hapax tokens; n_tokens counts per doc.
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rare1"),
+            (3, "rare2 rare3 rare4"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cur.unigram_logprob_score(df).collect()}
+    assert got[1].n_tokens == 4 and got[3].n_tokens == 3
+    assert got[1].avg_logp > got[2].avg_logp > got[3].avg_logp
+    assert all(got[i].avg_logp < 0 for i in (1, 2, 3))

@@ -263,3 +263,19 @@ def test_ann_ivf_recall_vs_brute_force(spark):
         for r in sim.ann_topk_ivf(emb, qids, k=5, n_centroids=8, n_probe=3).collect()
     }
     assert ivf == ivf2
+
+
+def test_dedup_within_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a c b a"),
+            (2, "x y z"),
+            (3, "q q q q"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in dd.dedup_within_doc(df).collect()}
+    assert got[1].text_dedup == "a b c"
+    assert (got[1].n_units, got[1].n_unique_units) == (6, 3)
+    assert got[2].text_dedup == "x y z" and got[2].dedup_ratio == 1.0
+    assert got[3].text_dedup == "q" and got[3].dedup_ratio == 0.25
