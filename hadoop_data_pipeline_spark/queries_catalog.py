@@ -1606,6 +1606,43 @@ def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "asof_last_purchase_per_click",
+    oracle="""
+    SELECT event_id, user_id, ts, value, asof_ts, asof_value FROM (
+        SELECT c.event_id, c.user_id, c.ts, c.value,
+               p.ts AS asof_ts, p.value AS asof_value,
+               row_number() OVER (PARTITION BY c.event_id
+                                  ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+    ) WHERE rn = 1
+    """,
+)
+def asof_last_purchase_per_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-merge form, operators/temporal.py): each
+    click matched with the user's most recent purchase at-or-before
+    the click. One shuffle + one sort, linear in |clicks|+|purchases|
+    — the oracle's range-join formulation is the shape this operator
+    exists to avoid at scale."""
+    from hadoop_data_pipeline_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.where("event_type = 'purchase'")
+    return temporal.asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["value"],
+        tie_cols=["event_id"],
+    )
+
+
+@register(
     "clicks_before_purchase",
     oracle="""
     SELECT a.user_id, a.event_id, count(*) AS n_clicks

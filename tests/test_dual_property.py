@@ -142,3 +142,37 @@ def test_dual_cosine_engine_exact(spark, vecs):
         ).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_strategy)
+def test_dual_ordered_distinct_engine_exact(spark, texts):
+    """ordered_distinct keeps first occurrences in order identically
+    in both engines — the foundation of the within_doc_dedup oracle
+    (DuckDB's list_distinct does NOT guarantee order, which is why the
+    mirrored index-lambda form exists)."""
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    staged = df.selectExpr("i", f"{dual.tokens('text', dual.SPARK)} AS t")
+    sres = sorted(
+        (r["i"], list(r["u"]))
+        for r in staged.selectExpr(
+            "i", f"{dual.ordered_distinct('t', dual.SPARK)} AS u"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    d = dual.DUCK
+    dres = sorted(
+        (r[0], list(r[1]))
+        for r in con.execute(
+            f"WITH t AS (SELECT i, {dual.tokens('text', d)} AS t FROM docs) "
+            f"SELECT i, {dual.ordered_distinct('t', d)} AS u FROM t"
+        ).fetchall()
+    )
+    assert sres == dres
