@@ -64,3 +64,85 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ASOF_ENRICH_SCHEMA = (
+    "event_id bigint, user_id bigint, ts timestamp, value double, "
+    "asof_ts timestamp, asof_value double"
+)
+_ASOF_STATE_SCHEMA = "last_ts timestamp, last_eid bigint, last_value double"
+
+
+def _make_asof_kernel(left_type: str, right_type: str):
+    def _enrich(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Per-key state = the max-(ts, event_id) right row seen so
+        far; each left row in the micro-batch is emitted with the
+        state as of its event-time position WITHIN the batch (rows are
+        walked in (ts, side, event_id) order, mirroring the batch
+        operator's tie rules: right before left at equal ts, max
+        event_id among equal-ts rights)."""
+        (user_id,) = key
+        last_ts, last_eid, last_val = (
+            state.get if state.exists else (None, None, None)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf["__side"] = (pdf["event_type"] == left_type).astype(int)
+        out = []
+        for row in pdf.sort_values(["ts", "__side", "event_id"]).itertuples():
+            if row.event_type == right_type:
+                if last_ts is None or (row.ts, row.event_id) >= (
+                    last_ts,
+                    last_eid,
+                ):
+                    last_ts, last_eid, last_val = (
+                        row.ts,
+                        row.event_id,
+                        row.value,
+                    )
+            elif row.event_type == left_type:
+                out.append(
+                    (row.event_id, user_id, row.ts, row.value, last_ts, last_val)
+                )
+        if last_ts is not None:
+            state.update((last_ts, last_eid, last_val))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_id", "user_id", "ts", "value",
+                    "asof_ts", "asof_value",
+                ],
+            )
+
+    return _enrich
+
+
+def asof_enrich_stream(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Streaming as-of enrichment — the stream form of
+    ``operators/temporal.py::asof_join`` (how='left'): every
+    ``left_type`` event is emitted with the most recent ``right_type``
+    row at-or-before it. Within a micro-batch ordering is exact
+    event-time; ACROSS batches the state only knows rights already
+    processed, so a right row arriving after a left it precedes in
+    event time will not retro-enrich — the standard semantics of
+    streaming state enrichment (bound disorder upstream with a
+    watermark + sorted replay if exactness across batches matters).
+    When batches arrive in event-time order the output equals the
+    batch operator exactly (tested)."""
+    return (
+        events.select("event_id", "ts", "user_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_asof_kernel(left_type, right_type),
+            outputStructType=ASOF_ENRICH_SCHEMA,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -274,3 +274,66 @@ def test_streaming_and_batch_pipelines_agree(spark, tmp_path):
     )
     assert a == b
     assert len(a) == 9  # 3 analytics rows x 3 measures (sentinels dropped)
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """Streaming as-of enrichment == batch asof_join(how='left') when
+    micro-batches arrive in event-time order (two files split at a ts
+    boundary, maxFilesPerTrigger=1 so they process as two batches)."""
+    import os
+    import shutil
+
+    from hadoop_data_pipeline_spark.operators import temporal
+    from hadoop_data_pipeline_spark.streaming.stateful import (
+        asof_enrich_stream,
+    )
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .where("event_type IN ('click', 'purchase')")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    median_ts = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS m").collect()[0]["m"]
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    for i, part in enumerate(
+        (
+            ev.where(f"unix_micros(ts) <= {median_ts}"),
+            ev.where(f"unix_micros(ts) > {median_ts}"),
+        )
+    ):
+        d = tmp_path / f"half{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(d))
+        (pf,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        dst = src / f"part-{i}.parquet"
+        shutil.copy(d / pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        asof_enrich_stream(stream)
+        .writeStream.format("memory")
+        .queryName("asof_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    cols = ("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+    got = sorted(tuple(r[c] for c in cols) for r in spark.table("asof_out").collect())
+    want_df = temporal.asof_join(
+        ev.where("event_type = 'click'").select("event_id", "user_id", "ts", "value"),
+        ev.where("event_type = 'purchase'"),
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["value"],
+        tie_cols=["event_id"],
+        how="left",
+    )
+    want = sorted(tuple(r[c] for c in cols) for r in want_df.collect())
+    assert got and got == want
