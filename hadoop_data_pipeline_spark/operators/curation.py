@@ -501,6 +501,153 @@ def segment_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Per-domain document cap (over-represented-source throttling)
+# ---------------------------------------------------------------------------
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int = 10,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per source/domain, chosen by a
+    stable hash of the document id — the standard throttle for
+    over-represented domains (one forum mirror must not dominate the
+    corpus). Returns (id, source, cap_rank) for the survivors.
+
+    Deterministic: the hash ranking means a document's keep/drop
+    decision depends only on its own id and which other documents
+    share its domain — reproducible across runs and partitionings
+    (unlike ``sample``). Scale shape: ``row_number() <= cap`` is
+    Spark's ``WindowGroupLimit`` case — each map task pre-truncates
+    every domain group to ``cap`` rows BEFORE the exchange, so the
+    shuffle carries at most cap rows per (task, domain) even for a
+    domain with a billion pages; text is never shuffled (the rank is
+    computed on (id, source, hash) keys only).
+    """
+    keyed = f"concat(cast({id_col} as string), '|{salt}')"
+    staged = df.selectExpr(
+        id_col, source_col, f"{dual.md5_int(keyed, dual.SPARK)} AS __r"
+    )
+    w = Window.partitionBy(source_col).orderBy("__r", id_col)
+    return (
+        staged.withColumn("cap_rank", F.row_number().over(w))
+        .where(F.col("cap_rank") <= cap)
+        .select(id_col, source_col, "cap_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size overlapping chunks (training-sequence construction)
+# ---------------------------------------------------------------------------
+
+
+def chunk_exprs(
+    toks_col: str, dialect: str, chunk_len: int, stride: int
+) -> tuple[str, str, str]:
+    """(n_chunks, chunk-token-count, chunk-md5) expressions over a
+    staged tokens column and a ``chunk_id`` column (0-based). Chunk i
+    covers tokens ``[i*stride+1, min(i*stride+chunk_len, n)]``
+    (1-based inclusive): chunks start every ``stride`` tokens and
+    overlap by ``chunk_len - stride``; the last chunk runs short
+    rather than padding. n_chunks = 1 + ceil(max(n-chunk_len,0)/stride)
+    so every token is covered and a short document yields one chunk."""
+    if stride <= 0 or chunk_len < stride:
+        raise ValueError("need 0 < stride <= chunk_len")
+    n = dual.arr_size(toks_col, dialect)
+    n_chunks = (
+        "(1 + "
+        + intdiv(
+            f"greatest({n} - {chunk_len}, 0) + {stride - 1}",
+            str(stride),
+            dialect,
+        )
+        + ")"
+    )
+    lo = f"chunk_id * {stride} + 1"
+    hi = f"least(chunk_id * {stride} + {chunk_len}, {n})"
+    count = f"({hi}) - ({lo}) + 1"
+    rng = dual.index_range(lo, hi, dialect)
+    elems = dual.transform(
+        rng, f"j -> {dual.element(toks_col, 'j', dialect)}", dialect
+    )
+    join_fn = "array_join" if dialect == dual.SPARK else "array_to_string"
+    return n_chunks, count, f"md5({join_fn}({elems}, ' '))"
+
+
+def chunk_docs(
+    df: DataFrame,
+    chunk_len: int = 32,
+    stride: int = 24,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split every document into fixed-size overlapping token chunks —
+    the training-sequence construction step (context windows with
+    overlap so no span is ever cut without a covering chunk). Returns
+    (id, chunk_id, n_chunk_tokens, chunk_md5) — the md5 stands in for
+    the chunk payload so the result stays compact and oracle-hashable;
+    materializing the text instead is the same plan.
+
+    Scale shape: pure per-row explode — zero shuffle, whole-stage
+    codegen; output size is corpus_tokens/stride rows regardless of
+    document skew, and the explode streams (no per-doc buffering
+    beyond the one tokens array already in memory)."""
+    toks = df.selectExpr(id_col, f"{dual.tokens(col, dual.SPARK)} AS __tk")
+    n_chunks, count, chunk_md5 = chunk_exprs(
+        "__tk", dual.SPARK, chunk_len, stride
+    )
+    idx = dual.index_range("0", f"({n_chunks}) - 1", dual.SPARK)
+    exploded = toks.selectExpr(
+        id_col, "__tk", f"explode({idx}) AS chunk_id"
+    )
+    return exploded.selectExpr(
+        id_col,
+        "cast(chunk_id as bigint) AS chunk_id",
+        f"cast({count} as bigint) AS n_chunk_tokens",
+        f"{chunk_md5} AS chunk_md5",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (new batch vs already-indexed corpus)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dedup a NEW ingestion batch against an already-indexed
+    corpus: a new document survives iff its content digest (md5 of
+    text) appears nowhere in the index AND it is the first occurrence
+    (min id) of that digest within its own batch. Returns
+    (id, digest) for the survivors — the incremental form of
+    ``dedup.dedup_exact`` that avoids re-deduping the whole corpus on
+    every ingest.
+
+    Scale shape: both sides reduce to 32-char digests before any
+    shuffle (text never moves); the within-batch first-pick is a
+    ``WindowGroupLimit`` row_number on the digest; the index probe is
+    a LEFT ANTI hash join on the digest — when the daily batch is
+    small relative to the corpus the index side streams from its
+    digest manifest (in this engine: a parquet of digests written by
+    the previous run) and the join shuffles only digests."""
+    nd = new_df.selectExpr(id_col, f"md5({col}) AS digest")
+    idx = index_df.selectExpr(f"md5({col}) AS digest").distinct()
+    w = Window.partitionBy("digest").orderBy(id_col)
+    first = (
+        nd.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    return first.join(idx, "digest", "left_anti").select(id_col, "digest")
+
+
+# ---------------------------------------------------------------------------
 # Token-budget shard packing (training-output layout)
 # ---------------------------------------------------------------------------
 

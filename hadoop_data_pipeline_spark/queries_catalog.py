@@ -2640,6 +2640,106 @@ def sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAP = 10
+
+
+def _duck_domain_cap() -> str:
+    keyed = "concat(cast(doc_id as string), '|cap-v1')"
+    return f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {dual.md5_int(keyed, D)}, doc_id
+               ) AS cap_rank
+        FROM documents
+    )
+    SELECT doc_id, source, cap_rank FROM r WHERE cap_rank <= {_CAP}
+    """
+
+
+@register("domain_cap_per_source", oracle=_duck_domain_cap())
+def domain_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-represented-domain throttle: at most 10 docs per source,
+    picked by stable id-hash. row_number<=k is the WindowGroupLimit
+    case — every map task truncates each domain to 10 rows before the
+    exchange, so a billion-page domain shuffles 10 rows per task."""
+    return cur.domain_cap(
+        load_table(spark, sf_dir, "documents"), cap=_CAP
+    )
+
+
+_CHUNK_LEN, _CHUNK_STRIDE = 32, 24
+
+
+def _duck_chunk_docs() -> str:
+    n_chunks, count, chunk_md5 = cur.chunk_exprs(
+        "tk", D, _CHUNK_LEN, _CHUNK_STRIDE
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {dual.tokens('text', D)} AS tk FROM documents
+    ),
+    e AS (
+        SELECT doc_id, tk,
+               unnest({dual.index_range('0', f'({n_chunks}) - 1', D)}) AS chunk_id
+        FROM t
+    )
+    SELECT doc_id, cast(chunk_id AS bigint) AS chunk_id,
+           cast({count} AS bigint) AS n_chunk_tokens,
+           {chunk_md5} AS chunk_md5
+    FROM e
+    """
+
+
+@register("chunk_documents_overlap", oracle=_duck_chunk_docs())
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence construction: 32-token chunks every 24 tokens
+    (8-token overlap), last chunk runs short. Pure per-row explode —
+    zero shuffle, stays in whole-stage codegen."""
+    return cur.chunk_docs(
+        load_table(spark, sf_dir, "documents"),
+        chunk_len=_CHUNK_LEN,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+_INCR_SPLIT = 250
+
+
+def _duck_incremental_dedup() -> str:
+    return f"""
+    WITH nd AS (
+        SELECT doc_id, md5(text) AS digest FROM documents
+        WHERE doc_id >= {_INCR_SPLIT}
+    ),
+    idx AS (
+        SELECT DISTINCT md5(text) AS digest FROM documents
+        WHERE doc_id < {_INCR_SPLIT}
+    ),
+    f AS (
+        SELECT doc_id, digest,
+               row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM nd
+    )
+    SELECT f.doc_id, f.digest
+    FROM f LEFT JOIN idx ON f.digest = idx.digest
+    WHERE f.rn = 1 AND idx.digest IS NULL
+    """
+
+
+@register("incremental_dedup_new_docs", oracle=_duck_incremental_dedup())
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the second half of the corpus (the
+    'new batch') exact-deduped within itself and against the first
+    half (the 'index'). Digest-only shuffles + LEFT ANTI probe — the
+    daily-ingest path that never re-deduplicates the whole corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") >= _INCR_SPLIT)
+    index = docs.where(F.col("doc_id") < _INCR_SPLIT)
+    return cur.incremental_dedup(new_batch, index)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

@@ -204,3 +204,102 @@ def test_unigram_logprob_score(spark):
     assert got[1].n_tokens == 4 and got[3].n_tokens == 3
     assert got[1].avg_logp > got[2].avg_logp > got[3].avg_logp
     assert all(got[i].avg_logp < 0 for i in (1, 2, 3))
+
+
+def test_domain_cap_keeps_at_most_cap_per_source(spark):
+    rows = [(i, f"doc {i}", f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = cur.domain_cap(df, cap=4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r)
+    assert set(per) == {"s0", "s1", "s2"}
+    for rows_ in per.values():
+        assert len(rows_) == 4
+        assert sorted(r.cap_rank for r in rows_) == [1, 2, 3, 4]
+    # determinism: same hash ranking on a re-run and under repartition
+    again = cur.domain_cap(df.repartition(7), cap=4).collect()
+    assert sorted((r.doc_id, r.source) for r in out) == sorted(
+        (r.doc_id, r.source) for r in again
+    )
+
+
+def test_domain_cap_small_source_survives_whole(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "tiny"), (2, "b", "tiny")],
+        "doc_id long, text string, source string",
+    )
+    assert cur.domain_cap(df, cap=10).count() == 2
+
+
+def test_chunk_docs_cover_and_overlap(spark):
+    # 10 tokens, chunk 4, stride 3 -> n_chunks = 1 + ceil(6/3) = 3
+    # chunk 0: t1-4, chunk 1: t4-7, chunk 2: t7-10
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 11)))],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        cur.chunk_docs(df, chunk_len=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_id for r in out] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 4]
+    # overlap check via direct md5 of the expected token spans
+    import hashlib
+
+    expect = [
+        "t1 t2 t3 t4",
+        "t4 t5 t6 t7",
+        "t7 t8 t9 t10",
+    ]
+    assert [r.chunk_md5 for r in out] == [
+        hashlib.md5(s.encode()).hexdigest() for s in expect
+    ]
+
+
+def test_chunk_docs_short_doc_single_chunk(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "only")], "doc_id long, text string"
+    )
+    out = cur.chunk_docs(df, chunk_len=8, stride=8).collect()
+    got = {r.doc_id: r for r in out}
+    assert len(out) == 2
+    assert got[1].n_chunk_tokens == 2 and got[2].n_chunk_tokens == 1
+
+
+def test_chunk_docs_exact_boundary_no_empty_tail(spark):
+    # n == chunk_len + k*stride must not create an empty trailing chunk
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 9)))],  # 8 tokens
+        "doc_id long, text string",
+    )
+    out = cur.chunk_docs(df, chunk_len=4, stride=4).collect()
+    assert sorted(r.n_chunk_tokens for r in out) == [4, 4]
+
+
+def test_chunk_docs_rejects_bad_stride(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        cur.chunk_docs(df, chunk_len=4, stride=5)
+    with pytest.raises(ValueError):
+        cur.chunk_docs(df, chunk_len=4, stride=0)
+
+
+def test_incremental_dedup_vs_index_and_within_batch(spark):
+    index = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha"),   # dropped: already in index
+            (11, "gamma"),   # kept (first occurrence in batch)
+            (12, "gamma"),   # dropped: dup within batch
+            (13, "delta"),   # kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in cur.incremental_dedup(new, index).collect()
+    )
+    assert kept == [11, 13]

@@ -262,3 +262,30 @@ def test_latest_agg_form_partial_aggregates_before_shuffle(spark):
     for line in plan.splitlines():
         if line.strip().startswith("Sort "):
             assert "ts" not in line and "DESC" not in line
+
+
+def test_domain_cap_window_group_limit(spark):
+    # row_number<=cap must hit WindowGroupLimit: every map task
+    # pre-truncates each domain to cap rows BEFORE the exchange, so a
+    # hot domain never funnels its full page count through one task.
+    plan = plan_of(spark, "domain_cap_per_source")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[2]
+    # the window keys are (hash, id) — text never enters the shuffle
+    ex = plan.split("Exchange hashpartitioning")[1].split("\n")[0]
+    assert "text" not in ex
+
+
+def test_chunk_docs_is_narrow(spark):
+    # chunking is a per-row explode: no shuffle at any point.
+    plan = plan_of(spark, "chunk_documents_overlap")
+    assert "Exchange" not in plan
+    (scan,) = scans_of(plan)
+    assert "text" in scan and "lang" not in scan
+
+
+def test_incremental_dedup_digest_only_shuffle(spark):
+    # both shuffles carry the 32-char digest, never document text.
+    plan = plan_of(spark, "incremental_dedup_new_docs")
+    for part in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in part.split("\n")[0]
