@@ -94,3 +94,55 @@ def asof_join(
             for c in payload_cols
         ],
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    state_col: str,
+    ts_col: str,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Collapse a per-key event stream into SCD2 validity intervals:
+    one row per *run* of consecutive equal ``state_col`` values, with
+    ``valid_from`` (first event of the run), ``valid_to`` (start of
+    the next run, NULL for the current state) and ``n_events`` (run
+    length) — the slowly-changing-dimension type-2 load, derived from
+    an event log by gaps-and-islands.
+
+    Determinism: events are ordered by (ts, tie_cols); two runs can
+    share a ``valid_from`` when a state flips twice at the same
+    timestamp, so the ``valid_to`` lead orders by (valid_from, island)
+    — island ids are monotone in event order, making the interval
+    chain unique for any input.
+
+    Scale shape: both event-level windows (lag flag, running island
+    sum) share ONE hash exchange + sort on (key, ts) — Catalyst reuses
+    the sorted exchange; the island aggregate then shrinks the data to
+    one row per run BEFORE the final lead window, which runs on the
+    collapsed frame. No self-join, no range join; cost is one shuffle
+    of (key, state, ts) triples.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tie_cols)
+    prev = F.lag(state_col).over(w)
+    flagged = df.withColumn(
+        "__chg",
+        F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    hist = islands.groupBy(*keys, "__island").agg(
+        F.min(state_col).alias(state_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy("valid_from", "__island")
+    return (
+        hist.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(*keys, state_col, "valid_from", "valid_to", "n_events")
+    )

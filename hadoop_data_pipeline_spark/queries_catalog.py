@@ -2740,6 +2740,95 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.incremental_dedup(new_batch, index)
 
 
+@register(
+    "user_state_history_scd2",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM o
+    ),
+    h AS (
+        SELECT user_id, island, min(event_type) AS event_type,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM i GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, island
+           ) AS valid_to,
+           n_events
+    FROM h
+    """,
+)
+def user_state_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 load from an event log: per-user runs of consecutive equal
+    event_type collapsed to validity intervals (gaps-and-islands). Both
+    event-level windows share one exchange+sort; the final lead runs on
+    the collapsed (one row per run) frame."""
+    from hadoop_data_pipeline_spark.operators import temporal
+
+    return temporal.scd2_history(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
+        key_cols=["user_id"],
+        state_col="event_type",
+        ts_col="ts",
+        tie_cols=["event_id"],
+    )
+
+
+_FUZZ_DIST = 2
+
+
+@register(
+    "fuzzy_name_pairs_part",
+    oracle=f"""
+    WITH c AS (
+        SELECT p_name AS name, min(p_partkey) AS rep_id,
+               count(*) AS n,
+               regexp_extract(p_name, '[^ ]+$') AS blk,
+               length(p_name) AS len
+        FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           a.rep_id AS rep_id_a, b.rep_id AS rep_id_b,
+           a.n AS n_a, b.n AS n_b,
+           levenshtein(a.name, b.name) AS edit_dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.rep_id < b.rep_id
+    WHERE abs(a.len - b.len) <= {_FUZZ_DIST}
+      AND levenshtein(a.name, b.name) <= {_FUZZ_DIST}
+    """,
+)
+def fuzzy_name_pairs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on product names, canonicalize-first: fuzzy
+    match DISTINCT names (head-noun blocking -> lossless length band
+    -> levenshtein verify), each pair carrying its record counts.
+    Edit distance cost scales with distinct entities, not rows — the
+    row-level form was 29 s / 5.5M output rows at sf0.1; this one is
+    sub-second with identical match semantics."""
+    from hadoop_data_pipeline_spark.operators import entity
+
+    return entity.fuzzy_dup_pairs(
+        load_table(spark, sf_dir, "part"),
+        name_col="p_name",
+        id_col="p_partkey",
+        max_dist=_FUZZ_DIST,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

@@ -289,3 +289,18 @@ def test_incremental_dedup_digest_only_shuffle(spark):
     plan = plan_of(spark, "incremental_dedup_new_docs")
     for part in plan.split("Exchange hashpartitioning")[1:]:
         assert "text" not in part.split("\n")[0]
+
+
+def test_fuzzy_pairs_no_cross_join(spark):
+    # candidate generation must be an equi hash join on the block key.
+    plan = plan_of(spark, "fuzzy_name_pairs_part")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_event_level_exchange(spark):
+    # lag flag + island sum + run aggregate + lead all cluster on
+    # user_id (subset satisfaction), so the event-level data is
+    # shuffled exactly once.
+    plan = plan_of(spark, "user_state_history_scd2")
+    assert plan.count("Exchange hashpartitioning") == 1
