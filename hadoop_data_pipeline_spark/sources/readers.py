@@ -65,6 +65,48 @@ def read_csv(
     return reader.csv(paths)
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV scan with corrupt-row quarantine: returns ``(good, bad)``.
+
+    Rows that fail to parse against ``schema`` (wrong arity, bad
+    casts) land in ``bad`` with the raw line preserved in
+    ``corrupt_col`` — the dirty-data path the reference handles with
+    ad-hoc Excel cleanup (`ingestion.py`), generalized: the pipeline
+    keeps loading, the quarantine frame feeds the DQ gate/alerts, and
+    nothing is silently dropped.
+
+    Spark gotcha encoded here: under PERMISSIVE mode the corrupt
+    column is populated during parsing, and a plan that selects ONLY
+    the corrupt column is rejected by Spark (it would skew parser
+    pruning), so the split runs off one cached full-schema frame —
+    also ensuring good/bad are consistent views of a single parse, at
+    the cost of one materialization (at scale: write the parsed frame
+    once, then split from the written copy).
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.csv(paths).cache()
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull())
+    return good, bad
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver fixture table from ``{sf_dir}/{name}.parquet``.
 
