@@ -146,3 +146,58 @@ def scd2_history(
         hist.withColumn("valid_to", F.lead("valid_from").over(w2))
         .select(*keys, state_col, "valid_from", "valid_to", "n_events")
     )
+
+
+def resample_daily_ffill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    decimals: int = 4,
+) -> DataFrame:
+    """Resample an irregular event stream onto a regular DAILY grid
+    per key, forward-filling days with no events — the time-series
+    normalization step (feature grids, charting, joining series with
+    different cadences). For every key, the grid spans that key's
+    [first, last] observed day; output is one row per (key, day):
+    ``day_value`` (the day's aggregated value, NULL when unobserved),
+    ``filled_value`` (last observed day's value carried forward),
+    ``is_observed``.
+
+    Scale shape: the daily pre-aggregate shrinks events to one row
+    per (key, day) BEFORE any spine work, so the explode and the join
+    operate on the compacted frame; the date spine is generated
+    per-key with ``sequence`` (cost = days-in-span per key, never a
+    global calendar cross join); the forward fill is one window per
+    key over the bounded daily grid. Keys with multi-decade spans and
+    billions of events still produce only span-days rows each.
+    """
+    keys = list(key_cols)
+    day = F.date_trunc("DAY", F.col(ts_col))
+    daily = (
+        df.groupBy(*keys, day.alias("day"))
+        .agg(F.round(F.sum(value_col), decimals).alias("day_value"))
+    )
+    spine = (
+        daily.groupBy(*keys)
+        .agg(F.min("day").alias("__mn"), F.max("day").alias("__mx"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("__mn", "__mx", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    grid = spine.join(daily, keys + ["day"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        *keys,
+        "day",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_value").isNotNull().alias("is_observed"),
+    )

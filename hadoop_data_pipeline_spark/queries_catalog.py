@@ -2829,6 +2829,86 @@ def fuzzy_name_pairs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "daily_value_resample_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               round(sum(value), 4) AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, min(day) AS mn, max(day) AS mx
+        FROM daily GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        FROM spans
+    ),
+    grid AS (
+        SELECT s.user_id, s.day, d.day_value
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day, day_value,
+           last_value(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           day_value IS NOT NULL AS is_observed
+    FROM grid
+    """,
+)
+def daily_value_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: per-user daily value grid over each
+    user's own [first, last] day, gaps forward-filled. Daily
+    pre-aggregate shrinks events before the spine explode/join; no
+    global calendar cross join exists."""
+    from hadoop_data_pipeline_spark.operators import temporal
+
+    return temporal.resample_daily_ffill(
+        load_table(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+    )
+
+
+@register(
+    "customer_spend_decile_by_nation",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        FROM orders GROUP BY 1
+    )
+    SELECT c_custkey, c_nationkey, spend,
+           ntile(10) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY spend DESC, c_custkey
+           ) AS decile
+    FROM spend JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def customer_spend_decile_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer spend deciles (ntile). The window runs on
+    the post-aggregate one-row-per-customer frame partitioned by
+    nation — never on raw orders; ties broken by custkey so both
+    engines assign identical deciles."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    joined = spend.join(
+        cust, spend.o_custkey == cust.c_custkey
+    ).select("c_custkey", "c_nationkey", "spend")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("spend").desc(), F.col("c_custkey")
+    )
+    return joined.withColumn("decile", F.ntile(10).over(w))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

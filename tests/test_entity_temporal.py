@@ -92,3 +92,41 @@ def test_scd2_equal_ts_flip_is_deterministic(spark):
     assert [(r.event_type, r.n_events) for r in hist] == [("X", 1), ("Y", 2)]
     assert hist[0].valid_from == hist[1].valid_from == _ts(5)
     assert hist[0].valid_to == _ts(5) and hist[1].valid_to is None
+
+
+def test_resample_daily_ffill_fills_gaps(spark):
+    # user 1: days 1, 2, 5 observed -> days 3, 4 filled from day 2
+    rows = [
+        (1, dt.datetime(2026, 3, 1, 10), 5.0),
+        (1, dt.datetime(2026, 3, 1, 11), 3.0),   # same day aggregates
+        (1, dt.datetime(2026, 3, 2, 9), 7.0),
+        (1, dt.datetime(2026, 3, 5, 1), 2.0),
+        (2, dt.datetime(2026, 3, 9, 0), 1.0),    # single-day user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = temporal.resample_daily_ffill(df, ["user_id"], "ts", "value")
+    got = {
+        (r.user_id, r.day.day): r for r in out.collect()
+    }
+    assert len(got) == 6  # user 1: days 1-5; user 2: day 9
+    assert got[(1, 1)].day_value == 8.0 and got[(1, 1)].is_observed
+    assert got[(1, 2)].day_value == 7.0
+    for d in (3, 4):
+        r = got[(1, d)]
+        assert r.day_value is None and not r.is_observed
+        assert r.filled_value == 7.0  # carried from day 2
+    assert got[(1, 5)].filled_value == 2.0
+    assert got[(2, 9)].filled_value == 1.0
+
+
+def test_resample_never_crosses_keys(spark):
+    # a key's fill must come from ITS OWN history, not another key's
+    rows = [
+        (1, dt.datetime(2026, 3, 1), 100.0),
+        (1, dt.datetime(2026, 3, 3), 50.0),
+        (2, dt.datetime(2026, 3, 2), 999.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = temporal.resample_daily_ffill(df, ["user_id"], "ts", "value")
+    gap = [r for r in out.collect() if r.user_id == 1 and r.day.day == 2]
+    assert len(gap) == 1 and gap[0].filled_value == 100.0
