@@ -501,6 +501,67 @@ def segment_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis-Spirakis order sampling)
+# ---------------------------------------------------------------------------
+
+#: Denominator for hash->uniform: md5_int yields 28-bit ints, so
+#: u = (h + 1) / (2^28 + 1) lies in (0, 1] exactly in both engines.
+_U_DENOM = (1 << 28) + 1
+
+
+def es_key_expr(
+    id_col: str, weight_expr: str, salt: str, dialect: str
+) -> str:
+    """Efraimidis-Spirakis order-sampling key: ln(u)/w with u derived
+    from a stable hash of (id, salt). Ranking DESC by this key and
+    taking the top k per stratum is a weighted sample WITHOUT
+    replacement with inclusion probability proportional to w — the
+    one-pass, coordination-free form of weighted reservoir sampling
+    (Efraimidis & Spirakis 2006). Rounded to 6 decimals so both
+    engines' ln agree bit-for-bit after rounding; ties broken by id
+    at the call site."""
+    keyed = f"concat(cast({id_col} as string), '|{salt}')"
+    u = (
+        f"(cast({dual.md5_int(keyed, dialect)} as double) + 1.0)"
+        f" / {_U_DENOM}.0"
+    )
+    return f"round(ln({u}) / cast({weight_expr} as double), 6)"
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_expr: str,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "ws-v1",
+) -> DataFrame:
+    """Top-``k`` weighted sample (per ``stratum_col`` if given):
+    deterministic Efraimidis-Spirakis order sampling. Unlike
+    ``df.sample``, the result is identical across runs, retries, and
+    partitionings, and unlike rate-based ``corpus_mix_sample`` it
+    returns an EXACT count with probability proportional to weight —
+    the right primitive when the training mix prescribes "n documents
+    from this source, length-weighted".
+
+    Returns the input row's id/stratum plus ``es_key`` and
+    ``sample_rank``. Scale shape: the per-stratum rank<=k is
+    WindowGroupLimit — map tasks truncate to k before the exchange;
+    the weight expression stays JVM-side."""
+    key = es_key_expr(id_col, weight_expr, salt, dual.SPARK)
+    cols = [id_col] + ([stratum_col] if stratum_col else [])
+    staged = df.selectExpr(*cols, f"{key} AS es_key")
+    part = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("es_key").desc(), F.col(id_col)
+    )
+    return (
+        staged.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-domain document cap (over-represented-source throttling)
 # ---------------------------------------------------------------------------
 

@@ -2909,6 +2909,94 @@ def customer_spend_decile_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
     return joined.withColumn("decile", F.ntile(10).over(w))
 
 
+def _duck_weighted_sample(k: int) -> str:
+    key = cur.es_key_expr("doc_id", "n_chars", "ws-v1", D)
+    return f"""
+    WITH s AS (
+        SELECT doc_id, lang, {key} AS es_key FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang, es_key,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY es_key DESC, doc_id
+               ) AS sample_rank
+        FROM s
+    )
+    SELECT doc_id, lang, es_key, sample_rank FROM r
+    WHERE sample_rank <= {k}
+    """
+
+
+@register("weighted_sample_per_lang", oracle=_duck_weighted_sample(5))
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted exact-count sample: 5 docs per language via
+    deterministic Efraimidis-Spirakis order sampling (ln(u)/w key from
+    a stable hash). Reproducible across runs/partitionings, unlike
+    df.sample; rank<=k is WindowGroupLimit (map-side truncation)."""
+    return cur.weighted_sample(
+        load_table(spark, sf_dir, "documents"),
+        k=5,
+        weight_expr="n_chars",
+        stratum_col="lang",
+    )
+
+
+@register(
+    "rolling_7d_user_value",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               round(sum(value), 4) AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, min(day) AS mn, max(day) AS mx
+        FROM daily GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        FROM spans
+    ),
+    grid AS (
+        SELECT s.user_id, s.day, coalesce(d.day_value, 0.0) AS v
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day,
+           round(sum(v) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 4) AS rolling_7d_value
+    FROM grid
+    """,
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling value per user, built ON the gap-filled daily
+    grid so the 7-ROW frame IS the 7-DAY range frame (every day
+    present exactly once) — rows frames are cheaper than range frames
+    (no per-row boundary search) and AQE-friendlier; regularizing the
+    grid first is the scale move that makes that swap sound."""
+    from hadoop_data_pipeline_spark.operators import temporal
+
+    grid = temporal.resample_daily_ffill(
+        load_table(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+    ).selectExpr("user_id", "day", "coalesce(day_value, 0.0) AS v")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return grid.select(
+        "user_id",
+        "day",
+        F.round(F.sum("v").over(w), 4).alias("rolling_7d_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

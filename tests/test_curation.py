@@ -303,3 +303,29 @@ def test_incremental_dedup_vs_index_and_within_batch(spark):
         r.doc_id for r in cur.incremental_dedup(new, index).collect()
     )
     assert kept == [11, 13]
+
+
+def test_weighted_sample_exact_count_and_determinism(spark):
+    rows = [(i, f"s{i % 4}", 10 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = cur.weighted_sample(
+        df, k=3, weight_expr="n_chars", stratum_col="lang"
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append(r)
+    assert all(len(v) == 3 for v in per.values()) and len(per) == 4
+    assert all(r.es_key < 0 for r in out)  # ln(u in (0,1]) <= 0
+    again = cur.weighted_sample(
+        df.repartition(11), k=3, weight_expr="n_chars", stratum_col="lang"
+    ).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    # one document a million times heavier than the rest: its ES key
+    # ln(u)/w is ~0 (the max) for any u, so it must be sampled first.
+    rows = [(i, 1) for i in range(50)] + [(99, 1_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    top = cur.weighted_sample(df, k=1, weight_expr="w").collect()
+    assert [r.doc_id for r in top] == [99]
