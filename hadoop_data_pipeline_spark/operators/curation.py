@@ -316,6 +316,12 @@ def contamination_check(
     only exchange is the per-(corpus, bench) pair count, which is
     bounded by matches, not corpus size.
     """
+    # array_distinct(__sh) intentionally appears TWICE: the double
+    # reference to __sh stops CollapseProject from inlining the staged
+    # md5-shingle chain into its consumers. "Staging" array_distinct
+    # into its own projection (single reference) lets Catalyst collapse
+    # and re-evaluate the whole chain per consumer — measured 4x slower
+    # at sf0.1.
     c = dd.staged_shingle_hashes(corpus, col, id_col).selectExpr(
         f"{id_col} AS corpus_id",
         "size(array_distinct(__sh)) AS n_c",
