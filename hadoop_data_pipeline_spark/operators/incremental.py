@@ -1,0 +1,87 @@
+"""Incremental aggregate maintenance (materialized-view refresh).
+
+At 100 TB you never recompute an aggregate over the whole history
+when a day of data arrives: you keep PARTIAL aggregates (count / sum /
+min / max — the mergeable algebra) per (key, grain) and MERGE the new
+batch's partials in. This module is that contract:
+
+    agg(full) == merge(agg(batch_1), agg(batch_2), ...)
+
+for every function in the mergeable set, proven by the catalog oracle
+(the merged two-batch result is hash-compared against DuckDB's direct
+single-pass aggregate over the full table).
+
+Non-mergeable aggregates (avg, stddev) are DERIVED at read time from
+mergeable ones (avg = sum/count) — never stored, or refresh breaks.
+Sums ride on integer cents (exact, associative) so the merge is
+bit-identical regardless of batch boundaries or partition order —
+float sums are not associative, and an aggregate store whose content
+depends on ingest batching is corrupt by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_daily_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mergeable partial aggregate at (key, day) grain: n_rows,
+    sum_cents (exact bigint), min_cents, max_cents. This is the frame
+    a materialized aggregate store persists per ingest batch."""
+    keys = list(key_cols)
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    return (
+        df.select(
+            *keys,
+            F.date_trunc("DAY", F.col(ts_col)).alias("day"),
+            cents.alias("__c"),
+        )
+        .groupBy(*keys, "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__c").alias("sum_cents"),
+            F.min("__c").alias("min_cents"),
+            F.max("__c").alias("max_cents"),
+        )
+    )
+
+
+def merge_partial_aggs(parts: Sequence[DataFrame], key_cols: Sequence[str]) -> DataFrame:
+    """Merge any number of partial-aggregate frames produced by
+    :func:`partial_daily_agg` (count->sum, sum->sum, min->min,
+    max->max). Exact: integer algebra only, so the result is identical
+    for ANY batch split of the same rows."""
+    keys = list(key_cols) + ["day"]
+    if not parts:
+        raise ValueError("merge_partial_aggs needs at least one frame")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*keys).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+    )
+
+
+def read_view(agg: DataFrame) -> DataFrame:
+    """Read-time projection of the aggregate store: derived metrics
+    (sum/min/max in currency units, avg) from the mergeable columns."""
+    return agg.select(
+        *[c for c in agg.columns if not c.endswith("_cents")],
+        (F.col("sum_cents") / 100.0).alias("sum_value"),
+        (F.col("min_cents") / 100.0).alias("min_value"),
+        (F.col("max_cents") / 100.0).alias("max_value"),
+        F.round(F.col("sum_cents") / 100.0 / F.col("n_rows"), 6).alias(
+            "avg_value"
+        ),
+    )

@@ -2997,6 +2997,39 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_daily_agg_merge",
+    oracle="""
+    SELECT user_id, date_trunc('day', ts) AS day,
+           count(*) AS n_rows,
+           sum(cast(round(value * 100) AS bigint)) / 100.0 AS sum_value,
+           min(cast(round(value * 100) AS bigint)) / 100.0 AS min_value,
+           max(cast(round(value * 100) AS bigint)) / 100.0 AS max_value,
+           round(sum(cast(round(value * 100) AS bigint)) / 100.0
+                 / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_daily_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh correctness: events split into two
+    ingest batches (odd/even event_id), partial-aggregated separately,
+    MERGED — and the oracle compares against DuckDB's direct one-pass
+    aggregate over the full table. Integer-cents algebra makes the
+    merge exact for any batch boundary; avg is derived at read time,
+    never stored."""
+    from hadoop_data_pipeline_spark.operators import incremental as inc
+
+    ev = load_table(spark, sf_dir, "events")
+    b1 = ev.where(F.col("event_id") % 2 == 0)
+    b2 = ev.where(F.col("event_id") % 2 == 1)
+    parts = [
+        inc.partial_daily_agg(b, ["user_id"], "ts", "value")
+        for b in (b1, b2)
+    ]
+    return inc.read_view(inc.merge_partial_aggs(parts, ["user_id"]))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

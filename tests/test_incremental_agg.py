@@ -1,0 +1,65 @@
+"""Tests for incremental aggregate maintenance (operators/incremental.py)
+and the partition-skew report (quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_data_pipeline_spark.operators import incremental as inc
+from hadoop_data_pipeline_spark.quality import partition_skew_report
+from hadoop_data_pipeline_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_merge_equals_recompute_for_any_split(spark):
+    ev = load_table(spark, SF, "events")
+    direct = inc.partial_daily_agg(ev, ["user_id"], "ts", "value")
+    # three-way split on a different axis than the catalog query
+    batches = [
+        inc.partial_daily_agg(
+            ev.where(F.col("event_id") % 3 == i), ["user_id"], "ts", "value"
+        )
+        for i in range(3)
+    ]
+    merged = inc.merge_partial_aggs(batches, ["user_id"])
+    key = ["user_id", "day"]
+    a = {tuple(r[k] for k in key): r for r in direct.collect()}
+    b = {tuple(r[k] for k in key): r for r in merged.collect()}
+    assert a.keys() == b.keys() and len(a) > 100
+    for k in a:
+        for c in ("n_rows", "sum_cents", "min_cents", "max_cents"):
+            assert a[k][c] == b[k][c], (k, c)
+
+
+def test_merge_rejects_empty_list(spark):
+    with pytest.raises(ValueError):
+        inc.merge_partial_aggs([], ["user_id"])
+
+
+def test_read_view_derives_avg(spark):
+    df = spark.createDataFrame(
+        [(1, "2026-01-01", 4, 1000, 100, 400)],
+        "user_id long, day string, n_rows long, sum_cents long,"
+        " min_cents long, max_cents long",
+    )
+    r = inc.read_view(df).collect()[0]
+    assert r.sum_value == 10.0 and r.avg_value == 2.5
+    assert r.min_value == 1.0 and r.max_value == 4.0
+
+
+def test_partition_skew_report_detects_skew(spark):
+    even = spark.range(0, 1000).repartition(10)
+    rep = partition_skew_report(even.toDF("id"))
+    assert rep["total_rows"] == 1000
+    assert rep["n_partitions"] == 10
+    assert rep["skew_ratio"] < 2.0
+    # all rows forced into one partition -> ratio == n_nonempty
+    skewed = spark.range(0, 1000).withColumn(
+        "k", F.lit(1)
+    ).repartition(10, "k")
+    rep2 = partition_skew_report(skewed)
+    assert rep2["empty_partitions"] == 9
+    assert rep2["skew_ratio"] == 1.0  # one non-empty partition: max==mean
+    assert rep2["max_rows"] == 1000
