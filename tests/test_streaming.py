@@ -337,3 +337,50 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
     )
     want = sorted(tuple(r[c] for c in cols) for r in want_df.collect())
     assert got and got == want
+
+
+def test_stream_dedup_sink_incremental(spark, tmp_path):
+    from hadoop_data_pipeline_spark.streaming.dedup_sink import (
+        StreamingDedupSink,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / name))
+        import shutil, glob
+
+        part = glob.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    sink = StreamingDedupSink(
+        spark,
+        source_dir=str(src),
+        schema=schema,
+        clean_dir=str(tmp_path / "clean"),
+        digest_dir=str(tmp_path / "digests"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    # batch 1: one internal dup
+    write_batch("b1", [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    assert sink.run_available_now()
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+
+    # batch 2: one dup vs store, one new; file source must only read
+    # the new file
+    write_batch("b2", [(10, "beta"), (11, "gamma")])
+    assert sink.run_available_now()
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 11]
+
+    # re-run with nothing new: no growth (checkpoint skips seen files)
+    assert sink.run_available_now()
+    assert spark.read.parquet(str(tmp_path / "clean")).count() == 3
+    digests = spark.read.parquet(str(tmp_path / "digests"))
+    assert digests.count() == 3  # alpha, beta, gamma
