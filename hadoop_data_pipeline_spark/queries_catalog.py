@@ -3030,6 +3030,88 @@ def incremental_daily_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inc.read_view(inc.merge_partial_aggs(parts, ["user_id"]))
 
 
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH q0 AS (
+        SELECT user_id, ts, event_id, event_type,
+               event_type = 'view' AS q0
+        FROM events
+    ),
+    q1 AS (
+        SELECT *,
+               (event_type = 'click' AND
+                min(CASE WHEN q0 THEN ts END) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NOT NULL) AS q1
+        FROM q0
+    ),
+    q2 AS (
+        SELECT *,
+               (event_type = 'purchase' AND
+                min(CASE WHEN q1 THEN ts END) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NOT NULL) AS q2
+        FROM q1
+    ),
+    u AS (
+        SELECT user_id,
+               max(CASE WHEN q0 THEN 1 ELSE 0 END) AS r0,
+               max(CASE WHEN q1 THEN 1 ELSE 0 END) AS r1,
+               max(CASE WHEN q2 THEN 1 ELSE 0 END) AS r2
+        FROM q2 GROUP BY 1
+    )
+    SELECT 1 AS step_index, 'view' AS step, sum(r0) AS n_users FROM u
+    UNION ALL
+    SELECT 2, 'click', sum(r1) FROM u
+    UNION ALL
+    SELECT 3, 'purchase', sum(r2) FROM u
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel. Step order resolved by
+    running-min window columns over ONE (user, ts) sort — no step
+    self-joins, no range join; Catalyst plans a single event-level
+    exchange for the whole funnel."""
+    from hadoop_data_pipeline_spark.operators import analytics
+
+    return analytics.funnel_conversion(
+        load_table(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+    )
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH anchors AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+    )
+    SELECT cohort_week,
+           cast((epoch(week) - epoch(cohort_week)) / 604800 AS bigint)
+               AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN anchors USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users anchored to their
+    first-event week, counted per (cohort_week, week_offset). Activity
+    collapses to one row per (user, week) BEFORE the anchor join; the
+    final count shuffles (cohort, offset) pairs only."""
+    from hadoop_data_pipeline_spark.operators import analytics
+
+    return analytics.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

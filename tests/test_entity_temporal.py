@@ -130,3 +130,87 @@ def test_resample_never_crosses_keys(spark):
     out = temporal.resample_daily_ffill(df, ["user_id"], "ts", "value")
     gap = [r for r in out.collect() if r.user_id == 1 and r.day.day == 2]
     assert len(gap) == 1 and gap[0].filled_value == 100.0
+
+
+def test_funnel_requires_strict_order(spark):
+    from hadoop_data_pipeline_spark.operators import analytics
+
+    rows = [
+        # user 1: full funnel in order
+        (1, "view", _ts(1), 1),
+        (1, "click", _ts(2), 2),
+        (1, "purchase", _ts(3), 3),
+        # user 2: purchase BEFORE click -> only view+click credit
+        (2, "view", _ts(1), 4),
+        (2, "purchase", _ts(2), 5),
+        (2, "click", _ts(3), 6),
+        # user 3: click with no prior view -> no credit past step 1? no:
+        # user 3 never views, so not even step 1
+        (3, "click", _ts(1), 7),
+        (3, "purchase", _ts(2), 8),
+        # user 4: view only
+        (4, "view", _ts(5), 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {
+        r.step: r.n_users
+        for r in analytics.funnel_conversion(
+            df, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_ts_uses_tie_order(spark):
+    from hadoop_data_pipeline_spark.operators import analytics
+
+    # click at the SAME ts as view: strictly-before means the view must
+    # sort earlier by (ts, event_id)
+    rows = [
+        (1, "view", _ts(1), 1),
+        (1, "click", _ts(1), 2),   # view (id 1) sorts before -> counts
+        (2, "click", _ts(1), 3),
+        (2, "view", _ts(1), 4),    # view sorts after click -> no credit
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {
+        r.step: r.n_users
+        for r in analytics.funnel_conversion(df, ["view", "click"]).collect()
+    }
+    assert got == {"view": 2, "click": 1}
+
+
+def test_funnel_rejects_single_step(spark):
+    from hadoop_data_pipeline_spark.operators import analytics
+
+    df = spark.createDataFrame([(1, "view", _ts(1), 1)],
+        "user_id long, event_type string, ts timestamp, event_id long")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        analytics.funnel_conversion(df, ["view"])
+
+
+def test_cohort_retention_hand_case(spark):
+    from hadoop_data_pipeline_spark.operators import analytics
+
+    # weeks: 2026-03-02 and 2026-03-09 are Mondays
+    rows = [
+        (1, dt.datetime(2026, 3, 3)),    # cohort wk0, active wk0
+        (1, dt.datetime(2026, 3, 10)),   # ... and wk1
+        (2, dt.datetime(2026, 3, 4)),    # cohort wk0, wk0 only
+        (3, dt.datetime(2026, 3, 11)),   # cohort wk1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week.date().isoformat(), r.week_offset): r.n_users
+        for r in analytics.cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2026-03-02", 0): 2,
+        ("2026-03-02", 1): 1,
+        ("2026-03-09", 0): 1,
+    }

@@ -304,3 +304,12 @@ def test_scd2_single_event_level_exchange(spark):
     # shuffled exactly once.
     plan = plan_of(spark, "user_state_history_scd2")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_single_event_level_exchange(spark):
+    # the whole ordered funnel (all running-min layers + per-user
+    # reduce) must cluster on user_id: one event-level exchange, no
+    # step self-joins.
+    plan = plan_of(spark, "event_funnel_conversion")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
