@@ -176,3 +176,95 @@ def test_dual_ordered_distinct_engine_exact(spark, texts):
         ).fetchall()
     )
     assert sres == dres
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_strategy)
+def test_dual_chunk_exprs_engine_exact(spark, texts):
+    """Overlapping-chunk construction (curation.chunk_exprs) yields the
+    identical (chunk_id, token count, md5) sets in both engines for
+    arbitrary unicode text, including empty/whitespace-only docs."""
+    from hadoop_data_pipeline_spark.operators import curation as cur
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    chunk, stride = 5, 3
+
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "i", f"{dual.tokens('text', dual.SPARK)} AS __tk"
+    )
+    n_chunks, count, md5 = cur.chunk_exprs("__tk", dual.SPARK, chunk, stride)
+    idx = dual.index_range("0", f"({n_chunks}) - 1", dual.SPARK)
+    got_spark = sorted(
+        (r["i"], r["chunk_id"], r["n"], r["m"])
+        for r in sdf.selectExpr("i", "__tk", f"explode({idx}) AS chunk_id")
+        .selectExpr("i", "chunk_id", f"{count} AS n", f"{md5} AS m")
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    d = dual.DUCK
+    n_chunks_d, count_d, md5_d = cur.chunk_exprs("tk", d, chunk, stride)
+    idx_d = dual.index_range("0", f"({n_chunks_d}) - 1", d)
+    got_duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH t AS (SELECT i, {dual.tokens('text', d)} AS tk FROM docs),
+            e AS (SELECT i, tk, unnest({idx_d}) AS chunk_id FROM t)
+            SELECT i, chunk_id, {count_d} AS n, {md5_d} AS m FROM e
+            """
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+
+
+ids_weights_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),
+        st.integers(min_value=1, max_value=10**6),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ids_weights_strategy)
+def test_dual_es_key_engine_exact(spark, rows):
+    """Efraimidis-Spirakis sampling keys (curation.es_key_expr) are
+    identical across engines for arbitrary ids and weights — the
+    property the weighted_sample oracle rests on."""
+    from hadoop_data_pipeline_spark.operators import curation as cur
+
+    pdf = pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "w": [r[1] for r in rows]}
+    )
+    key_s = cur.es_key_expr("doc_id", "w", "pt-v1", dual.SPARK)
+    got_spark = sorted(
+        (r["doc_id"], r["k"])
+        for r in spark.createDataFrame(pdf)
+        .selectExpr("doc_id", f"{key_s} AS k")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    key_d = cur.es_key_expr("doc_id", "w", "pt-v1", dual.DUCK)
+    got_duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT doc_id, {key_d} AS k FROM docs"
+        ).fetchall()
+    )
+    assert got_spark == got_duck
