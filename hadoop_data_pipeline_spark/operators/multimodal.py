@@ -237,3 +237,77 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("frame_idx", "byte_offset"),
     )
+
+
+#: Output of :func:`resize_image` — resized payload plus the new
+#: dimensions; per-image failures land in ``resize_error``.
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resize_error", T.StringType(), True),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame, max_side: int = 256, out_format: str = "PNG"
+) -> DataFrame:
+    """Image resize via ``mapInPandas``: PIL-decode, thumbnail to at
+    most ``max_side`` on the longer edge (aspect preserved, never
+    upscaled), re-encode as ``out_format``. The standard pre-training
+    normalization step for image corpora. Requires PIL — import-gated
+    exactly like :func:`decode_image`; when present the kernel is
+    fully functional (``importorskip`` test), otherwise a clear
+    ``NotImplementedError``.
+
+    Scale shape: Arrow batches in, zero shuffle, payload never enters
+    a groupBy; failures are a COLUMN (``resize_error``), not an
+    exception — one corrupt image must not kill a 1000-executor stage.
+    Output payload is the resized encoding, so downstream bytes
+    shrink by ~(orig/max_side)^2 — run this BEFORE any stage that
+    shuffles payloads to a training-shard writer.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no codec in container
+        raise NotImplementedError(
+            "image resize requires PIL/pillow, which is not in this "
+            "container; the mapInPandas plumbing is identical to "
+            "extract_features (tested with fake payloads)"
+        ) from exc
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        def one(doc_id: int, payload: bytes) -> dict:
+            out = {
+                "doc_id": doc_id,
+                "payload": None,
+                "width": None,
+                "height": None,
+                "resize_error": None,
+            }
+            try:
+                with Image.open(io.BytesIO(bytes(payload))) as img:
+                    img.load()
+                    img.thumbnail((max_side, max_side))
+                    buf = io.BytesIO()
+                    img.save(buf, format=out_format)
+                    out["payload"] = buf.getvalue()
+                    out["width"], out["height"] = img.size
+            except Exception as exc:  # corrupt/unsupported payloads
+                out["resize_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[f.name for f in RESIZE_SCHEMA.fields],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, RESIZE_SCHEMA)

@@ -279,3 +279,46 @@ def test_dedup_within_doc(spark):
     assert (got[1].n_units, got[1].n_unique_units) == (6, 3)
     assert got[2].text_dedup == "x y z" and got[2].dedup_ratio == 1.0
     assert got[3].text_dedup == "q" and got[3].dedup_ratio == 0.25
+
+
+def test_multimodal_resize_raises_without_codec(docs):
+    payloads = mm.attach_fake_payload(docs)
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; stub gate not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        mm.resize_image(payloads)
+
+
+def test_multimodal_resize_with_codec(spark, docs):
+    """Real resize path (skips in codec-less containers): a 400x100
+    image thumbnails to 256x64 (aspect preserved, longest side capped);
+    a small image is NOT upscaled; corrupt payloads land in
+    resize_error."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h)).save(buf, format="PNG")
+        return bytearray(buf.getvalue())
+
+    payloads = spark.createDataFrame(
+        [
+            (1, png(400, 100)),
+            (2, png(10, 10)),
+            (3, bytearray(b"not an image")),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.resize_image(payloads, max_side=256).collect()}
+    assert (rows[1].width, rows[1].height) == (256, 64)
+    # round-trip: output payload is a decodable PNG of the new size
+    with Image.open(io.BytesIO(bytes(rows[1].payload))) as out1:
+        assert out1.size == (256, 64) and out1.format == "PNG"
+    assert (rows[2].width, rows[2].height) == (10, 10)  # never upscaled
+    assert rows[3].resize_error is not None and rows[3].payload is None
