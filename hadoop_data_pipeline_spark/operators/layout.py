@@ -52,3 +52,86 @@ def cluster_for_scan(
     else:
         rp = df.repartitionByRange(*cols)
     return rp.sortWithinPartitions(*cols)
+
+
+def z_order_key(col_a: str, col_b: str, bits: int = 16):
+    """Z-order (Morton) key for two non-negative integer columns: bit
+    i of each input maps to bits 2i / 2i+1 of the key, so sorting by
+    the key interleaves locality across BOTH dimensions — range
+    clustering on the z-key gives every written file a bounded
+    rectangle in (a, b) space, and parquet min/max pruning works for
+    predicates on EITHER column (a linear sort only prunes its first
+    column). The two-column form generalizes by chaining.
+
+    Inputs are clamped to ``bits`` bits (values beyond 2^bits-1
+    saturate, preserving ordering at the top end). Pure JVM bit
+    arithmetic — codegen'd, zero shuffle to compute.
+    """
+    from pyspark.sql import functions as F
+
+    def clamped(c: str):
+        return F.least(
+            F.greatest(F.col(c).cast("long"), F.lit(0)),
+            F.lit((1 << bits) - 1),
+        )
+
+    a, b = clamped(col_a), clamped(col_b)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        bbit = F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        key = key.bitwiseOR(abit).bitwiseOR(bbit)
+    return key
+
+
+def z_order_cluster(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_partitions: int | None = None,
+    bits: int = 16,
+) -> DataFrame:
+    """Cluster for two-dimensional scan pruning: range-partition +
+    sort on the Morton key of (col_a, col_b). Files end up covering
+    bounded rectangles in both dimensions, so filters on either
+    column prune. The ``__zkey`` column is dropped before write."""
+    keyed = df.withColumn("__zkey", z_order_key(col_a, col_b, bits))
+    clustered = cluster_for_scan(keyed, ["__zkey"], n_partitions)
+    return clustered.drop("__zkey")
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files. The small-files
+    problem is a silent scale killer — a 100 TB table written by
+    10k-task jobs accumulates millions of KB-sized files, and every
+    subsequent scan pays a per-file open/footer cost that dwarfs the
+    data read; NameNode/listing pressure grows the same way.
+
+    Returns the new file count. Uses coalesce (no shuffle — partitions
+    are merged, not redistributed); the rewrite goes through a temp
+    directory + atomic-ish swap so readers never see a half state.
+    At production scale run this per-partition (year=.../day=...), not
+    on the whole table at once.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

@@ -89,3 +89,58 @@ def test_quarantine_splits_good_and_bad(spark, tmp_path):
     raw = [r["_corrupt_record"] for r in bad.collect()]
     assert len(raw) == 2
     assert any("notanumber" in r for r in raw)  # raw line preserved
+
+
+def test_z_order_key_interleaves_bits(spark):
+    # a=0b101 (bits 0,2), b=0b011 (bits 0,1) ->
+    # key bits: a0->0, b0->1, b1->3, a2->4  = 0b0011011 = 27
+    df = spark.createDataFrame([(5, 3)], "a long, b long")
+    key = df.select(layout.z_order_key("a", "b").alias("k")).collect()[0].k
+    assert key == 0b11011
+    # saturation: values beyond 2^bits-1 clamp, ordering preserved
+    big = spark.createDataFrame([(1 << 40, 0), ((1 << 16) - 1, 0)], "a long, b long")
+    ks = [r.k for r in big.select(layout.z_order_key("a", "b").alias("k")).collect()]
+    assert ks[0] == ks[1]
+
+
+def test_z_order_cluster_bounds_both_dims(spark, tmp_path):
+    # clustering on the morton key must bound BOTH dimensions per file;
+    # a linear sort on user_id alone leaves event-value ranges wide.
+    out = str(tmp_path / "z")
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_id", "user_id", (F.col("value").cast("long")).alias("v"))
+        .where(F.col("v").isNotNull() & (F.col("v") >= 0))
+    )
+    layout.z_order_cluster(ev, "user_id", "v", n_partitions=8).write.parquet(out)
+    spans_a, spans_b = [], []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        ia, ib = names.index("user_id"), names.index("v")
+        for rg in range(md.num_row_groups):
+            sa = md.row_group(rg).column(ia).statistics
+            sb = md.row_group(rg).column(ib).statistics
+            spans_a.append(sa.max - sa.min)
+            spans_b.append(sb.max - sb.min)
+    full_a = 149  # 150 users
+    # average per-row-group span must be well under the full domain in
+    # BOTH dimensions — the 2-D locality property
+    assert sum(spans_a) / len(spans_a) < full_a * 0.8
+    vmax = ev.agg(F.max("v")).collect()[0][0]
+    assert sum(spans_b) / len(spans_b) < vmax * 0.8
+    assert spark.read.parquet(out).count() == ev.count()
+    assert "__zkey" not in spark.read.parquet(out).columns
+
+
+def test_compact_small_files(spark, tmp_path):
+    out = str(tmp_path / "frag")
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    ev.repartition(20).write.parquet(out)
+    before = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert before == 20
+    n_rows = spark.read.parquet(out).count()
+    after = layout.compact_small_files(spark, out, target_bytes=10**9)
+    assert after == 1
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) == 1
+    assert spark.read.parquet(out).count() == n_rows
