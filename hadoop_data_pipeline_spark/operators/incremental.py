@@ -85,3 +85,49 @@ def read_view(agg: DataFrame) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two tables (migration validation, replica
+    anti-entropy): one row per status with its count —
+    ``added`` (key only in b), ``removed`` (key only in a),
+    ``changed`` (key in both, compared columns differ),
+    ``unchanged``. The exact check a reference-to-new-engine cutover
+    needs beyond a whole-table checksum: the checksum says "different",
+    the diff says where and how much.
+
+    Scale shape: each side collapses to (key, md5-of-compared-columns)
+    BEFORE the join — wide rows never shuffle; the FULL OUTER join on
+    the key is the only exchange; the status aggregate is 4 rows.
+    Contract: ``key_cols`` must uniquely identify rows on each side
+    (a diff without a primary key is not well-defined; duplicate keys
+    would cross-product in the join).
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        compare_cols = [c for c in a.columns if c not in keys]
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in compare_cols]
+        )
+    )
+    da = a.select(*keys, digest.alias("__da"))
+    db = b.select(*keys, digest.alias("__db"))
+    joined = da.join(db, keys, "full_outer")
+    status = (
+        F.when(F.col("__da").isNull(), F.lit("added"))
+        .when(F.col("__db").isNull(), F.lit("removed"))
+        .when(F.col("__da") != F.col("__db"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

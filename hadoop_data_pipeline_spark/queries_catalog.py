@@ -3112,6 +3112,58 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.cohort_retention(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "table_diff_orders_drift",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 37 = 0
+                    THEN o_totalprice + 1 ELSE o_totalprice
+               END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 50 <> 0
+    ),
+    da AS (
+        SELECT o_orderkey,
+               md5(concat_ws(chr(31),
+                   coalesce(cast(o_totalprice AS varchar), chr(0)),
+                   coalesce(o_orderstatus, chr(0)))) AS d
+        FROM orders
+    ),
+    db AS (
+        SELECT o_orderkey,
+               md5(concat_ws(chr(31),
+                   coalesce(cast(o_totalprice AS varchar), chr(0)),
+                   coalesce(o_orderstatus, chr(0)))) AS d
+        FROM b
+    )
+    SELECT CASE WHEN da.d IS NULL THEN 'added'
+                WHEN db.d IS NULL THEN 'removed'
+                WHEN da.d <> db.d THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_rows
+    FROM da FULL OUTER JOIN db ON da.o_orderkey = db.o_orderkey
+    GROUP BY 1
+    """,
+)
+def table_diff_orders_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-validation diff: orders vs a drifted copy (2% of keys
+    removed, ~3% of prices bumped). Both sides collapse to (key,
+    digest) before the single full-outer exchange; output is the 4-row
+    status summary a cutover gate alerts on."""
+    from hadoop_data_pipeline_spark.operators import incremental as inc
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    b = a.where(F.col("o_orderkey") % 50 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 37 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return inc.table_diff(a, b, ["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

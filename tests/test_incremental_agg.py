@@ -63,3 +63,25 @@ def test_partition_skew_report_detects_skew(spark):
     assert rep2["empty_partitions"] == 9
     assert rep2["skew_ratio"] == 1.0  # one non-empty partition: max==mean
     assert rep2["max_rows"] == 1000
+
+
+def test_table_diff_all_statuses(spark):
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(2, "y", 20.0), (3, "z", 31.0), (4, None, 40.0), (5, "w", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {r.status: r.n_rows for r in inc.table_diff(a, b, ["k"]).collect()}
+    assert got == {"removed": 1, "changed": 1, "unchanged": 2, "added": 1}
+
+
+def test_table_diff_null_vs_empty_string_differ(spark):
+    # the null sentinel must distinguish NULL from '' — a diff that
+    # conflates them hides real drift
+    a = spark.createDataFrame([(1, None)], "k long, s string")
+    b = spark.createDataFrame([(1, "")], "k long, s string")
+    got = {r.status: r.n_rows for r in inc.table_diff(a, b, ["k"]).collect()}
+    assert got == {"changed": 1}
