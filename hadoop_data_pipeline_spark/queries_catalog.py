@@ -3164,6 +3164,64 @@ def table_diff_orders_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inc.table_diff(a, b, ["o_orderkey"])
 
 
+@register(
+    "purchases_without_prior_click",
+    oracle="""
+    SELECT l.user_id, l.event_id, l.ts AS l_ts, r.r_ts
+    FROM (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ) l
+    LEFT JOIN (
+        SELECT user_id AS rk, ts AS r_ts FROM events
+        WHERE event_type = 'click'
+    ) r
+      ON l.user_id = r.rk
+     AND r.r_ts <= l.ts
+     AND r.r_ts >= l.ts - INTERVAL 1 HOUR
+    """,
+)
+def purchases_without_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join, LEFT OUTER form: every purchase with its
+    preceding-hour clicks, purchases with NO in-window click kept with
+    null r_ts (the attribution gap). Same event-time range condition
+    that makes the streaming outer join legal (state bounded by
+    watermark + lookback)."""
+    return W.interval_join(
+        load_table(spark, sf_dir, "events"), how="left_outer"
+    )
+
+
+@register("incremental_distinct_users_hll")
+def incremental_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    Spark 3.5+): per-event-type sketches built on two DISJOINT ingest
+    batches, then hll_union_agg'd — the incremental form of
+    COUNT(DISTINCT) where a 100 TB history is never rescanned (each
+    batch contributes a KB-sized sketch; distinct-over-any-window =
+    union of the window's sketches). Rows-only check: DuckDB has no
+    binary-compatible HLL, but the estimate is deterministic for
+    fixed input (test pins exactness on small cardinalities)."""
+    ev = load_table(spark, sf_dir, "events")
+    b1 = ev.where(F.col("event_id") % 2 == 0)
+    b2 = ev.where(F.col("event_id") % 2 == 1)
+    sketches = [
+        b.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        for b in (b1, b2)
+    ]
+    merged = (
+        sketches[0].unionByName(sketches[1])
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    return merged.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

@@ -83,13 +83,22 @@ def interval_join(
     ts_col: str = "ts",
     key_col: str = "user_id",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch) interval join: each ``left_type`` event
     paired with the same key's ``right_type`` events in the preceding
     ``lookback``. On streams both sides carry watermarks and the range
     condition bounds the join state (rows older than
     watermark+lookback are evicted); on batch it is a plain equi+range
-    join. Returns (key, left event_id, left ts, right ts)."""
+    join. Returns (key, left event_id, left ts, right ts).
+
+    ``how='left_outer'`` keeps left events with NO in-window partner
+    (null ``r_ts``) — the "purchase without a preceding click"
+    attribution gap. Stream note: outer rows are emitted only once the
+    watermark passes their interval (the engine must prove no partner
+    can still arrive), so an outer streaming query trails the inner
+    one by the watermark delay — the event-time range condition here
+    is exactly what makes outer stream-stream joins legal in Spark."""
     left = events.where(F.col("event_type") == left_type).select(
         key_col, "event_id", F.col(ts_col).alias("l_ts")
     )
@@ -104,7 +113,11 @@ def interval_join(
         & (F.col("r_ts") <= F.col("l_ts"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
     )
-    return left.join(right, cond).select(key_col, "event_id", "l_ts", "r_ts")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    return left.join(right, cond, how).select(
+        key_col, "event_id", "l_ts", "r_ts"
+    )
 
 
 def dedup_events(

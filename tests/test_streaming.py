@@ -384,3 +384,47 @@ def test_stream_dedup_sink_incremental(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "clean")).count() == 3
     digests = spark.read.parquet(str(tmp_path / "digests"))
     assert digests.count() == 3  # alpha, beta, gamma
+
+
+def test_interval_join_left_outer_keeps_gaps(spark):
+    import datetime as dt
+
+    rows = [
+        (1, 1, "click", dt.datetime(2026, 1, 1, 10, 0)),
+        (2, 1, "purchase", dt.datetime(2026, 1, 1, 10, 30)),  # matched
+        (3, 2, "purchase", dt.datetime(2026, 1, 1, 12, 0)),   # no click
+        (4, 3, "click", dt.datetime(2026, 1, 1, 8, 0)),
+        (5, 3, "purchase", dt.datetime(2026, 1, 1, 10, 0)),   # click too old
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    inner = W.interval_join(df)
+    assert [r.event_id for r in inner.collect()] == [2]
+    outer = {r.event_id: r for r in W.interval_join(df, how="left_outer").collect()}
+    assert set(outer) == {2, 3, 5}
+    assert outer[2].r_ts is not None
+    assert outer[3].r_ts is None and outer[5].r_ts is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        W.interval_join(df, how="full")
+
+
+def test_hll_sketch_union_exact_on_small_cardinality(spark):
+    # HLL is exact far below its error regime; the sketch union of two
+    # overlapping batches must equal the true distinct count.
+    df = spark.range(1000).selectExpr("id % 7 AS g", "id % 83 AS u")
+    sk1 = df.where("id < 600").groupBy("g").agg(
+        F.expr("hll_sketch_agg(u)").alias("sk")
+    )
+    sk2 = df.where("id >= 400").groupBy("g").agg(
+        F.expr("hll_sketch_agg(u)").alias("sk")
+    )
+    merged = (
+        sk1.unionByName(sk2).groupBy("g")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    truth = {r.g: r.n for r in df.groupBy("g").agg(
+        F.countDistinct("u").alias("n")).collect()}
+    for r in merged.collect():
+        assert r.est == truth[r.g]
