@@ -135,3 +135,33 @@ def compact_small_files(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: Sequence[str],
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with BLOOM FILTERS on ``bloom_cols`` — the point-
+    lookup complement to :func:`cluster_for_scan`: min/max pruning
+    needs the data clustered on the filter column, but a table can
+    only be clustered one way; bloom filters give probabilistic row-
+    group skipping for equality predicates on any OTHER high-
+    cardinality column (id lookups on a time-clustered table being
+    the canonical case) at a few bits per distinct value.
+
+    ``expected_ndv`` sizes the filter (per column, per row group);
+    undersizing inflates the false-positive rate toward "never skips".
+    Caveat: parquet-mr silently DROPS the bloom filter for columns
+    whose pages are all dictionary-encoded (the dictionary already
+    gives exact pruning) — blooms only materialize once cardinality
+    defeats the dictionary, which is exactly when you need them.
+    """
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    w.parquet(path)

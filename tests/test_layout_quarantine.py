@@ -144,3 +144,33 @@ def test_compact_small_files(spark, tmp_path):
     assert after == 1
     assert len(glob.glob(os.path.join(out, "*.parquet"))) == 1
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_write_with_bloom_filters_present(spark, tmp_path):
+    # pyarrow 16 does not expose bloom_filter_offset, so verify
+    # behaviorally: the bloom bitset (~ndv bits x fpp factor) must make
+    # the file measurably larger than the identical bloom-less write.
+    # High-cardinality strings defeat dictionary encoding (parquet-mr
+    # silently drops bloom filters for fully dict-encoded columns).
+    hi = (
+        load_table(spark, SF, "events")
+        .selectExpr("md5(cast(event_id as string)) AS sid", "value")
+        .coalesce(1)
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    hi.write.parquet(plain)
+    layout.write_with_bloom(hi, bloomed, ["sid"], expected_ndv=20000)
+
+    def total(p):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+        )
+
+    assert total(bloomed) > total(plain) + 10_000, (
+        f"bloom write added only {total(bloomed) - total(plain)} bytes"
+    )
+    # content identical either way
+    assert (
+        spark.read.parquet(bloomed).orderBy("sid").collect()
+        == spark.read.parquet(plain).orderBy("sid").collect()
+    )
