@@ -3222,6 +3222,164 @@ def incremental_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "ship_latency_priority_counts",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', cast(o_orderdate AS DATE),
+                               cast(l_shipdate AS DATE)) <= 30 THEN '00-30'
+                WHEN date_diff('day', cast(o_orderdate AS DATE),
+                               cast(l_shipdate AS DATE)) <= 60 THEN '31-60'
+                WHEN date_diff('day', cast(o_orderdate AS DATE),
+                               cast(l_shipdate AS DATE)) <= 90 THEN '61-90'
+                ELSE '90+' END AS latency_bucket,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_lines,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def ship_latency_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to the fixture's columns (no l_shipmode /
+    l_receiptdate): lines bucketed by ship latency (days between order
+    and ship date), split into high- vs low-priority counts.
+
+    Plan: lineitem ⋈ orders is a key-equi join between the two LARGE
+    tables — at 100 TB neither side broadcasts, so the right physical
+    plan is the shuffle hash join on the shared ``orderkey``; with both
+    tables bucketed by orderkey at write time the exchange disappears
+    entirely. Only 3 columns survive the scan (ReadSchema-pruned), the
+    CASE bucketing is a codegen'd projection, and the final aggregate
+    is 4 groups — partial map-side agg collapses it before the tiny
+    second exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(lat <= 30, "00-30")
+        .when(lat <= 60, "31-60")
+        .when(lat <= 90, "61-90")
+        .otherwise("90+")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(bucket.alias("latency_bucket"), high.alias("is_high"))
+        .groupBy("latency_bucket")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias(
+                "high_priority_lines"
+            ),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0)).alias(
+                "low_priority_lines"
+            ),
+        )
+    )
+
+
+@register(
+    "daily_revenue_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               sum(cast(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS day_revenue
+        FROM orders GROUP BY 1
+    ),
+    stats AS (
+        SELECT avg(day_revenue) AS mu, stddev_pop(day_revenue) AS sigma
+        FROM daily
+    )
+    SELECT day, day_revenue,
+           round((day_revenue - mu) / sigma, 3) AS z_score
+    FROM daily, stats
+    WHERE abs(day_revenue - mu) > 2 * sigma
+    """,
+)
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality anomaly detector: order days whose total revenue is
+    more than 2 population-stddevs from the mean daily revenue.
+
+    Two-pass z-score with NO unpartitioned window: daily totals are one
+    partial-agg shuffle over orders (integer-cents sum, so the per-day
+    total is exact and engine-order-independent); the (mu, sigma)
+    scalars are a second aggregate over the ~2.4k-row daily frame,
+    broadcast back with a literal-free cross join. At 100 TB the raw
+    table is touched once; everything after the first aggregate is
+    KB-sized.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / 100.0
+            ).alias("day_revenue")
+        )
+    )
+    stats = daily.agg(
+        F.avg("day_revenue").alias("mu"),
+        F.stddev_pop("day_revenue").alias("sigma"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .where(F.abs(F.col("day_revenue") - F.col("mu")) > 2 * F.col("sigma"))
+        .select(
+            "day",
+            "day_revenue",
+            F.round(
+                (F.col("day_revenue") - F.col("mu")) / F.col("sigma"), 3
+            ).alias("z_score"),
+        )
+    )
+
+
+@register(
+    "cumulative_distinct_users_daily",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS day
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT day, count(*) AS new_users FROM first_seen GROUP BY 1
+    )
+    SELECT day, new_users,
+           sum(new_users) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_users
+    FROM daily
+    """,
+)
+def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve query.
+
+    The naive form (COUNT(DISTINCT user) OVER growing window) is
+    O(days x users) state and a scale-killer. The first-seen collapse
+    is the 100 TB design: min(day) per user is ONE shuffle on user_id
+    (partial agg does most of it map-side), the per-day count is a
+    second tiny exchange, and the running sum runs on the bounded
+    day-level frame (~30 rows here; one row per day forever — audited
+    bounded, so the single-partition window is safe).
+    """
+    first_seen = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts")).alias("day"))
+    )
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

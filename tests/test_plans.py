@@ -183,7 +183,10 @@ def test_vocab_topk_partial_agg_and_bounded_sort(spark):
 
 #: Queries ALLOWED an unpartitioned window: audited bounded frames
 #: whose size grows with calendar span / group count, not data volume.
-BOUNDED_GLOBAL_WINDOWS = {"monthly_revenue_moving_avg"}  # ~84 month rows
+BOUNDED_GLOBAL_WINDOWS = {
+    "monthly_revenue_moving_avg",  # ~84 month rows
+    "cumulative_distinct_users_daily",  # day-level frame: 1 row/day forever
+}
 
 
 def _unpartitioned_window_nodes(df) -> list[str]:
@@ -313,3 +316,29 @@ def test_funnel_single_event_level_exchange(spark):
     plan = plan_of(spark, "event_funnel_conversion")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ship_latency_pruned_scans(spark):
+    # Q12-shaped large-large join: only the join key + the 3 used
+    # columns may reach either scan (lineitem has 11, orders 6).
+    plan = plan_of(spark, "ship_latency_priority_counts")
+    li_scan = next(s for s in scans_of(plan) if "lineitem" in s)
+    od_scan = next(s for s in scans_of(plan) if "orders" in s)
+    assert "l_extendedprice" not in li_scan and "l_quantity" not in li_scan
+    assert "o_totalprice" not in od_scan and "o_custkey" not in od_scan
+
+
+def test_daily_anomalies_no_rowlevel_window(spark):
+    # the z-score must come from a second aggregate + broadcast of the
+    # 1-row stats frame, never from an unpartitioned window over rows.
+    plan = plan_of(spark, "daily_revenue_anomalies")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cumulative_distinct_first_seen_collapse(spark):
+    # growth curve = min(day)-per-user collapse, then day-level frame;
+    # no COUNT(DISTINCT) expansion and no join.
+    plan = plan_of(spark, "cumulative_distinct_users_daily")
+    assert "Join" not in plan
+    assert "distinct" not in plan.lower() or "partial_min" in plan
