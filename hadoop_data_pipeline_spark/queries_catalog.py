@@ -3380,6 +3380,189 @@ def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: Fixed keyword query for the BM25 ranking entry (terms present in
+#: the synthetic corpus vocabulary).
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_tf_exprs(toks_col: str, dialect: str) -> list[str]:
+    return [
+        dual.arr_size(
+            dual.arr_filter(toks_col, f"x -> x = '{t}'", dialect), dialect
+        )
+        + f" AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+
+
+def _bm25_score_expr() -> str:
+    """Okapi BM25 score as plain arithmetic over staged integer columns
+    (tf_i, df_i, doclen, n_docs) and the staged double avgdl — the
+    identical string parses in Spark SQL and DuckDB, so the engines
+    evaluate the same expression tree in the same order."""
+    parts = []
+    for i in range(len(_BM25_TERMS)):
+        idf = f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1)"
+        denom = (
+            f"(tf_{i} + {_BM25_K1} * "
+            f"(1 - {_BM25_B} + {_BM25_B} * doclen / avgdl))"
+        )
+        parts.append(f"({idf} * tf_{i} * {1 + _BM25_K1} / {denom})")
+    return " + ".join(parts)
+
+
+def _duck_bm25_sql() -> str:
+    tf = ", ".join(_bm25_tf_exprs("tk", dual.DUCK))
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH __t AS (
+        SELECT doc_id, {dual.tokens('text', dual.DUCK)} AS tk FROM documents
+    ),
+    base AS (
+        SELECT doc_id, {dual.arr_size('tk', dual.DUCK)} AS doclen, {tf}
+        FROM __t
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(doclen) AS sum_doclen, {dfs}
+        FROM base
+    ),
+    sc AS (
+        SELECT base.*, stats.* EXCLUDE (sum_doclen),
+               CAST(sum_doclen AS DOUBLE) / n_docs AS avgdl
+        FROM base, stats
+    )
+    SELECT doc_id, round({_bm25_score_expr()}, 4) AS bm25
+    FROM sc WHERE {any_tf} > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+
+@register("keyword_search_bm25", oracle=_duck_bm25_sql())
+def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a fixed keyword query under Okapi BM25
+    (k1=1.2, b=0.75) — the classic lexical-retrieval scorer.
+
+    Scale design: NO inverted-index explode for scoring a fixed small
+    query — per-term tf comes from a codegen'd ``size(filter(tokens))``
+    projection (zero shuffle over the corpus), the corpus statistics
+    (N, Σdoclen, per-term document frequency) are ONE scalar aggregate
+    broadcast back, and the final top-20 is TakeOrderedAndProject
+    (per-partition heap, never a global sort). avgdl is derived from
+    exact bigint sums so both engines rank from identical doubles; the
+    score is rounded BEFORE ranking with doc_id as tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id", f"{dual.tokens('text', dual.SPARK)} AS __toks"
+    )
+    base = toks.selectExpr(
+        "doc_id",
+        f"{dual.arr_size('__toks', dual.SPARK)} AS doclen",
+        *_bm25_tf_exprs("__toks", dual.SPARK),
+    )
+    n_terms = len(_BM25_TERMS)
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("sum_doclen"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(n_terms)
+        ],
+    )
+    any_tf = " + ".join(f"tf_{i}" for i in range(n_terms))
+    sc = base.crossJoin(F.broadcast(stats)).selectExpr(
+        "*", "cast(sum_doclen as double) / n_docs AS avgdl"
+    )
+    return (
+        sc.where(F.expr(f"{any_tf} > 0"))
+        .selectExpr("doc_id", f"round({_bm25_score_expr()}, 4) AS bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _duck_dup_ngram_sql() -> str:
+    return f"""
+    WITH __t AS (
+        SELECT doc_id, {dual.tokens('text', dual.DUCK)} AS tk FROM documents
+    ),
+    __s AS (
+        SELECT doc_id,
+               {dual.shingles_from_tokens('tk', dual.DUCK, n=3)} AS sg
+        FROM __t
+    ),
+    h AS (
+        SELECT doc_id, {dual.hash_array('sg', dual.DUCK)} AS sh FROM __s
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS hsh FROM h),
+    freq AS (SELECT hsh, count(*) AS df FROM ex GROUP BY 1)
+    SELECT e.doc_id, count(*) AS n_ngrams,
+           sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS n_dup,
+           round(CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS dup_fraction
+    FROM ex e JOIN freq f ON e.hsh = f.hsh
+    GROUP BY 1
+    """
+
+
+@register("dup_ngram_fraction", oracle=_duck_dup_ngram_sql())
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-trigram fraction: the share of a doc's
+    distinct word trigrams that occur in at least one OTHER document —
+    the standard corpus-level duplication signal used to score
+    boilerplate/templated text in LLM training-data pipelines.
+
+    Scale design: documents stage to DISTINCT trigram HASHES (28-bit)
+    before the explode, so both shuffles — the trigram document-
+    frequency aggregate and the per-doc regroup — move only (id, hash)
+    pairs, never text. Partial aggregation collapses the df count
+    map-side; the join back to postings is hash-equi on the trigram
+    hash. Documents shorter than 3 tokens have no trigrams and drop
+    out on both engines identically.
+
+    The staged hash-array frame is persisted BEFORE the explode:
+    Catalyst's project-collapse otherwise inlines the whole
+    tokenize->shingle->md5 chain into the Generate, where it falls out
+    of whole-stage codegen and evaluates interpreted (measured 9x
+    slower end-to-end at sf0.1: 16.4s fused vs 1.8s with the
+    barrier). The barrier also lets the two consumers (df aggregate +
+    join back) share one staging pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d1 = docs.selectExpr(
+        "doc_id", f"{dual.tokens('text', dual.SPARK)} AS __toks"
+    )
+    d2 = d1.selectExpr(
+        "doc_id",
+        f"{dual.shingles_from_tokens('__toks', dual.SPARK, n=3)} AS __sg",
+    )
+    staged = d2.selectExpr(
+        "doc_id", f"{dual.hash_array('__sg', dual.SPARK)} AS __sh"
+    ).persist()
+    ex = staged.select("doc_id", F.explode("__sh").alias("hsh"))
+    freq = ex.groupBy("hsh").agg(F.count("*").alias("df"))
+    return (
+        ex.join(freq, "hsh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_ngrams",
+            "n_dup",
+            "round(cast(n_dup as double) / n_ngrams, 4) AS dup_fraction",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

@@ -342,3 +342,21 @@ def test_cumulative_distinct_first_seen_collapse(spark):
     plan = plan_of(spark, "cumulative_distinct_users_daily")
     assert "Join" not in plan
     assert "distinct" not in plan.lower() or "partial_min" in plan
+
+
+def test_bm25_no_explode_and_bounded_topk(spark):
+    # fixed-query BM25 must score via per-row tf projections + one
+    # broadcast stats frame — no inverted-index explode — and take the
+    # top-20 with a per-partition heap, not a global sort.
+    plan = plan_of(spark, "keyword_search_bm25")
+    assert "Generate" not in plan  # no explode
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dup_ngram_digest_only_shuffles(spark):
+    # both exchanges (df aggregate + per-doc regroup) carry 28-bit
+    # trigram hashes, never document text.
+    plan = plan_of(spark, "dup_ngram_fraction")
+    for part in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in part.split("\n")[0]
