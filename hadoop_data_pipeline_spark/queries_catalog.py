@@ -3563,6 +3563,124 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_upsert_orders",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               'I' AS op, 0 AS seq
+        FROM orders
+    ),
+    cdc AS (
+        SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+               o_orderstatus, 'U' AS op, 1 AS seq
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus, 'D' AS op, 2 AS seq
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM cdc),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY seq DESC
+        ) AS rn
+        FROM u
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE (upsert + delete) applied as a batch job: a CDC
+    changelog (updates to every 7th key, deletes of every 13th — keys
+    divisible by 91 get BOTH, and the delete must win) merged into the
+    orders snapshot. The changelog is derived deterministically from
+    the table itself so the oracle can rebuild it.
+
+    Scale design: merge-on-read resolution — union the snapshot
+    (seq 0) with the changelog (seq per change), then latest-per-key
+    via row_number over (key, seq DESC) and drop tombstones. ONE hash
+    exchange on the merge key resolves any number of changes per key
+    in order; no join, no driver state. WindowGroupLimit pushes the
+    rank-1 filter below the shuffle, so each input partition forwards
+    at most one candidate row per key. This is exactly how Delta/
+    Iceberg merge-on-read compaction resolves row versions.
+    """
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = od.selectExpr("*", "'I' AS op", "0 AS seq")
+    updates = od.where(F.col("o_orderkey") % 7 == 0).selectExpr(
+        "o_orderkey",
+        "o_totalprice * 1.1 AS o_totalprice",
+        "o_orderstatus",
+        "'U' AS op",
+        "1 AS seq",
+    )
+    deletes = od.where(F.col("o_orderkey") % 13 == 0).selectExpr(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "'D' AS op", "2 AS seq"
+    )
+    merged = base.unionByName(updates).unionByName(deletes)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+@register(
+    "tombstone_delete_users",
+    oracle="""
+    WITH tomb AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
+    )
+    SELECT e.event_type,
+           sum(CASE WHEN t.user_id IS NULL THEN 1 ELSE 0 END) AS rows_kept,
+           sum(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS rows_purged,
+           count(DISTINCT t.user_id) AS users_purged
+    FROM events e LEFT JOIN tomb t ON e.user_id = t.user_id
+    GROUP BY 1
+    """,
+)
+def tombstone_delete_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR) purge audit: given a tombstone list of
+    user ids, report per event type how many rows survive the purge,
+    how many are removed, and how many distinct tombstoned users
+    actually had data — the compliance evidence a deletion job must
+    emit alongside the rewrite.
+
+    Scale design: the tombstone list is tiny relative to the event log
+    (deletion requests vs 100 TB of telemetry), so it BROADCASTS —
+    the event log is never shuffled for the join; the only exchange is
+    the bounded per-event-type aggregate. A left join with a purge
+    flag gives kept + purged + affected-users in ONE pass, instead of
+    an anti-join and a semi-join scanning the log twice.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    tomb = (
+        ev.where(F.col("user_id") % 37 == 0)
+        .select(F.col("user_id").alias("t_user_id"))
+        .distinct()
+    )
+    return (
+        ev.join(
+            F.broadcast(tomb), ev.user_id == tomb.t_user_id, "left"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("t_user_id").isNull(), 1).otherwise(0)).alias(
+                "rows_kept"
+            ),
+            F.sum(
+                F.when(F.col("t_user_id").isNotNull(), 1).otherwise(0)
+            ).alias("rows_purged"),
+            F.countDistinct("t_user_id").alias("users_purged"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

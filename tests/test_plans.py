@@ -360,3 +360,20 @@ def test_dup_ngram_digest_only_shuffles(spark):
     plan = plan_of(spark, "dup_ngram_fraction")
     for part in plan.split("Exchange hashpartitioning")[1:]:
         assert "text" not in part.split("\n")[0]
+
+
+def test_cdc_merge_single_exchange_with_group_limit(spark):
+    # merge-on-read resolution: one hash exchange on the merge key,
+    # rank-1 candidates pre-filtered per input partition, no join.
+    plan = plan_of(spark, "cdc_upsert_orders")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_tombstone_purge_broadcasts_tombstones(spark):
+    # the 100 TB event log must never shuffle for the tombstone join;
+    # only the bounded per-event-type aggregate may exchange.
+    plan = plan_of(spark, "tombstone_delete_users")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
