@@ -73,6 +73,20 @@ def get_session(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
+        # A catalog-sized workload generates one codegen class per
+        # operator stage; the JVM default 240 MB code cache fills after
+        # ~100 distinct queries in one process and the JIT silently
+        # stops compiling — later queries then run interpreted 2-3x
+        # slower (observed as random per-run spikes in bench.py).
+        # Harmless for short-lived cluster executors, essential for a
+        # long-lived local session running the whole catalog.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=512m",
+            ),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
