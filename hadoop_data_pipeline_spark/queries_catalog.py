@@ -3681,6 +3681,116 @@ def tombstone_delete_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed-point PageRank constants: ranks are scaled integers (1e9 =
+#: rank 1.0) and every division is a FLOOR division, so all three
+#: iterations are exact bigint arithmetic — bit-identical across
+#: engines, no float accumulation order anywhere.
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 3
+
+
+def _duck_pagerank_sql() -> str:
+    lines = [
+        "WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),",
+        "edges AS (",
+        "    SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM e0",
+        "    UNION ALL",
+        "    SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM e0",
+        "),",
+        "deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),",
+        "n AS (SELECT count(*) AS n_nodes FROM deg),",
+        f"r0 AS (SELECT node, outdeg, {_PR_SCALE} // n_nodes AS r"
+        " FROM deg, n),",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        p = i - 1
+        lines += [
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" sum(r{p}.r // r{p}.outdeg) AS s"
+            f" FROM edges e JOIN r{p} ON e.src = r{p}.node GROUP BY 1),",
+            f"r{i} AS (SELECT d.node, d.outdeg,"
+            f" (CAST(15 AS BIGINT) * {_PR_SCALE}) // (100 * n.n_nodes)"
+            f" + (CAST(85 AS BIGINT) * c{i}.s) // 100 AS r"
+            f" FROM deg d JOIN c{i} ON d.node = c{i}.node, n),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    lines += [
+        "SELECT node AS node_id,",
+        "       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END"
+        " AS node_type,",
+        f"       r AS rank_scaled",
+        f"FROM r{_PR_ITERS} ORDER BY rank_scaled DESC, node_id LIMIT 25",
+    ]
+    return "\n".join(lines)
+
+
+@register("pagerank_part_supplier", oracle=_duck_pagerank_sql())
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 PageRank over the undirected part<->supplier bipartite
+    graph derived from lineitem (3 iterations, damping 0.85) — the
+    iterative-graph-algorithm entry of the catalog.
+
+    Exactness: ranks are FIXED-POINT bigints (1e9 = rank 1.0) and
+    every division is a floor division, so the whole computation is
+    integer arithmetic — the oracle's three unrolled CTE iterations
+    reproduce it bit-for-bit (float PageRank could never hash-match
+    across engines: per-node sums accumulate in engine-specific
+    order).
+
+    Scale shape: each iteration is (edges ⋈ ranks on src) + a partial-
+    agg groupBy(dst) — the standard distributed PageRank step. Both
+    shuffles key on node ids; pre-partitioning edges by src (bucketed
+    write) makes the join exchange-free on a cluster, and the rank
+    frame (one row per NODE, not per edge) is the only thing that
+    moves between iterations. The single driver-side action is one
+    COUNT of the node frame (needed as a literal in the teleport
+    term); iteration count is fixed, so the lineage stays bounded —
+    no checkpointing needed at 3 hops.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    edges = (
+        li.selectExpr("l_partkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
+        .unionByName(
+            li.selectExpr("l_suppkey * 2 + 1 AS src", "l_partkey * 2 AS dst")
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    n_nodes = deg.count()
+    base = (15 * _PR_SCALE) // (100 * n_nodes)
+    ranks = deg.selectExpr(
+        "src AS node", "outdeg", f"{_PR_SCALE} div {n_nodes} AS r"
+    )
+    for _ in range(_PR_ITERS):
+        # The rank frame is |V| rows (one per node) while edges is |E|
+        # — broadcasting ranks keeps the persisted edge frame UNMOVED
+        # across all iterations (zero edge shuffles; the only exchange
+        # per iteration is the partial-agg'd groupBy(dst)). On a
+        # cluster this holds while |V| fits in broadcast memory;
+        # beyond that, bucket edges by src and ship ranks to them.
+        contrib = edges.join(
+            F.broadcast(ranks), edges.src == ranks.node
+        ).selectExpr("dst", "r div outdeg AS c")
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = deg.join(F.broadcast(sums), deg.src == sums.dst).selectExpr(
+            "src AS node", "outdeg", f"{base} + (85 * s) div 100 AS r"
+        )
+    return (
+        ranks.selectExpr(
+            "node AS node_id",
+            "CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END"
+            " AS node_type",
+            "r AS rank_scaled",
+        )
+        .orderBy(F.desc("rank_scaled"), "node_id")
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

@@ -377,3 +377,12 @@ def test_tombstone_purge_broadcasts_tombstones(spark):
     plan = plan_of(spark, "tombstone_delete_users")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_integer_only_and_keyed_joins(spark):
+    # fixed-point PageRank: every per-iteration join must be a keyed
+    # hash/SMJ join (never nested-loop), and no float types may appear
+    # in the rank pipeline (exactness contract).
+    plan = plan_of(spark, "pagerank_part_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
