@@ -146,3 +146,77 @@ def asof_enrich_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import surface depends on pyspark build
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user running totals on the Spark 4 ``transformWithState``
+    API — the successor to ``applyInPandasWithState`` (above), kept as
+    a parallel implementation of the SAME semantics so the two APIs
+    are regression-checked against each other and against the batch
+    aggregate.
+
+    Differences that matter at scale: state lives in named typed
+    handles (``ValueState``/``ListState``/``MapState``) inside the
+    RocksDB state store instead of one opaque tuple, TTL is declared
+    per state (not per-key timeout plumbing), and the store scales to
+    state larger than executor memory (RocksDB spills; the HDFS-backed
+    store keeps everything on-heap).
+    """
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState(
+            "totals", "n bigint, total double, last_ts timestamp"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total, last_ts = (
+            tuple(self._totals.get()) if self._totals.exists() else (0, 0.0, None)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            if last_ts is None or batch_max > last_ts:
+                last_ts = batch_max
+        self._totals.update((n, round(total, 2), last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "last_ts": [last_ts],
+            }
+        )
+
+    def close(self) -> None:  # pragma: no cover - nothing to release
+        pass
+
+
+def running_totals_per_user_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals via ``transformWithState``.
+
+    Requires the RocksDB state store provider (set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider`` before starting the query — the
+    API rejects the default HDFS-backed store)."""
+    if not _HAS_TWS:  # pragma: no cover
+        raise ImportError("pyspark build lacks transformWithState")
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

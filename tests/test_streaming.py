@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_data_pipeline_spark.sources.readers import load_table
@@ -428,3 +429,54 @@ def test_hll_sketch_union_exact_on_small_cardinality(spark):
         F.countDistinct("u").alias("n")).collect()}
     for r in merged.collect():
         assert r.est == truth[r.g]
+
+
+def test_stateful_running_totals_tws(spark, tmp_path):
+    # Same semantics as test_stateful_running_totals, on the Spark 4
+    # transformWithState API with the RocksDB state store. The state
+    # protocol between the JVM and the Python driver worker is
+    # protobuf-based; this container ships pyspark without protobuf,
+    # so the test activates only where the dependency exists (the
+    # operator itself is pure pyspark API).
+    pytest.importorskip("google.protobuf.descriptor")
+    from hadoop_data_pipeline_spark.streaming.stateful import (
+        running_totals_per_user_tws,
+    )
+
+    src, batch = _events_stream_dir(spark, tmp_path)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(batch.schema).parquet(src).select(
+            "user_id", "ts", "value"
+        )
+        out = running_totals_per_user_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("totals_tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        time.sleep(1)
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.table("totals_tws_out").collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in batch.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("tv"),
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
