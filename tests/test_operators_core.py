@@ -177,3 +177,35 @@ def test_latest_per_group_agg_matches_window(spark):
         "k", "t", "v"
     )
     assert got == {(r.k, r.t, r.v) for r in win.collect()}
+
+
+def test_python_datasource_jsonl_roundtrip(spark, tmp_path):
+    # Spark 4 Python DataSource: one planned partition per file,
+    # executor-side parsing, schema-first.
+    import json
+
+    from hadoop_data_pipeline_spark.sources.pydatasource import (
+        register_python_sources,
+    )
+
+    rows = [
+        {"id": i, "name": f"n{i}", "score": i / 2}
+        for i in range(20)
+    ]
+    for part in range(4):
+        with open(tmp_path / f"feed_{part}.jsonl", "w") as fh:
+            for rec in rows[part * 5:(part + 1) * 5]:
+                fh.write(json.dumps(rec) + "\n")
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("jsonl_files")
+        .option("path", str(tmp_path / "*.jsonl"))
+        .load()
+    )
+    # file-level parallelism: 4 files -> 4 planned partitions
+    assert df.rdd.getNumPartitions() == 4
+    got = {(r.id, r.name, r.score) for r in df.collect()}
+    assert got == {(r["id"], r["name"], r["score"]) for r in rows}
+    # aggregates run distributed over the custom source
+    assert df.agg(F.sum("id")).collect()[0][0] == sum(range(20))
