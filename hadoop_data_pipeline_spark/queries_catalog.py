@@ -3899,6 +3899,261 @@ def variant_json_prop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_journey_paths",
+    oracle="""
+    SELECT path, count(*) AS n_users FROM (
+        SELECT user_id,
+               string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    ) GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common whole-session event-type journeys (ordered
+    path analysis — the clickstream "what do users do, in order"
+    query).
+
+    Spark-first ordered aggregation: there is no ordered string_agg
+    builtin, so the idiom is collect_list of a (sort-key..., payload)
+    struct -> array_sort (struct compare = field order, so ts then
+    event_id — a unique tie-break) -> transform down to the payload ->
+    array_join. All four are JVM higher-order functions: one shuffle
+    on user_id (per-user rows are bounded), then a tiny agg on the
+    path strings and a TakeOrderedAndProject for the top-20 — the
+    (n_users DESC, path) key is unique, so the cut is deterministic.
+    At 100 TB the per-user collect_list is bounded by session length,
+    never by corpus size.
+    """
+    events = load_table(spark, sf_dir, "events")
+    paths = (
+        events.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        .select(
+            F.array_join(
+                F.expr("transform(seq, x -> x.event_type)"), "->"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "rolling_1h_user_event_stats",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def rolling_1h_user_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user activity (count + value sum) at every
+    event — the time-based RANGE window frame, distinct from every
+    ROWS frame in the catalog: the frame is "events in the last hour",
+    however many rows that is.
+
+    The ordering key is unix_micros (the fixture has sub-second
+    timestamps; second-truncated unix_timestamp would widen frames on
+    one engine only). RANGE frames include ordering-key peers on both
+    engines, so ties need no extra break. One hash exchange on
+    user_id + in-partition sort; the frame is maintained with two
+    moving pointers, never re-scanned — at 100 TB this is the same
+    single shuffle, and AQE splits any skewed user.
+    """
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+@register(
+    "dominant_supplier_share",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red %'
+        GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+        SELECT l_partkey, sum(supp_qty) AS part_qty,
+               count(*) AS n_suppliers
+        FROM ps GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           ps.supp_qty, tot.part_qty, tot.n_suppliers,
+           round(CAST(ps.supp_qty AS DOUBLE) / tot.part_qty, 4) AS share
+    FROM ps
+    JOIN tot ON ps.l_partkey = tot.l_partkey
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE tot.n_suppliers > 1
+      AND ps.supp_qty * tot.n_suppliers > 2 * tot.part_qty
+    """,
+)
+def dominant_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted to the fixture's columns): for 'red'
+    parts bought from more than one supplier, suppliers who shipped
+    more than TWICE their fair share (part total / n_suppliers) of
+    that part — the excess-concentration query (two-level aggregate ->
+    self-join -> threshold). The fair-share form stays populated at
+    every scale factor, unlike an absolute-share cut which dilutes as
+    the supplier pool grows with SF.
+
+    Scale/portability notes: quantities are integral doubles, so they
+    are cast to BIGINT before summing and the threshold is the
+    all-integer ``supp_qty * n_suppliers > 2 * part_qty`` — no float
+    accumulation-order ulp can flip a boundary row on either engine
+    (the profit_by_nation_year lesson). The part filter prunes at the
+    scan (LIKE 'red %' is a leading-prefix StartsWith pushdown), the
+    filtered part dim broadcasts, and the per-(part,supplier) partial
+    aggregate map-side-combines before its one shuffle; the per-part
+    totals come from a WINDOW over the already-tiny per-(part,
+    supplier) aggregate, not from a groupBy re-joined to it — the
+    groupBy+self-join form re-evaluates the whole fact subtree and
+    scans lineitem twice (pinned by the plan test: exactly one
+    lineitem scan).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    red = part.where(F.col("p_name").startswith("red ")).select(
+        "p_partkey", "p_name"
+    )
+    ps = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "p_name", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("supp_qty")
+        )
+    )
+    wp = Window.partitionBy("l_partkey")
+    enriched = ps.select(
+        "l_partkey",
+        "p_name",
+        "l_suppkey",
+        "supp_qty",
+        F.sum("supp_qty").over(wp).alias("part_qty"),
+        F.count(F.lit(1)).over(wp).alias("n_suppliers"),
+    )
+    return (
+        enriched.where(
+            (F.col("n_suppliers") > 1)
+            & (
+                F.col("supp_qty") * F.col("n_suppliers")
+                > 2 * F.col("part_qty")
+            )
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            "supp_qty",
+            "part_qty",
+            "n_suppliers",
+            F.round(
+                F.col("supp_qty").cast("double") / F.col("part_qty"), 4
+            ).alias("share"),
+        )
+    )
+
+
+@register(
+    "media_frame_digests",
+    oracle="""
+    SELECT d.doc_id, t.i AS frame_idx,
+           md5(substring(d.text, CAST(t.i * 16 + 1 AS BIGINT), 16))
+               AS frame_md5
+    FROM documents d,
+         UNNEST(generate_series(
+             0, CAST(floor(length(d.text) / 16) AS BIGINT) - 1, 4
+         )) AS t(i)
+    """,
+)
+def media_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling WITH content: cut each binary payload
+    into 16-byte frames, digest every 4th frame (operators/
+    multimodal.py frame_digests — Arrow-batched mapInPandas, the
+    "1 frame per second of video" pipeline shape with md5 standing in
+    for the decoded tensor).
+
+    Unlike media_feature_extract this kernel has an EXACT oracle: the
+    fixture text is pure ASCII (len == n_chars), so DuckDB's character
+    substring + md5-of-utf8 hashes the identical byte frames the
+    Python kernel slices. Zero shuffle — a map-side explode whose
+    output is bounded by payload bytes / (frame_bytes * stride).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(docs)
+    return multimodal.frame_digests(
+        payloads, frame_bytes=16, stride_frames=4
+    )
+
+
+@register(
+    "supplier_balance_percentile",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           round(percent_rank() OVER w, 6) AS bal_pct_rank,
+           round(cume_dist() OVER w, 6) AS bal_cume_dist
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+    """,
+)
+def supplier_balance_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions: each supplier's account
+    balance as a percentile (percent_rank) and cumulative share
+    (cume_dist) within its nation — the "where does this entity sit
+    in its cohort" analytics shape, completing the ranking-window
+    family (row_number / rank / ntile are elsewhere in the catalog).
+
+    Both functions are rank arithmetic over the partition sort, so
+    equality across engines is exact up to the shared round(…, 6);
+    balances are unique per nation in the fixture, and ties would
+    rank identically anyway. One exchange on s_nationkey.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

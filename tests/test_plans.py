@@ -404,3 +404,45 @@ def test_grouping_sets_single_expand_pass(spark):
     plan = plan_of(spark, "grouping_sets_revenue")
     assert "Expand" in plan
     assert len(scans_of(plan)) == 1
+
+
+def test_journey_paths_all_jvm_bounded_topk(spark):
+    # ordered path aggregation is pure JVM higher-order functions: no
+    # Python stage, one user-keyed exchange for the collect_list, and
+    # the top-20 cut is a bounded TakeOrderedAndProject (never a
+    # global sort of every distinct path).
+    plan = plan_of(spark, "user_journey_paths")
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_rolling_range_window_single_exchange(spark):
+    # the 1h RANGE frame needs exactly one user-keyed shuffle; the
+    # frame itself is maintained with moving pointers inside the sort.
+    plan = plan_of(spark, "rolling_1h_user_event_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "Python" not in plan
+
+
+def test_frame_digests_zero_shuffle_single_python_stage(spark):
+    # media frame sampling is a map-side explode: exactly one
+    # Arrow-batched Python stage, no exchange anywhere, and the scan
+    # reads only (doc_id, text).
+    plan = plan_of(spark, "media_frame_digests")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+    (scan,) = scans_of(plan)
+    assert "doc_id" in scan and "text" in scan and "lang" not in scan
+
+
+def test_dominant_supplier_broadcasts_and_prunes(spark):
+    # Q20 shape: the red-part filter reaches the part scan, the
+    # filtered dim broadcasts, and lineitem is scanned exactly once.
+    plan = plan_of(spark, "dominant_supplier_share")
+    assert "BroadcastHashJoin" in plan
+    li_scans = [s for s in scans_of(plan) if "l_quantity" in s]
+    assert len(li_scans) == 1
+    part_scans = [s for s in scans_of(plan) if "p_name" in s]
+    assert any("StartsWith" in s or "red" in s for s in part_scans)
