@@ -80,6 +80,13 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_failed": len(failed),
+        # catalog_total_runtime grows with catalog size; per-query mean
+        # is the round-over-round comparable number.
+        "sec_per_query": round(
+            sum(v for v in timings.values() if v >= 0)
+            / max(1, len(timings) - len(failed)),
+            3,
+        ),
         "failed": failed,
         "queries": timings,
     }
@@ -95,6 +102,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_failed": len(failed),
+        "sec_per_query": details["sec_per_query"],
         "queries": slowest,
     }
     print(json.dumps(result))

@@ -4154,6 +4154,152 @@ def supplier_balance_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT)
+               AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type (10
+    buckets of width 50, clamped) — the distribution-profiling query
+    every DQ dashboard needs.
+
+    The bucket expression is plain arithmetic (floor of an IEEE
+    double division — bit-identical across engines) rather than
+    engine-specific width_bucket, so the oracle is exact. Plan: one
+    partial-agg exchange on (type, bucket) — 50 groups; at 100 TB the
+    map-side combine reduces each partition to ≤50 rows before the
+    shuffle, so this is scan-bound.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(9)
+    ).cast("bigint")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    SELECT prev_type, event_type, count(*) AS n_transitions
+    FROM (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive
+    event types per user — the "what happens next" companion to
+    user_journey_paths (which keeps whole paths; this keeps the
+    bigram transition matrix, the form that stays tiny — |types|² —
+    at any corpus size).
+
+    Plan: one user-keyed exchange for the lag window (tie-broken by
+    event_id), then a partial-agg shuffle on the 25-cell transition
+    key. Nothing in the plan grows with corpus size except the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "quantity_price_correlation",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sx,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS sxx,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round(
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / sqrt(
+                   (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+               ), 6
+           ) AS qty_price_corr
+    FROM s
+    """,
+)
+def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between quantity and price per return
+    flag — computed the SCALE-SAFE way: the five moments are summed
+    as exact integers (quantity is integral, price in cents), and
+    the correlation formula is then evaluated once per group on
+    identical integers, so both engines produce the identical double.
+    The builtin ``corr`` could not cross-check (and at 100 TB a
+    float-accumulating corr is also ORDER-dependent across retries):
+    decomposable integer moments + a final scalar formula is the
+    reproducible form. One partial-agg exchange on 3 groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    corr = (n * F.col("sxy") - sx * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - sx * F.col("sx"))
+        * (n * F.col("syy") - sy * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("qty_price_corr")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------
