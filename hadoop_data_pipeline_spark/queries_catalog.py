@@ -4300,6 +4300,56 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bom_rollup_sql(dialect: str, table: str = "part") -> str:
+    """Recursive-CTE assembly rollup, one SQL text for both engines
+    (the ``_pagerank_sql`` dual-dialect pattern). Only integer
+    division differs: Spark ``DIV`` vs DuckDB ``//``."""
+    from hadoop_data_pipeline_spark.operators.curation import intdiv
+
+    half = intdiv("c.anc", "2", dialect)
+    return f"""
+    WITH RECURSIVE climb(p_partkey, anc, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM {table}
+        UNION ALL
+        SELECT c.p_partkey, {half}, c.depth + 1
+        FROM climb c WHERE c.anc > 3
+    )
+    SELECT t.anc AS top_assembly,
+           count(*) AS n_parts,
+           max(t.depth) AS max_depth,
+           sum(CAST(round(p.p_retailprice * 100) AS BIGINT))
+               AS retail_cents
+    FROM climb t
+    JOIN {table} p ON p.p_partkey = t.p_partkey
+    WHERE t.anc <= 3
+    GROUP BY t.anc
+    """
+
+
+@register("bom_rollup_recursive", oracle=_bom_rollup_sql(dual.DUCK))
+def bom_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (bill-of-materials-style) rollup via Spark 4's
+    RECURSIVE CTE: every part climbs its deterministic assembly tree
+    (component key = part key DIV 2 — a synthetic but stable binary
+    BOM over the key space) to one of the three top-level assemblies
+    {1,2,3}; parts, maximum tree depth, and exact retail cents are
+    aggregated per top assembly.
+
+    This is the org-chart / BOM / category-tree query shape that
+    needed a driver-side loop before recursive CTEs landed: the
+    recursion is now INSIDE one declarative plan, each step a
+    self-union Catalyst executes iteratively with the same pruned
+    columns. Depth is bounded by log2(max key) (~17 at sf0.1), the
+    working set shrinks as chains terminate, and the final aggregate
+    is exact integer arithmetic — both engines run the same SQL text
+    modulo the integer-division operator (``_bom_rollup_sql``).
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "__bom_part"
+    )
+    return spark.sql(_bom_rollup_sql(dual.SPARK, table="__bom_part"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------
