@@ -25,8 +25,15 @@ from __future__ import annotations
 import glob
 import json
 import os
+import uuid
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 #: Declared schema of the demo feed: (id bigint, name string, score double).
 JSONL_SCHEMA = "id bigint, name string, score double"
@@ -50,6 +57,9 @@ class JsonlFilesDataSource(DataSource):
 
     def reader(self, schema) -> "JsonlFilesReader":
         return JsonlFilesReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "JsonlFilesWriter":
+        return JsonlFilesWriter(self.options, schema, overwrite)
 
 
 class JsonlFilesReader(DataSourceReader):
@@ -78,6 +88,108 @@ class JsonlFilesReader(DataSourceReader):
                     str(rec.get("name", "")),
                     float(rec.get("score", 0.0)),
                 )
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file this task produced and
+    how many rows it holds."""
+
+    def __init__(self, tmp_name: str, n_rows: int):
+        self.tmp_name = tmp_name
+        self.n_rows = n_rows
+
+
+class JsonlFilesWriter(DataSourceWriter):
+    """Sink side of the seam, with the full two-phase commit protocol
+    the atomic-swap writer (`atomic.py`) implements for parquet
+    partitions — here at the task level:
+
+    * ``write`` (executors): each task streams its rows to a
+      ``.tmp-<uuid>`` file and returns a commit message naming it.
+      A retried/zombie task leaves only an orphaned temp file — it can
+      never corrupt committed output because nothing is visible until:
+    * ``commit`` (driver, once, only if EVERY task succeeded): temp
+      files are renamed to their final ``part-NNNNN.jsonl`` names and a
+      ``_MANIFEST.json`` (file list + row counts) is written LAST — a
+      reader that requires the manifest sees the write all-or-nothing,
+      exactly like a parquet ``_SUCCESS`` / snapshot manifest.
+    * ``abort``: temp files are deleted; committed data untouched.
+
+    Scale shape: rows stream through executors (the driver handles
+    only commit messages — bytes never visit it), one rename per task
+    at commit — O(tasks) metadata ops, same as the FS swap in
+    `atomic.py:37-116` (reference `jobs/utils/retry.py:63-127`).
+    """
+
+    def __init__(self, options, schema, overwrite: bool):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("jsonl_files requires the 'path' option")
+        self._cols = schema.fieldNames()
+        self._overwrite = overwrite
+
+    @staticmethod
+    def _json_default(v):
+        """JSON coercions for Spark row types with no native JSON
+        form: Decimal -> float, datetime/date -> ISO, bytes -> hex."""
+        import datetime
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        raise TypeError(f"not JSON-serializable: {type(v).__name__}")
+
+    def write(self, iterator) -> _JsonlCommit:  # executor-side
+        os.makedirs(self._dir, exist_ok=True)
+        tmp_name = f".tmp-{uuid.uuid4().hex}"
+        n = 0
+        with open(
+            os.path.join(self._dir, tmp_name), "w", encoding="utf-8"
+        ) as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        dict(zip(self._cols, row)),
+                        sort_keys=True,
+                        default=self._json_default,
+                    )
+                )
+                fh.write("\n")
+                n += 1
+        return _JsonlCommit(tmp_name, n)
+
+    def commit(self, messages) -> None:  # driver-side, all tasks ok
+        if self._overwrite:
+            for old in glob.glob(os.path.join(self._dir, "part-*.jsonl")):
+                os.remove(old)
+        manifest = []
+        for i, msg in enumerate(messages):
+            final = f"part-{i:05d}.jsonl"
+            os.replace(
+                os.path.join(self._dir, msg.tmp_name),
+                os.path.join(self._dir, final),
+            )
+            manifest.append({"file": final, "rows": msg.n_rows})
+        with open(
+            os.path.join(self._dir, "_MANIFEST.json"), "w"
+        ) as fh:
+            json.dump(
+                {"files": manifest, "n_rows": sum(m["rows"] for m in manifest)},
+                fh,
+            )
+
+    def abort(self, messages) -> None:  # driver-side, something failed
+        for msg in messages:
+            if msg is None:
+                continue
+            try:
+                os.remove(os.path.join(self._dir, msg.tmp_name))
+            except FileNotFoundError:
+                pass
 
 
 def register_python_sources(spark) -> None:

@@ -209,3 +209,49 @@ def test_python_datasource_jsonl_roundtrip(spark, tmp_path):
     assert got == {(r["id"], r["name"], r["score"]) for r in rows}
     # aggregates run distributed over the custom source
     assert df.agg(F.sum("id")).collect()[0][0] == sum(range(20))
+
+
+def test_python_datasource_jsonl_write_commit_protocol(spark, tmp_path):
+    # Spark 4 Python DataSource WRITER: task temp files + driver
+    # commit rename + manifest-last — the atomic.py swap discipline at
+    # the task level.
+    import json
+
+    from hadoop_data_pipeline_spark.sources.pydatasource import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out = tmp_path / "sink"
+    df = spark.range(0, 40).selectExpr(
+        "id", "concat('n', id) AS name", "id / 4.0 AS score"
+    ).repartition(3)
+    df.write.format("jsonl_files").mode("append").option(
+        "path", str(out)
+    ).save()
+
+    manifest = json.loads((out / "_MANIFEST.json").read_text())
+    assert manifest["n_rows"] == 40
+    parts = sorted(p.name for p in out.glob("part-*.jsonl"))
+    assert parts == sorted(m["file"] for m in manifest["files"])
+    # no stray temp files survive a successful commit
+    assert not list(out.glob(".tmp-*"))
+
+    # round-trip through the reader side of the same source
+    back = (
+        spark.read.format("jsonl_files")
+        .option("path", str(out / "*.jsonl"))
+        .load()
+    )
+    assert back.count() == 40
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(40))
+
+    # overwrite replaces committed parts and rewrites the manifest
+    spark.range(0, 7).selectExpr(
+        "id", "concat('m', id) AS name", "id * 1.0 AS score"
+    ).coalesce(1).write.format("jsonl_files").mode("overwrite").option(
+        "path", str(out)
+    ).save()
+    manifest2 = json.loads((out / "_MANIFEST.json").read_text())
+    assert manifest2["n_rows"] == 7
+    assert len(list(out.glob("part-*.jsonl"))) == len(manifest2["files"])
