@@ -4350,6 +4350,52 @@ def bom_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_bom_rollup_sql(dual.SPARK, table="__bom_part"))
 
 
+@register(
+    "user_first_last_events",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           nth_value(event_type, 2) OVER w AS second_type,
+           last_value(event_type) OVER w AS last_type,
+           count(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user journey endpoints: first, second, and last event type
+    plus event count — the value-locating window family
+    (first_value / nth_value / last_value) that completes the window
+    catalog alongside ranking (row_number/rank/ntile/percent_rank),
+    offset (lag/lead), and frame aggregates.
+
+    The frame MUST be UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING:
+    last_value over the default frame (..CURRENT ROW) returns the
+    current row — the classic window bug, identical in both engines,
+    which the explicit frame avoids. Ordering ties break on event_id
+    so both engines pick the same first/second/last. One exchange on
+    user_id; DISTINCT collapses to one row per user afterwards (the
+    whole-partition frame makes every row of a user identical, so the
+    distinct is a cheap second pass over already-grouped data).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------
