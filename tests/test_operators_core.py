@@ -255,3 +255,28 @@ def test_python_datasource_jsonl_write_commit_protocol(spark, tmp_path):
     manifest2 = json.loads((out / "_MANIFEST.json").read_text())
     assert manifest2["n_rows"] == 7
     assert len(list(out.glob("part-*.jsonl"))) == len(manifest2["files"])
+
+
+def test_python_datasource_jsonl_abort_leaves_no_visible_output(spark, tmp_path):
+    # If any task fails, the driver calls abort: no part files and no
+    # manifest may appear — the write is invisible until commit.
+    import pytest as _pytest
+
+    from hadoop_data_pipeline_spark.sources.pydatasource import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out = tmp_path / "sink_abort"
+    df = spark.range(0, 10).selectExpr(
+        "id",
+        "concat('x', id) AS name",
+        "CASE WHEN id = 7 THEN raise_error('poison row') "
+        "ELSE 'ok' END AS score_s",
+    ).selectExpr("id", "name", "CAST(length(score_s) AS DOUBLE) AS score")
+    with _pytest.raises(Exception):
+        df.coalesce(2).write.format("jsonl_files").mode("append").option(
+            "path", str(out)
+        ).save()
+    assert not (out / "_MANIFEST.json").exists()
+    assert not list(out.glob("part-*.jsonl"))
