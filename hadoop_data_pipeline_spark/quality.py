@@ -363,3 +363,72 @@ def partition_skew_report(df: DataFrame, sample_ratio: float = 1.0) -> dict:
         ),
         "empty_partitions": n_parts - int(rows["n"]),
     }
+
+
+def profile_table(
+    df: DataFrame,
+    num_cols: list[str],
+    str_cols: list[str],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass column profile — the dbt/Deequ-style "summarize"
+    every pipeline needs before trusting a new table: per column the
+    row count, null count, distinct count, and min/max (numeric
+    columns as doubles, string columns lexicographically — kept in
+    separate typed fields so no engine-specific number->string cast
+    formatting leaks into the result).
+
+    Scale shape, measured not assumed: in approx mode everything is
+    ONE aggregate over ONE scan (HLL sketches compose with plain
+    aggs; no Expand). In exact mode the multi-distinct plans via a
+    k+1-way Expand, and putting min/max INTO that aggregate forces
+    them through gid-guarded evaluation of every expanded row — 6.0 s
+    vs 2.3+0.3 s at sf0.1 for the same metrics — so exact mode runs
+    TWO aggregates (one distinct-bearing, one plain min/max)
+    cross-joined into the single profile row. The 1-row ``stack``
+    unpivot costs nothing. The reference's profiling
+    (`jobs/data_quality.py:48`) issued one job per column; this is
+    the same information in at most two.
+    """
+    count_aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in num_cols + str_cols:
+        count_aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        count_aggs.append(
+            (
+                F.count_distinct(F.col(c))
+                if exact_distinct
+                else F.approx_count_distinct(c)
+            ).alias(f"__nd_{c}")
+        )
+    minmax_aggs = []
+    for c in num_cols:
+        minmax_aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
+        minmax_aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+    for c in str_cols:
+        minmax_aggs.append(F.min(F.col(c)).alias(f"__mns_{c}"))
+        minmax_aggs.append(F.max(F.col(c)).alias(f"__mxs_{c}"))
+    if exact_distinct:
+        one = df.agg(*count_aggs).crossJoin(df.agg(*minmax_aggs))
+    else:
+        one = df.agg(*(count_aggs + minmax_aggs))
+
+    def entry(c: str, is_num: bool) -> str:
+        mn = f"__mn_{c}" if is_num else "CAST(NULL AS double)"
+        mx = f"__mx_{c}" if is_num else "CAST(NULL AS double)"
+        mns = "CAST(NULL AS string)" if is_num else f"__mns_{c}"
+        mxs = "CAST(NULL AS string)" if is_num else f"__mxs_{c}"
+        return (
+            f"'{c}', CAST(__n AS bigint), "
+            f"CAST(__n - __nn_{c} AS bigint), "
+            f"CAST(__nd_{c} AS bigint), {mn}, {mx}, {mns}, {mxs}"
+        )
+
+    k = len(num_cols) + len(str_cols)
+    parts = [entry(c, True) for c in num_cols] + [
+        entry(c, False) for c in str_cols
+    ]
+    return one.selectExpr(
+        f"stack({k}, {', '.join(parts)}) AS "
+        "(column, n_rows, n_nulls, n_distinct, "
+        "min_num, max_num, min_str, max_str)"
+    )

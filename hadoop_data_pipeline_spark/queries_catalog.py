@@ -4396,6 +4396,63 @@ def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+@register(
+    "profile_lineitem_columns",
+    oracle="""
+    SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_nulls,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS DOUBLE) AS min_num,
+           CAST(max(l_quantity) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           CAST(min(l_discount) AS DOUBLE),
+           CAST(max(l_discount) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+           count(DISTINCT l_linestatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(l_linestatus), max(l_linestatus)
+    FROM lineitem
+    """,
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profile of four lineitem columns
+    (`quality.profile_table`): rows / nulls / distincts / typed
+    min-max per column from a SINGLE scan — where the oracle (and the
+    reference's DQ shape, `jobs/data_quality.py:48`) issues one
+    aggregate per column, the engine computes the whole profile in
+    one job and unpivots the 1-row result for free. Exact distincts
+    here (oracle-checkable) on BOUNDED-cardinality columns — an exact
+    distinct over a high-cardinality double (l_extendedprice) costs a
+    full-width dedup shuffle (measured 11 s at sf0.1, ~10x the rest
+    of the profile), which is exactly when `exact_distinct=False`
+    switches the distincts to HLL: same single scan, no Expand, and
+    cardinality never changes the plan.
+    """
+    from hadoop_data_pipeline_spark import quality
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return quality.profile_table(
+        li,
+        num_cols=["l_quantity", "l_discount"],
+        str_cols=["l_returnflag", "l_linestatus"],
+        exact_distinct=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

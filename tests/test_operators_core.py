@@ -280,3 +280,27 @@ def test_python_datasource_jsonl_abort_leaves_no_visible_output(spark, tmp_path)
         ).save()
     assert not (out / "_MANIFEST.json").exists()
     assert not list(out.glob("part-*.jsonl"))
+
+
+def test_profile_table_approx_single_pass(spark):
+    # the 100 TB profile path: HLL distincts, no Expand in the plan,
+    # one scan; counts stay within HLL tolerance of the exact path.
+    from hadoop_data_pipeline_spark import quality
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    approx = quality.profile_table(
+        li, ["l_quantity"], ["l_returnflag"], exact_distinct=False
+    )
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    rows = {r["column"]: r for r in approx.collect()}
+    exact = {
+        r["column"]: r
+        for r in quality.profile_table(
+            li, ["l_quantity"], ["l_returnflag"], exact_distinct=True
+        ).collect()
+    }
+    for c in rows:
+        e, a = exact[c]["n_distinct"], rows[c]["n_distinct"]
+        assert abs(a - e) <= max(5, 0.1 * e)
+        assert rows[c]["n_rows"] == exact[c]["n_rows"]
