@@ -368,7 +368,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -382,18 +383,28 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation (25 rows) and customer are broadcast below the default
     threshold; the lineitem⋈orders join shuffles on orderkey. AQE
     re-plans to broadcast at runtime when a side turns out small.
+
+    Revenue aggregates in integer CENTS (row-local double product ->
+    round -> bigint; exact sum; /100.0 once per group): at ~10 digits
+    of accumulated revenue a float sum's accumulation-order wobble
+    exceeds the cent and round(...,2) stops hiding it — caught by the
+    ~4x-sf0.1 stress run (`tools/stress.py`), 19116369976.2 vs .19 on
+    one nation. Same lesson as `profit_by_nation_year`; cents stay
+    exact in a bigint to ~1e16 dollars per group (decimal beyond).
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
     )
 
 
@@ -4272,6 +4283,15 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-accumulating corr is also ORDER-dependent across retries):
     decomposable integer moments + a final scalar formula is the
     reproducible form. One partial-agg exchange on 3 groups.
+
+    The second-order moments are summed as DECIMAL(38,0), not BIGINT:
+    y is price CENTS (~1e7), so Σy² grows ~1e14 per row and overflows
+    a 64-bit long around 1e5 rows per group — found by the ~4x-sf0.1
+    stress run (`tools/stress.py`), where Spark's ANSI sum raised
+    ARITHMETIC_OVERFLOW while DuckDB silently widened to HUGEINT.
+    Decimal128 sums stay exact to 38 digits (good past exabyte row
+    counts) and both engines then feed the identical integers to the
+    identical double formula.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -4280,20 +4300,24 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
-    corr = (n * F.col("sxy") - sx * F.col("sy")) / F.sqrt(
-        (n * F.col("sxx") - sx * F.col("sx"))
-        * (n * F.col("syy") - sy * F.col("sy"))
+    corr = (
+        n * F.col("sxy").cast("double") - sx * F.col("sy").cast("double")
+    ) / F.sqrt(
+        (n * F.col("sxx").cast("double") - sx * F.col("sx").cast("double"))
+        * (n * F.col("syy").cast("double") - sy * F.col("sy").cast("double"))
     )
     return s.select(
         "l_returnflag", "n", F.round(corr, 6).alias("qty_price_corr")
@@ -4343,10 +4367,20 @@ def bom_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     working set shrinks as chains terminate, and the final aggregate
     is exact integer arithmetic — both engines run the same SQL text
     modulo the integer-division operator (``_bom_rollup_sql``).
+
+    Sizing the safety valve: Spark caps recursive-CTE output at
+    ``spark.sql.cteRecursionRowLimit`` = 1M rows by default, and this
+    query's working set is rows x avg_depth — the ~4x-sf0.1 stress
+    run (`tools/stress.py`, 320k parts x ~25 levels ≈ 7M rows)
+    tripped it. The limit is raised here to the documented bound of
+    the workload (|part| x 64-bit max depth), which is the right
+    discipline on a cluster too: budget the limit from data size, do
+    not disable it.
     """
-    load_table(spark, sf_dir, "part").createOrReplaceTempView(
-        "__bom_part"
-    )
+    part = load_table(spark, sf_dir, "part")
+    budget = max(1_000_000, part.count() * 64)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(budget))
+    part.createOrReplaceTempView("__bom_part")
     return spark.sql(_bom_rollup_sql(dual.SPARK, table="__bom_part"))
 
 

@@ -1,0 +1,133 @@
+"""Scale-stress correctness: run headline queries at ~4x sf0.1
+(~2.4M lineitem rows) against DuckDB.
+
+The driver fixtures stop at sf0.1; bugs that only show above that
+(float accumulation order, boundary thresholds, window frames over
+bigger groups) need bigger data. This tool materializes a key-shifted
+union of K copies of sf0.1 — every copy's keys are offset by a stride
+so referential integrity holds and group counts grow K-fold — then
+runs a headline subset through BOTH engines and value-compares, the
+same check as tools/oracle_check.py, at a scale the fixtures don't
+ship.
+
+Timestamps are shifted per copy (+i hours) so event-time windows and
+gap statistics see genuinely new data, not K identical cohorts.
+
+Usage: python tools/stress.py [copies] [sf_dir]
+Writes the derived parquet under /tmp/spark_graft_stress (re-created
+each run), never under /root/testdata.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+
+import duckdb
+
+KEY_STRIDE = 10_000_000  # far above any sf0.1 key
+
+#: table -> (key columns to offset, timestamp columns to shift)
+SHIFTS = {
+    "region": ([], []),
+    "nation": ([], []),
+    "customer": (["c_custkey"], []),
+    "supplier": (["s_suppkey"], []),
+    "part": (["p_partkey"], []),
+    "orders": (["o_orderkey", "o_custkey"], ["o_orderdate"]),
+    "lineitem": (
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+        ["l_shipdate"],
+    ),
+    "events": (["event_id", "user_id"], ["ts"]),
+    "documents": (["doc_id"], []),
+    "embeddings": (["vec_id"], []),
+}
+
+#: headline subset: joins+agg, exact-cents agg, windows (ROWS/RANGE),
+#: threshold boundary, dedup, recursive CTE, profile.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "profit_by_nation_year",
+    "latest_event_per_user_type",
+    "rolling_1h_user_event_stats",
+    "user_event_gap_stats_window",
+    "dominant_supplier_share",
+    "dedup_exact_docs",
+    "bom_rollup_recursive",
+    "profile_lineitem_columns",
+    "event_type_transitions",
+    "quantity_price_correlation",
+]
+
+
+def build(spark, sf_dir: str, out_dir: str, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    for table, (key_cols, ts_cols) in SHIFTS.items():
+        base = load_table(spark, sf_dir, table)
+        parts = []
+        for i in range(copies):
+            df = base
+            for c in key_cols:
+                df = df.withColumn(c, F.col(c) + F.lit(i * KEY_STRIDE))
+            for c in ts_cols:
+                df = df.withColumn(
+                    c, F.col(c) + F.expr(f"INTERVAL {i} HOURS")
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+
+def main() -> int:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = "/tmp/spark_graft_stress"
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from hadoop_data_pipeline_spark.session import get_session
+    from tools.oracle_check import TABLES, compare
+
+    spark = get_session("stress")
+    t0 = time.perf_counter()
+    build(spark, sf_dir, out_dir, copies)
+    print(f"built {copies}x {sf_dir} in {time.perf_counter() - t0:.0f}s")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        # Spark writes a parquet DIRECTORY; DuckDB needs the file glob.
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM parquet_scan('{out_dir}/{t}.parquet/*.parquet')"
+        )
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed = []
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        try:
+            sdf = qs[name](spark, out_dir).toPandas()
+            ddf = con.execute(oracles[name]).df()
+            problems = compare(sdf, ddf)
+        except Exception as ex:  # noqa: BLE001
+            problems = [f"raised {ex}"]
+        dt = time.perf_counter() - t0
+        if problems:
+            failed.append(name)
+            print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
+        else:
+            print(f"MATCH {name} ({dt:.1f}s): rows={len(sdf)}")
+    print(f"\n{len(HEADLINE) - len(failed)}/{len(HEADLINE)} pass at ~{copies}x sf0.1")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
