@@ -46,7 +46,11 @@ SHIFTS = {
 }
 
 #: headline subset: joins+agg, exact-cents agg, windows (ROWS/RANGE),
-#: threshold boundary, dedup, recursive CTE, profile.
+#: threshold boundary, dedup, recursive CTE, profile — plus every
+#: query whose oracle rounds a FLOAT aggregate over a COARSE group
+#: (nation / day / flag / event_type): key-shifted copies keep
+#: per-entity groups constant but grow coarse groups K-fold, which is
+#: exactly where accumulation-order wobble outgrows round(..., 2).
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
@@ -60,6 +64,32 @@ HEADLINE = [
     "profile_lineitem_columns",
     "event_type_transitions",
     "quantity_price_correlation",
+    # coarse-group float aggregates / float thresholds
+    "case_when_agg_per_user",
+    "filtered_sum_returned_revenue",
+    "forecast_revenue_change",
+    "promo_revenue_share",
+    "nation_market_share",
+    "nation_pair_trade_volume",
+    "monthly_revenue_moving_avg",
+    "daily_revenue_anomalies",
+    "tumbling_daily_event_stats",
+    "sliding_2d_event_counts",
+    "rollup_revenue",
+    "cube_returnflag_linestatus",
+    "grouping_sets_revenue",
+    "salted_event_type_stats",
+    "top_supplier_revenue",
+    "part_revenue_concentration",
+    "small_quantity_part_revenue",
+    "idle_rich_customers",
+    "shipping_priority_top10",
+    "top_returning_customers",
+    "incremental_daily_agg_merge",
+    "median_price_by_segment",
+    "customer_spend_decile_by_nation",
+    "event_value_histogram",
+    "ship_latency_priority_counts",
 ]
 
 
