@@ -90,6 +90,19 @@ HEADLINE = [
     "customer_spend_decile_by_nation",
     "event_value_histogram",
     "ship_latency_priority_counts",
+    # cheap row-local / window / kernel coverage (quadratic-oracle
+    # text-pair queries stay out — THEIR DuckDB oracles, not the
+    # Spark plans, are what cannot take 8x)
+    "text_token_stats",
+    "doc_fingerprint",
+    "minhash_signatures_docs",
+    "media_frame_digests",
+    "user_journey_paths",
+    "user_first_last_events",
+    "supplier_balance_percentile",
+    "running_sum_per_user",
+    "forward_fill_purchase_value",
+    "top3_orders_per_customer",
 ]
 
 
