@@ -103,6 +103,14 @@ HEADLINE = [
     "running_sum_per_user",
     "forward_fill_purchase_value",
     "top3_orders_per_customer",
+    # dedup family with index-based oracles (cluster resolution's
+    # recursive-CTE oracle costs ~200s at 8x — Spark side is covered
+    # via the pair queries; the quadratic simhash oracle stays out)
+    "near_dup_pairs_minhash",
+    "segment_dedup_docs",
+    "ngram_jaccard_pairs_lang",  # K identical copies push every
+    # shingle past the df cap -> both engines must agree on the
+    # now-empty pair set (the cap is part of the semantics)
 ]
 
 
