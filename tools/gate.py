@@ -9,11 +9,14 @@ script IS the checklist — run it, and only snapshot on exit 0:
    (mirror of the driver's correctness gate)
 3. the sf0.1 headline subset — the queries whose bugs historically
    only appeared above sf0.01 (float accumulation order, bucket skew)
+4. ``tools/stress.py 4`` — the 50-query sweep at a key-shifted ~4x
+   sf0.1, which caught the overflow / float-drift / recursion-valve
+   bugs that every sf0.1 check passed
 
 Appends one result line to COVERAGE.md ("Gate log" section) so the
 judge can see the gate actually ran.
 
-Usage: python tools/gate.py [--skip-pytest]
+Usage: python tools/gate.py [--skip-pytest] [--skip-stress]
 """
 
 from __future__ import annotations
@@ -72,6 +75,13 @@ def main() -> int:
             ],
         )
     )
+    if "--skip-stress" not in sys.argv:
+        # 4x key-shifted sf0.1 (~2.4M lineitem): the stage that caught
+        # the bigint-overflow / float-drift / recursion-valve bugs the
+        # sf0.1 sweeps could not see (tools/stress.py).
+        steps.append(
+            ("stress_4x", [sys.executable, "tools/stress.py", "4"])
+        )
     results = [run(name, cmd) for name, cmd in steps]
     all_ok = all(ok for _, ok, _, _ in results)
 
