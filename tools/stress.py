@@ -13,7 +13,7 @@ ship.
 Timestamps are shifted per copy (+i hours) so event-time windows and
 gap statistics see genuinely new data, not K identical cohorts.
 
-Usage: python tools/stress.py [copies] [sf_dir]
+Usage: python tools/stress.py [copies] [sf_dir] [--skew]
 Writes the derived parquet under /tmp/spark_graft_stress (re-created
 each run), never under /root/testdata.
 """
@@ -114,7 +114,31 @@ HEADLINE = [
 ]
 
 
-def build(spark, sf_dir: str, out_dir: str, copies: int) -> None:
+#: --skew: queries whose plans key on user_id — the dimension the hot
+#: key attacks (windows cannot be split by AQE; aggregates rely on
+#: partial combine / salting).
+SKEW_HEADLINE = [
+    "latest_event_per_user_type",
+    "rolling_1h_user_event_stats",
+    "user_event_gap_stats_window",
+    "running_sum_per_user",
+    "forward_fill_purchase_value",
+    "user_first_last_events",
+    "user_journey_paths",
+    "event_type_transitions",
+    "salted_event_type_stats",
+    "tumbling_daily_event_stats",
+    "session_window_user_stats",
+    "case_when_agg_per_user",
+]
+
+#: Deterministic hot key: ~30% of all events collapse onto this user.
+HOT_USER = 42
+
+
+def build(
+    spark, sf_dir: str, out_dir: str, copies: int, skew: bool = False
+) -> None:
     from pyspark.sql import functions as F
 
     from hadoop_data_pipeline_spark.sources.readers import load_table
@@ -135,12 +159,24 @@ def build(spark, sf_dir: str, out_dir: str, copies: int) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if skew and table == "events":
+            # one user owns ~30% of the corpus — the hot-key shape a
+            # uniform fixture can never produce. Deterministic remap
+            # so both engines see the identical rows.
+            out = out.withColumn(
+                "user_id",
+                F.when(
+                    F.col("event_id") % 10 < 3, F.lit(HOT_USER)
+                ).otherwise(F.col("user_id")),
+            )
         out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
 
 
 def main() -> int:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv
+    copies = int(args[0]) if args else 4
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     out_dir = "/tmp/spark_graft_stress"
 
     sys.path.insert(0, "/root/repo")
@@ -150,8 +186,11 @@ def main() -> int:
 
     spark = get_session("stress")
     t0 = time.perf_counter()
-    build(spark, sf_dir, out_dir, copies)
-    print(f"built {copies}x {sf_dir} in {time.perf_counter() - t0:.0f}s")
+    build(spark, sf_dir, out_dir, copies, skew=skew)
+    mode = " (30% hot-key skew)" if skew else ""
+    print(
+        f"built {copies}x {sf_dir}{mode} in {time.perf_counter() - t0:.0f}s"
+    )
 
     con = duckdb.connect()
     for t in TABLES:
@@ -161,8 +200,9 @@ def main() -> int:
             f"FROM parquet_scan('{out_dir}/{t}.parquet/*.parquet')"
         )
     qs, oracles = e.queries(), e.oracle_sql()
+    headline = SKEW_HEADLINE if skew else HEADLINE
     failed = []
-    for name in HEADLINE:
+    for name in headline:
         t0 = time.perf_counter()
         try:
             sdf = qs[name](spark, out_dir).toPandas()
@@ -176,7 +216,7 @@ def main() -> int:
             print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
         else:
             print(f"MATCH {name} ({dt:.1f}s): rows={len(sdf)}")
-    print(f"\n{len(HEADLINE) - len(failed)}/{len(HEADLINE)} pass at ~{copies}x sf0.1")
+    print(f"\n{len(headline) - len(failed)}/{len(headline)} pass at ~{copies}x sf0.1{mode}")
     return 1 if failed else 0
 
 
