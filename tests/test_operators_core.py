@@ -304,3 +304,27 @@ def test_profile_table_approx_single_pass(spark):
         e, a = exact[c]["n_distinct"], rows[c]["n_distinct"]
         assert abs(a - e) <= max(5, 0.1 * e)
         assert rows[c]["n_rows"] == exact[c]["n_rows"]
+
+
+def test_profile_table_null_and_empty_edges(spark):
+    # all-null column, empty frame: metric columns must stay typed
+    # and null rather than raising or coercing.
+    from hadoop_data_pipeline_spark import quality
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, None), (None, "b")],
+        "x double, s string",
+    )
+    rows = {r["column"]: r for r in quality.profile_table(
+        df, ["x"], ["s"]
+    ).collect()}
+    assert rows["x"]["n_nulls"] == 3 and rows["x"]["n_distinct"] == 0
+    assert rows["x"]["min_num"] is None and rows["x"]["max_num"] is None
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
+
+    empty = df.where("1 = 0")
+    erows = {r["column"]: r for r in quality.profile_table(
+        empty, ["x"], ["s"]
+    ).collect()}
+    assert erows["x"]["n_rows"] == 0 and erows["x"]["n_distinct"] == 0

@@ -1,0 +1,55 @@
+"""The stress harness (tools/stress.py) is gate stage 4 — this smoke
+keeps its machinery (key-shifted build, skew remap, DuckDB view glob,
+compare loop) from bit-rotting between gate runs, on sf0.001 so it
+stays cheap inside pytest."""
+
+from __future__ import annotations
+
+import duckdb
+
+from tools import stress
+from tools.oracle_check import TABLES, compare
+
+SMOKE_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "quantity_price_correlation",
+    "bom_rollup_recursive",
+    "rolling_1h_user_event_stats",
+]
+
+
+def test_stress_build_and_compare_smoke(spark, tmp_path):
+    import __spark_entry__ as e
+
+    out = str(tmp_path / "stress")
+    stress.build(spark, "/root/testdata/sf0.001", out, copies=2)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM parquet_scan('{out}/{t}.parquet/*.parquet')"
+        )
+    qs, oracles = e.queries(), e.oracle_sql()
+    for name in SMOKE_QUERIES:
+        sdf = qs[name](spark, out).toPandas()
+        ddf = con.execute(oracles[name]).df()
+        assert not compare(sdf, ddf), name
+    # the doubled copy really doubled the data
+    n = con.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).count()
+    assert n == 2 * base
+
+
+def test_stress_skew_remap(spark, tmp_path):
+    out = str(tmp_path / "stress_skew")
+    stress.build(
+        spark, "/root/testdata/sf0.001", out, copies=2, skew=True
+    )
+    ev = spark.read.parquet(f"{out}/events.parquet")
+    total = ev.count()
+    hot = ev.where(f"user_id = {stress.HOT_USER}").count()
+    assert 0.25 * total < hot < 0.40 * total
