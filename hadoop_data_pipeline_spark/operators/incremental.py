@@ -21,6 +21,7 @@ depends on ingest batching is corrupt by construction.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -130,4 +131,66 @@ def table_diff(
         joined.select(status.alias("status"))
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def emit_changelog(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Snapshot diff -> CDC changelog: one row per changed key with
+    ``op`` in {insert, update, delete} — the INVERSE of the merge in
+    `cdc_upsert` (apply ``emit_changelog(a, b)`` onto ``a`` and you
+    get ``b``). Inserts/updates carry the NEW values, deletes carry
+    the OLD values (the row being erased), matching Delta/Iceberg
+    change-data-feed conventions.
+
+    Scale shape: one full-outer hash exchange on the key; unchanged
+    rows are filtered before anything is emitted. Values ride the
+    join here because a changelog must carry them anyway; for very
+    wide tables diff (key, digest) first — `table_diff` — and join
+    the changed keys back for values, trading a second (tiny) join
+    for a narrow first exchange.
+    """
+    o = old.select(
+        *keys,
+        F.lit(True).alias("__o_exists"),
+        *[F.col(c).alias(f"__o_{c}") for c in value_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("__n_exists"),
+        *[F.col(c).alias(f"__n_{c}") for c in value_cols],
+    )
+    j = o.join(n, list(keys), "full_outer")
+    # presence flags, not value-null checks: a legitimately-NULL value
+    # column must not read as "row absent".
+    old_present = F.col("__o_exists").isNotNull()
+    new_present = F.col("__n_exists").isNotNull()
+    changed = functools.reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+            for c in value_cols
+        ],
+    )
+    op = (
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    # insert/update emit NEW values even when a new value is NULL
+    # (coalesce would silently resurrect the old value); delete emits
+    # the OLD row being erased.
+    out_vals = [
+        F.when(new_present, F.col(f"__n_{c}"))
+        .otherwise(F.col(f"__o_{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    return (
+        j.select(*keys, op.alias("op"), *out_vals)
+        .where(F.col("op").isNotNull())
     )

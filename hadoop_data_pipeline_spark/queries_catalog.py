@@ -4487,6 +4487,74 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_emit_changelog_orders",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ), b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 50 != 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, 'N'
+        FROM orders WHERE o_orderkey % 41 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_totalprice
+                ELSE a.o_totalprice END AS o_totalprice,
+           CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_orderstatus
+                ELSE a.o_orderstatus END AS o_orderstatus
+    FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice != b.o_totalprice
+       OR a.o_orderstatus != b.o_orderstatus
+    """,
+)
+def cdc_emit_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff -> CDC changelog (`incremental.emit_changelog`):
+    the INVERSE of `cdc_upsert_orders` — given yesterday's and today's
+    orders snapshots, emit the (op, key, values) changelog whose
+    application to yesterday reproduces today. Drift here exercises
+    all three ops: 2% of keys deleted, ~3% of prices bumped
+    (updates), ~2.5% brand-new keys inserted.
+
+    One full-outer hash exchange on the key, unchanged rows filtered
+    before emission; presence is tracked with join-side flags (not
+    value-null checks) so NULLable value columns cannot masquerade as
+    missing rows, and updates emit new values by presence rather than
+    coalesce so an update-to-NULL survives.
+    """
+    from hadoop_data_pipeline_spark.operators import incremental as inc
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    b = (
+        a.where(F.col("o_orderkey") % 50 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 37 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            a.where(F.col("o_orderkey") % 41 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+    )
+    return inc.emit_changelog(
+        a, b, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

@@ -85,3 +85,31 @@ def test_table_diff_null_vs_empty_string_differ(spark):
     b = spark.createDataFrame([(1, "")], "k long, s string")
     got = {r.status: r.n_rows for r in inc.table_diff(a, b, ["k"]).collect()}
     assert got == {"changed": 1}
+
+
+def test_emit_changelog_roundtrip(spark):
+    # the defining property: applying emit_changelog(a, b) onto a
+    # reproduces b exactly — including an update-to-NULL, which a
+    # coalesce-based emitter would silently revert.
+    from pyspark.sql import functions as F
+
+    from hadoop_data_pipeline_spark.operators import incremental as inc
+
+    a = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, 20.0, "F"), (3, 30.0, "O"), (4, None, "F")],
+        "k bigint, price double, status string",
+    )
+    b = spark.createDataFrame(
+        [(2, 20.0, "F"), (3, None, "O"), (4, 40.0, "F"), (5, 50.0, "N")],
+        "k bigint, price double, status string",
+    )
+    log = inc.emit_changelog(a, b, ["k"], ["price", "status"])
+    ops = {r.k: r.op for r in log.collect()}
+    assert ops == {1: "delete", 3: "update", 4: "update", 5: "insert"}
+
+    upserts = log.where("op != 'delete'").select("k", "price", "status")
+    changed = [r.k for r in log.collect()]
+    applied = a.where(~F.col("k").isin(changed)).unionByName(upserts)
+    got = {(r.k, r.price, r.status) for r in applied.collect()}
+    want = {(r.k, r.price, r.status) for r in b.collect()}
+    assert got == want
