@@ -169,12 +169,15 @@ def emit_changelog(
     # column must not read as "row absent".
     old_present = F.col("__o_exists").isNotNull()
     new_present = F.col("__n_exists").isNotNull()
+    # F.lit(False) initializer: with no value columns the diff is
+    # membership-only (inserts/deletes), not a crash.
     changed = functools.reduce(
         lambda a, b: a | b,
         [
             ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
             for c in value_cols
         ],
+        F.lit(False),
     )
     op = (
         F.when(~old_present, F.lit("insert"))

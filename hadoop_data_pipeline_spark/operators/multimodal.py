@@ -274,6 +274,8 @@ def frame_digests(
         for pdf in batches:
             out: list[tuple[int, int, str]] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # corrupt/missing payloads skip,
+                    continue  # never kill the stage (module rule)
                 raw = bytes(payload)
                 n_frames = len(raw) // frame_bytes
                 for i in range(0, n_frames, stride_frames):

@@ -44,7 +44,12 @@ class _ChunkDocs:
     def eval(self, doc_id: int, text: str):  # noqa: D102
         if text is None:
             return
-        toks = re.split(r"\s+", text.strip())
+        # mirror the JVM EXACTLY: Spark's trim() strips 0x20 spaces
+        # only, and Java's \s is the ASCII class [ \t\n\x0B\f\r] —
+        # Python's str-mode \s also matches Unicode whitespace
+        # (U+00A0, ...), which would tokenize differently and break
+        # the byte-identical equivalence this module promises.
+        toks = re.split(r"[ \t\n\x0B\f\r]+", text.strip(" "))
         n = len(toks)
         n_chunks = 1 + max(0, (max(n - CHUNK_LEN, 0) + STRIDE - 1) // STRIDE)
         for i in range(n_chunks):

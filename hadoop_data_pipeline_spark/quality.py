@@ -412,18 +412,26 @@ def profile_table(
     else:
         one = df.agg(*(count_aggs + minmax_aggs))
 
+    def ident(name: str) -> str:
+        # backtick-escape generated identifiers: column names with
+        # spaces/quotes must not break the stack() SQL.
+        return "`" + name.replace("`", "``") + "`"
+
     def entry(c: str, is_num: bool) -> str:
-        mn = f"__mn_{c}" if is_num else "CAST(NULL AS double)"
-        mx = f"__mx_{c}" if is_num else "CAST(NULL AS double)"
-        mns = "CAST(NULL AS string)" if is_num else f"__mns_{c}"
-        mxs = "CAST(NULL AS string)" if is_num else f"__mxs_{c}"
+        mn = ident(f"__mn_{c}") if is_num else "CAST(NULL AS double)"
+        mx = ident(f"__mx_{c}") if is_num else "CAST(NULL AS double)"
+        mns = "CAST(NULL AS string)" if is_num else ident(f"__mns_{c}")
+        mxs = "CAST(NULL AS string)" if is_num else ident(f"__mxs_{c}")
+        lit = c.replace("\\", "\\\\").replace("'", "\\'")
         return (
-            f"'{c}', CAST(__n AS bigint), "
-            f"CAST(__n - __nn_{c} AS bigint), "
-            f"CAST(__nd_{c} AS bigint), {mn}, {mx}, {mns}, {mxs}"
+            f"'{lit}', CAST(__n AS bigint), "
+            f"CAST(__n - {ident('__nn_' + c)} AS bigint), "
+            f"CAST({ident('__nd_' + c)} AS bigint), {mn}, {mx}, {mns}, {mxs}"
         )
 
     k = len(num_cols) + len(str_cols)
+    if k == 0:
+        raise ValueError("profile_table needs at least one column")
     parts = [entry(c, True) for c in num_cols] + [
         entry(c, False) for c in str_cols
     ]

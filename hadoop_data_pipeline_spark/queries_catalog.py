@@ -4372,10 +4372,14 @@ def bom_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.sql.cteRecursionRowLimit`` = 1M rows by default, and this
     query's working set is rows x avg_depth — the ~4x-sf0.1 stress
     run (`tools/stress.py`, 320k parts x ~25 levels ≈ 7M rows)
-    tripped it. The limit is raised here to the documented bound of
-    the workload (|part| x 64-bit max depth), which is the right
-    discipline on a cluster too: budget the limit from data size, do
-    not disable it.
+    tripped it. The limit is budgeted from data size (|part| x the
+    64-level max depth of a bigint key tree) rather than disabled.
+    Two deliberate costs, stated plainly: sizing runs a part.count()
+    at query-CONSTRUCTION time (parquet count is a metadata-cheap
+    job, but it is a job), and the conf raise is session-scoped —
+    Spark has no per-query conf, so later recursive CTEs in the same
+    session inherit the larger budget (still a budget, never
+    unlimited).
     """
     part = load_table(spark, sf_dir, "part")
     budget = max(1_000_000, part.count() * 64)
@@ -4465,10 +4469,11 @@ def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data profile of four lineitem columns
     (`quality.profile_table`): rows / nulls / distincts / typed
-    min-max per column from a SINGLE scan — where the oracle (and the
-    reference's DQ shape, `jobs/data_quality.py:48`) issues one
-    aggregate per column, the engine computes the whole profile in
-    one job and unpivots the 1-row result for free. Exact distincts
+    min-max per column in TWO jobs in exact mode (distinct-bearing
+    aggregate + plain min/max, the measured split) or ONE in approx
+    mode — where the oracle (and the reference's DQ shape,
+    `jobs/data_quality.py:48`) issues one aggregate per column; the
+    1-row result unpivots for free. Exact distincts
     here (oracle-checkable) on BOUNDED-cardinality columns — an exact
     distinct over a high-cardinality double (l_extendedprice) costs a
     full-width dedup shuffle (measured 11 s at sf0.1, ~10x the rest

@@ -109,10 +109,13 @@ class JsonlFilesWriter(DataSourceWriter):
       A retried/zombie task leaves only an orphaned temp file — it can
       never corrupt committed output because nothing is visible until:
     * ``commit`` (driver, once, only if EVERY task succeeded): temp
-      files are renamed to their final ``part-NNNNN.jsonl`` names and a
-      ``_MANIFEST.json`` (file list + row counts) is written LAST — a
-      reader that requires the manifest sees the write all-or-nothing,
-      exactly like a parquet ``_SUCCESS`` / snapshot manifest.
+      files are renamed to fresh ``part-NNNNN.jsonl`` names (appends
+      continue numbering past existing parts — committed data is
+      never overwritten), then ``_MANIFEST.json`` is swapped in
+      atomically (temp + rename), and only then does overwrite mode
+      delete de-listed old parts — a reader that requires the
+      manifest sees the old complete state or the new one, never a
+      torn middle.
     * ``abort``: temp files are deleted; committed data untouched.
 
     Scale shape: rows stream through executors (the driver handles
@@ -163,24 +166,47 @@ class JsonlFilesWriter(DataSourceWriter):
         return _JsonlCommit(tmp_name, n)
 
     def commit(self, messages) -> None:  # driver-side, all tasks ok
-        if self._overwrite:
-            for old in glob.glob(os.path.join(self._dir, "part-*.jsonl")):
-                os.remove(old)
+        """Crash-safe commit order: (1) rename temps to UNIQUE final
+        names — appends continue numbering after the highest existing
+        part so committed data is never clobbered; (2) swap the
+        manifest in atomically (temp + ``os.replace``) listing the
+        surviving file set; (3) only then delete parts the new
+        manifest no longer references (overwrite mode). A crash at
+        any point leaves a manifest whose files all exist: before the
+        swap readers see the OLD complete state, after it the NEW."""
+        manifest_path = os.path.join(self._dir, "_MANIFEST.json")
+        existing = sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(self._dir, "part-*.jsonl"))
+        )
+        start = (
+            0
+            if self._overwrite or not existing
+            else 1 + max(int(n[5:10]) for n in existing)
+        )
         manifest = []
+        if not self._overwrite and os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)["files"]
         for i, msg in enumerate(messages):
-            final = f"part-{i:05d}.jsonl"
+            final = f"part-{start + i:05d}.jsonl"
             os.replace(
                 os.path.join(self._dir, msg.tmp_name),
                 os.path.join(self._dir, final),
             )
             manifest.append({"file": final, "rows": msg.n_rows})
-        with open(
-            os.path.join(self._dir, "_MANIFEST.json"), "w"
-        ) as fh:
+        tmp_manifest = manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp_manifest, "w") as fh:
             json.dump(
                 {"files": manifest, "n_rows": sum(m["rows"] for m in manifest)},
                 fh,
             )
+        os.replace(tmp_manifest, manifest_path)
+        if self._overwrite:
+            keep = {m["file"] for m in manifest}
+            for name in existing:
+                if name not in keep:
+                    os.remove(os.path.join(self._dir, name))
 
     def abort(self, messages) -> None:  # driver-side, something failed
         for msg in messages:

@@ -246,6 +246,22 @@ def test_python_datasource_jsonl_write_commit_protocol(spark, tmp_path):
     assert back.count() == 40
     assert back.agg(F.sum("id")).collect()[0][0] == sum(range(40))
 
+    # a second append must EXTEND, not clobber: numbering continues
+    # past the committed parts and the manifest covers both writes
+    spark.range(100, 110).selectExpr(
+        "id", "concat('y', id) AS name", "CAST(id AS DOUBLE) AS score"
+    ).coalesce(1).write.format("jsonl_files").mode("append").option(
+        "path", str(out)
+    ).save()
+    manifest_b = json.loads((out / "_MANIFEST.json").read_text())
+    assert manifest_b["n_rows"] == 50
+    back2 = (
+        spark.read.format("jsonl_files")
+        .option("path", str(out / "*.jsonl"))
+        .load()
+    )
+    assert back2.count() == 50
+
     # overwrite replaces committed parts and rewrites the manifest
     spark.range(0, 7).selectExpr(
         "id", "concat('m', id) AS name", "id * 1.0 AS score"

@@ -20,6 +20,7 @@ each run), never under /root/testdata.
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import time
@@ -146,8 +147,14 @@ def build(
     shutil.rmtree(out_dir, ignore_errors=True)
     for table, (key_cols, ts_cols) in SHIFTS.items():
         base = load_table(spark, sf_dir, table)
+        # a table with no shiftable key is a SHARED dimension
+        # (region/nation): one copy, or its primary keys would
+        # duplicate K-fold and every join through it would fan out
+        # K^2 — breaking the "referential integrity holds, groups
+        # grow K-fold" model this tool exists to enforce.
+        n_copies = copies if (key_cols or ts_cols) else 1
         parts = []
-        for i in range(copies):
+        for i in range(n_copies):
             df = base
             for c in key_cols:
                 df = df.withColumn(c, F.col(c) + F.lit(i * KEY_STRIDE))
@@ -177,7 +184,9 @@ def main() -> int:
     skew = "--skew" in sys.argv
     copies = int(args[0]) if args else 4
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    out_dir = "/tmp/spark_graft_stress"
+    # per-process dir: a gate stress stage and a manual run must not
+    # rmtree each other's in-flight data.
+    out_dir = f"/tmp/spark_graft_stress-{os.getpid()}"
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
@@ -217,6 +226,8 @@ def main() -> int:
         else:
             print(f"MATCH {name} ({dt:.1f}s): rows={len(sdf)}")
     print(f"\n{len(headline) - len(failed)}/{len(headline)} pass at ~{copies}x sf0.1{mode}")
+    if not failed:
+        shutil.rmtree(out_dir, ignore_errors=True)  # keep data on FAIL
     return 1 if failed else 0
 
 
