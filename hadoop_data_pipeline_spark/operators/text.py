@@ -15,7 +15,10 @@ the text column only.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from hadoop_data_pipeline_spark.functions import dual
 
@@ -165,4 +168,44 @@ def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
         f"{case} AS lang_pred",
         f"{quality_score_expr(col, '__toks', dual.SPARK)} AS quality",
         f"{dual.fingerprint_from_hashes('__th', dual.SPARK)} AS fingerprint",
+    )
+
+
+def compression_ratio(df: DataFrame, col: str = "text") -> DataFrame:
+    """Zlib compression ratio per document via a SCALAR ``pandas_udf``
+    — the boilerplate/repetition quality signal (templated and
+    machine-generated text compresses far better than natural prose;
+    the Gopher-style filters threshold on exactly this). Returns
+    (doc_id, n_bytes, compressed_bytes, ratio), ratio = compressed /
+    raw in (0, ~1.1].
+
+    This is also the engine's scalar-pandas-UDF exemplar (SURVEY.md
+    §2.11), completing the Python-surface taxonomy next to grouped
+    applyInPandas, mapInPandas, applyInPandasWithState and the UDTF:
+    use this shape when per-VALUE logic needs a Python library (zlib
+    here) but no grouping or multi-row state — Arrow ships the column
+    batch, numpy/pandas vectorize the loop, no shuffle is introduced.
+    zlib level is pinned so the output is deterministic across
+    workers and retries.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def compressed_len(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            if t is not None
+            else None
+        ).astype("int64")
+
+    out = df.select(
+        "doc_id",
+        F.octet_length(F.col(col)).cast("long").alias("n_bytes"),
+        compressed_len(F.col(col)).alias("compressed_bytes"),
+    )
+    return out.withColumn(
+        "ratio",
+        F.round(F.col("compressed_bytes") / F.col("n_bytes"), 6),
     )

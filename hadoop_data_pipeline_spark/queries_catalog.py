@@ -4560,6 +4560,21 @@ def cdc_emit_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("compression_ratio_quality")
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (`text.compression_ratio`)
+    — the repetition/boilerplate quality signal, and the catalog's
+    scalar-pandas-UDF exemplar (SURVEY.md §2.11). Rows-only check:
+    DuckDB has no zlib function, so no SQL oracle exists — exactness
+    is pinned instead by the unit test comparing the distributed
+    output against direct ``zlib.compress`` on the same fixture rows
+    (`tests/test_extensions.py`). Zero shuffle; one Arrow-batched
+    projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.compression_ratio(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

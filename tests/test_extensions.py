@@ -322,3 +322,32 @@ def test_multimodal_resize_with_codec(spark, docs):
         assert out1.size == (256, 64) and out1.format == "PNG"
     assert (rows[2].width, rows[2].height) == (10, 10)  # never upscaled
     assert rows[3].resize_error is not None and rows[3].payload is None
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    # the rows-only catalog entry's exactness pin: distributed scalar
+    # pandas_udf output == direct zlib on the same rows, and the
+    # signal orders repetitive text below natural prose.
+    import zlib
+
+    from hadoop_data_pipeline_spark.operators import text as tx
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(20)
+    got = {
+        r.doc_id: (r.n_bytes, r.compressed_bytes, r.ratio)
+        for r in tx.compression_ratio(docs).collect()
+    }
+    for r in docs.collect():
+        raw = r.text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert got[r.doc_id][0] == len(raw)
+        assert got[r.doc_id][1] == comp
+
+    synth = spark.createDataFrame(
+        [(1, "the " * 500), (2, "a quick brown fox jumps over xyz")],
+        "doc_id bigint, text string",
+    )
+    s = {r.doc_id: r.ratio for r in tx.compression_ratio(synth).collect()}
+    assert s[1] < 0.05 < s[2]
