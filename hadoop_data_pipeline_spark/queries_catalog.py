@@ -4575,6 +4575,41 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.compression_ratio(docs)
 
 
+@register("bpe_tokenize_docs")
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer ON the corpus, then tokenize the corpus
+    with it (`operators/tokenizer.py`): the subword-tokenizer
+    training step of an LLM data pipeline, end to end. Word counting
+    is the only corpus-scale pass (one shuffle); the 64-round merge
+    loop runs on the vocab-bounded frequency table; encoding replays
+    merge ranks in an Arrow-batched pandas UDF (zero shuffle).
+
+    Rows-only check: the iterative trainer has no SQL expression —
+    exactness is pinned by `tests/test_tokenizer.py` instead
+    (textbook corpus merge sequence, decode round-trip, determinism
+    under repartitioning). Output is (doc_id, n_tokens,
+    chars_per_token) — the compression the learned vocab achieves.
+    """
+    from hadoop_data_pipeline_spark.operators import tokenizer as tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tok.bpe_train(
+        tok.word_frequencies(docs, max_vocab=20_000),
+        n_merges=64,
+        min_freq=2,
+    )
+    enc = tok.bpe_encode(docs, merges)
+    return enc.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------
