@@ -598,3 +598,85 @@ def simhash_dup_groups(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc_id"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def incremental_near_dup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: LSH-probe a new ingestion batch
+    against an already-indexed corpus, never re-pairing the corpus
+    with itself. A new document survives iff it has no verified
+    near-duplicate (Jaccard >= threshold) in the index AND none among
+    LOWER-id documents of its own batch (first-occurrence-survives,
+    the same convention as the exact `curation.incremental_dedup`).
+    Ids must be disjoint across the two inputs. Returns surviving
+    (id,) rows.
+
+    Scale shape — why this is the daily-ingest design at 100 TB:
+    candidate generation joins the NEW batch's band keys against the
+    index's band keys (in production the index side is the band-key
+    parquet the previous run wrote — the corpus text is never
+    re-shingled; here it is derived in-plan from the index frame for
+    oracle checkability). The only self-join is new x new. Index
+    documents join the verification step solely for candidate ids,
+    so corpus-side work is proportional to CANDIDATES, not corpus
+    size; nothing anywhere is quadratic in the index.
+    """
+    staged_new = staged_shingle_hashes(new_df, text_col, id_col).persist()
+    staged_idx = staged_shingle_hashes(index_df, text_col, id_col)
+
+    def _sig(staged: DataFrame) -> DataFrame:
+        return staged.selectExpr(
+            id_col,
+            *[
+                f"{dual.minhash_from_hashes('__sh', k, dual.SPARK)} AS mh{k}"
+                for k in range(len(dual.MINHASH_AB))
+            ],
+        )
+
+    bands_new = _banded(_sig(staged_new), id_col)
+    bands_idx = _banded(_sig(staged_idx), id_col)
+
+    cross = (
+        bands_new.withColumnRenamed(id_col, "id_new")
+        .join(bands_idx.withColumnRenamed(id_col, "id_other"),
+              ["band_id", "band_key"])
+        .select("id_new", "id_other")
+    )
+    within = (
+        bands_new.withColumnRenamed(id_col, "id_new")
+        .join(bands_new.withColumnRenamed(id_col, "id_other"),
+              ["band_id", "band_key"])
+        .where(F.col("id_other") < F.col("id_new"))
+        .select("id_new", "id_other")
+    )
+    cand = cross.unionByName(within).distinct()
+
+    verify = staged_new.unionByName(staged_idx)
+    a = verify.selectExpr(
+        f"{id_col} AS id_new", "__sh AS sh_a",
+        "size(array_distinct(__sh)) AS n_a",
+    )
+    b = verify.selectExpr(
+        f"{id_col} AS id_other", "__sh AS sh_b",
+        "size(array_distinct(__sh)) AS n_b",
+    )
+    dropped = (
+        cand.join(a, "id_new")
+        .join(b, "id_other")
+        .where(_size_ratio_prefilter(threshold))
+        .withColumn("__i", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .where(
+            F.expr(f"{JACCARD_FROM_SIZES} >= {threshold}")
+        )
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return (
+        new_df.select(id_col)
+        .join(dropped, id_col, "left_anti")
+    )

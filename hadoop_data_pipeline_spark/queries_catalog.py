@@ -4610,6 +4610,55 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_incremental_near_dup(threshold: float) -> str:
+    """Oracle for the incremental near-dup probe: same split constant
+    as the exact incremental entry (index = doc_id < _INCR_SPLIT,
+    new = the rest); candidates are new x index plus new x lower-id
+    new; survivors are new ids with no verified pair."""
+    return f"""
+    WITH {dual.duck_shingle_hash_cte('documents', 'text', ['doc_id'])},
+    {_duck_bands()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_other
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.doc_id >= {_INCR_SPLIT}
+          AND (b.doc_id < {_INCR_SPLIT} OR b.doc_id < a.doc_id)
+          AND a.doc_id <> b.doc_id
+    ),
+    dropped AS (
+        SELECT DISTINCT id_new FROM (
+            SELECT id_new, {_DUCK_JACCARD} AS jaccard
+            FROM cand
+            JOIN h ha ON ha.doc_id = cand.id_new
+            JOIN h hb ON hb.doc_id = cand.id_other
+        ) WHERE jaccard >= {threshold}
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id >= {_INCR_SPLIT}
+      AND d.doc_id NOT IN (SELECT id_new FROM dropped)
+    """
+
+
+@register(
+    "incremental_near_dup_new_docs",
+    oracle=_duck_incremental_near_dup(0.5),
+)
+def incremental_near_dup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest (`dedup.incremental_near_dup`):
+    the second half of the corpus (the 'new batch') LSH-probed
+    against the first half (the 'index') plus itself, Jaccard >= 0.5
+    verified, first-occurrence survives. The near-dup companion to
+    `incremental_dedup_new_docs` — at 100 TB the index contributes
+    its stored band keys, never a re-shingle of the corpus, and no
+    join is quadratic in the index.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") >= _INCR_SPLIT)
+    index = docs.where(F.col("doc_id") < _INCR_SPLIT)
+    return dd.incremental_near_dup(new_batch, index, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------
