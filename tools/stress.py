@@ -108,6 +108,7 @@ HEADLINE = [
     # recursive-CTE oracle costs ~200s at 8x — Spark side is covered
     # via the pair queries; the quadratic simhash oracle stays out)
     "near_dup_pairs_minhash",
+    "incremental_near_dup_new_docs",
     "segment_dedup_docs",
     "ngram_jaccard_pairs_lang",  # K identical copies push every
     # shingle past the df cap -> both engines must agree on the
