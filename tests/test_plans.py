@@ -446,3 +446,45 @@ def test_dominant_supplier_broadcasts_and_prunes(spark):
     assert len(li_scans) == 1
     part_scans = [s for s in scans_of(plan) if "p_name" in s]
     assert any("StartsWith" in s or "red" in s for s in part_scans)
+
+
+def test_transitions_two_keyed_exchanges_no_python(spark):
+    # lag window (user key) + transition-matrix agg: exactly two hash
+    # exchanges, all JVM.
+    plan = plan_of(spark, "event_type_transitions")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Python" not in plan
+
+
+def test_correlation_single_partial_agg_exchange(spark):
+    # integer moments partial-aggregate map-side; one exchange on the
+    # 3-value group key, decimal sums all JVM.
+    plan = plan_of(spark, "quantity_price_correlation")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")
+
+
+def test_changelog_keyed_outer_join_no_cartesian(spark):
+    # snapshot diff: full-outer on the key, never a cross product;
+    # the drift branches re-scan orders but stay key-partitioned.
+    plan = plan_of(spark, "cdc_emit_changelog_orders")
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_incremental_near_dup_banded_joins_only(spark):
+    # ingest-time near-dup: band-key equi joins + verification joins —
+    # no cartesian anywhere, no Python stage, all candidate work keyed.
+    plan = plan_of(spark, "incremental_near_dup_new_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_bom_recursive_cte_single_loop(spark):
+    # the recursion is one declarative UnionLoop (no driver-side
+    # iteration), and the rollup needs a single keyed exchange.
+    plan = plan_of(spark, "bom_rollup_recursive")
+    assert "UnionLoop" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
