@@ -351,3 +351,38 @@ def test_compression_ratio_matches_direct_zlib(spark):
     )
     s = {r.doc_id: r.ratio for r in tx.compression_ratio(synth).collect()}
     assert s[1] < 0.05 < s[2]
+
+
+def test_incremental_near_dup_semantics(spark):
+    # crafted case: a new doc near-duplicating an INDEX doc dies, a
+    # new doc near-duplicating a LOWER-id new doc dies, the lower-id
+    # twin and the unique doc survive.
+    from hadoop_data_pipeline_spark.operators import dedup as dd
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen"
+    )
+    index = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + " extra"),          # near-dup of index doc 1
+            (11, "totally different words about ships and harbors "
+                 "with cargo cranes and tide tables every morning"),
+            (12, "totally different words about ships and harbors "
+                 "with cargo cranes and tide tables every evening"),
+            # 12 near-dups lower-id new doc 11
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        r.doc_id
+        for r in dd.incremental_near_dup(new, index, threshold=0.5).collect()
+    )
+    assert got == [11]
