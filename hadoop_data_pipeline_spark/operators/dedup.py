@@ -619,27 +619,59 @@ def incremental_near_dup(
     Scale shape — why this is the daily-ingest design at 100 TB:
     candidate generation joins the NEW batch's band keys against the
     index's band keys (in production the index side is the band-key
-    parquet the previous run wrote — the corpus text is never
-    re-shingled; here it is derived in-plan from the index frame for
-    oracle checkability). The only self-join is new x new. Index
-    documents join the verification step solely for candidate ids,
-    so corpus-side work is proportional to CANDIDATES, not corpus
-    size; nothing anywhere is quadratic in the index.
+    parquet the previous run wrote — see :func:`write_band_index` /
+    :func:`incremental_near_dup_against_index`; here it is derived
+    in-plan from the index frame for oracle checkability). The only
+    self-join is new x new. Verification re-shingles ONLY candidate
+    documents — the corpus is semi-joined down to candidate ids before
+    its text is touched — so corpus-side work is proportional to
+    CANDIDATES, not corpus size; nothing anywhere is quadratic in the
+    index.
+
+    Execution/caching contract: the new batch's staged hashes are
+    cached only while the (small) candidate-pair and dropped-id sets
+    are materialized eagerly inside this call (``localCheckpoint``),
+    then released — no cache outlives the call (the r4 variance
+    lesson), and the returned frame is a cheap anti-join against the
+    checkpointed dropped ids.
     """
+    bands_idx = _banded(
+        _minhash_sig(staged_shingle_hashes(index_df, text_col, id_col),
+                     id_col),
+        id_col,
+    )
+    return _incremental_near_dup_impl(
+        new_df, index_df, bands_idx, text_col, id_col, threshold
+    )
+
+
+def _minhash_sig(staged: DataFrame, id_col: str) -> DataFrame:
+    return staged.selectExpr(
+        id_col,
+        *[
+            f"{dual.minhash_from_hashes('__sh', k, dual.SPARK)} AS mh{k}"
+            for k in range(len(dual.MINHASH_AB))
+        ],
+    )
+
+
+def _incremental_near_dup_impl(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    bands_idx: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared probe pipeline: band-join the new batch against an index
+    band frame (derived in-plan or loaded from the persisted band-key
+    parquet), verify candidates by exact Jaccard, anti-join survivors."""
+    # Cache the new batch's staged hashes for the duration of THIS call
+    # only: they feed banding (x2 joins) and verification side `a`; the
+    # small id-level artifacts below are materialized eagerly while the
+    # cache is hot, then it is released before returning.
     staged_new = staged_shingle_hashes(new_df, text_col, id_col).persist()
-    staged_idx = staged_shingle_hashes(index_df, text_col, id_col)
-
-    def _sig(staged: DataFrame) -> DataFrame:
-        return staged.selectExpr(
-            id_col,
-            *[
-                f"{dual.minhash_from_hashes('__sh', k, dual.SPARK)} AS mh{k}"
-                for k in range(len(dual.MINHASH_AB))
-            ],
-        )
-
-    bands_new = _banded(_sig(staged_new), id_col)
-    bands_idx = _banded(_sig(staged_idx), id_col)
+    bands_new = _banded(_minhash_sig(staged_new, id_col), id_col)
 
     cross = (
         bands_new.withColumnRenamed(id_col, "id_new")
@@ -654,14 +686,31 @@ def incremental_near_dup(
         .where(F.col("id_other") < F.col("id_new"))
         .select("id_new", "id_other")
     )
-    cand = cross.unionByName(within).distinct()
+    # Candidate id pairs are tiny relative to the corpus; materialize
+    # once (eager localCheckpoint) so the three consumers below don't
+    # re-run the band joins — and so the index-side shingle work that
+    # follows touches ONLY candidate documents.
+    cand = (
+        cross.unionByName(within).distinct().localCheckpoint(eager=True)
+    )
 
-    verify = staged_new.unionByName(staged_idx)
-    a = verify.selectExpr(
+    # Side `a` is always a NEW-batch id (cross and within both put the
+    # new document in id_new), so it reads the cached staged_new only.
+    a = staged_new.selectExpr(
         f"{id_col} AS id_new", "__sh AS sh_a",
         "size(array_distinct(__sh)) AS n_a",
     )
-    b = verify.selectExpr(
+    # Side `b` may be an index or a new-batch doc — but only CANDIDATE
+    # ids matter, so semi-join the raw text down to them BEFORE the
+    # shingle pipeline: at 100 TB the corpus is never re-shingled
+    # wholesale for verification.
+    other_ids = cand.select(F.col("id_other").alias(id_col)).distinct()
+    b_src = (
+        new_df.select(id_col, text_col)
+        .unionByName(index_df.select(id_col, text_col))
+        .join(other_ids, id_col, "left_semi")
+    )
+    b = staged_shingle_hashes(b_src, text_col, id_col).selectExpr(
         f"{id_col} AS id_other", "__sh AS sh_b",
         "size(array_distinct(__sh)) AS n_b",
     )
@@ -675,8 +724,76 @@ def incremental_near_dup(
         )
         .select(F.col("id_new").alias(id_col))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    staged_new.unpersist()
     return (
         new_df.select(id_col)
         .join(dropped, id_col, "left_anti")
+    )
+
+
+def write_band_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the LSH band-key index of a corpus (or of one ingested
+    batch, with ``mode="append"``) as parquet ``(doc_id, band_id,
+    band_key)`` — the production half of the incremental near-dup
+    story: each run writes the band keys of the documents it ADMITTED,
+    and the next run probes the stored index instead of re-shingling
+    the corpus (reference analogue: the pending-file ledger in
+    `jobs/incremental_pipeline.py` — persist the small derived state,
+    never re-derive it from the raw data).
+
+    Layout: partitioned by ``band_id`` (N_BANDS directories) so a
+    probe that band-joins per band prunes to 1/N of the index files;
+    within a partition the rows are just (doc_id, band_key) —
+    16 bytes + a 32-char digest per row, ~N_BANDS rows per document,
+    a ~1e-4 fraction of a 100 TB corpus. For repeated daily probes at
+    the top scale, bucketing the stored index BY band_key (see
+    `sources/bucketing.py`) removes the index-side shuffle from every
+    future probe.
+    """
+    bands = _banded(
+        _minhash_sig(staged_shingle_hashes(df, text_col, id_col), id_col),
+        id_col,
+    )
+    bands.write.mode(mode).partitionBy("band_id").parquet(path)
+
+
+def read_band_index(spark, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Load a persisted band index, restoring the column shape
+    ``(doc_id, band_id, band_key)`` that the probe join expects
+    (partitionBy moves band_id to the directory level; select it back
+    into position and cast — partition columns read back as the
+    discovered type)."""
+    return spark.read.parquet(path).select(
+        id_col,
+        F.col("band_id").cast("int").alias("band_id"),
+        "band_key",
+    )
+
+
+def incremental_near_dup_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """:func:`incremental_near_dup` probing a STORED band index (the
+    frame :func:`read_band_index` returns) instead of deriving the
+    index side's band keys in-plan. Identical survivor semantics —
+    pinned by a round-trip test — but the corpus text is only touched
+    for verified CANDIDATES (one semi-join), never re-shingled
+    wholesale: the daily-ingest shape at 100 TB. ``index_df`` still
+    supplies the candidate documents' text for exact-Jaccard
+    verification."""
+    return _incremental_near_dup_impl(
+        new_df, index_df, band_index, text_col, id_col, threshold
     )

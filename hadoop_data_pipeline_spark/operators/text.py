@@ -194,11 +194,14 @@ def compression_ratio(df: DataFrame, col: str = "text") -> DataFrame:
 
     @pandas_udf("long")
     def compressed_len(s: pd.Series) -> pd.Series:
+        # Nullable Int64 (capital I), not int64: plain int64 raises
+        # IntCastingNaNError on any NULL text, killing the whole task
+        # instead of passing the null through.
         return s.map(
             lambda t: len(zlib.compress(t.encode("utf-8"), 6))
             if t is not None
             else None
-        ).astype("int64")
+        ).astype("Int64")
 
     out = df.select(
         "doc_id",

@@ -25,6 +25,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql.datasource import (
@@ -109,9 +110,10 @@ class JsonlFilesWriter(DataSourceWriter):
       A retried/zombie task leaves only an orphaned temp file — it can
       never corrupt committed output because nothing is visible until:
     * ``commit`` (driver, once, only if EVERY task succeeded): temp
-      files are renamed to fresh ``part-NNNNN.jsonl`` names (appends
-      continue numbering past existing parts — committed data is
-      never overwritten), then ``_MANIFEST.json`` is swapped in
+      files are renamed to fresh ``part-NNNNN.jsonl`` names (numbering
+      continues past existing parts in BOTH append and overwrite mode —
+      committed bytes are never touched before the manifest swap), then
+      ``_MANIFEST.json`` is swapped in
       atomically (temp + rename), and only then does overwrite mode
       delete de-listed old parts — a reader that requires the
       manifest sees the old complete state or the new one, never a
@@ -167,8 +169,8 @@ class JsonlFilesWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:  # driver-side, all tasks ok
         """Crash-safe commit order: (1) rename temps to UNIQUE final
-        names — appends continue numbering after the highest existing
-        part so committed data is never clobbered; (2) swap the
+        names — numbering continues after the highest existing part in
+        every mode so committed data is never clobbered; (2) swap the
         manifest in atomically (temp + ``os.replace``) listing the
         surviving file set; (3) only then delete parts the new
         manifest no longer references (overwrite mode). A crash at
@@ -179,10 +181,18 @@ class JsonlFilesWriter(DataSourceWriter):
             os.path.basename(p)
             for p in glob.glob(os.path.join(self._dir, "part-*.jsonl"))
         )
+        # Fresh names ALWAYS — overwrite mode included.  Renaming a temp
+        # onto an existing committed part name would tear the old state
+        # if we crashed before the manifest swap; numbering past the
+        # highest existing index means committed bytes are never touched
+        # until step (3).  Indices are parsed with a regex (not a fixed
+        # slice) so 6-digit parts past part-99999 keep monotonic names.
+        def _part_index(name: str) -> int:
+            m = re.match(r"part-(\d+)\.jsonl$", name)
+            return int(m.group(1)) if m else -1
+
         start = (
-            0
-            if self._overwrite or not existing
-            else 1 + max(int(n[5:10]) for n in existing)
+            0 if not existing else 1 + max(_part_index(n) for n in existing)
         )
         manifest = []
         if not self._overwrite and os.path.exists(manifest_path):

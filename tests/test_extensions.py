@@ -352,6 +352,15 @@ def test_compression_ratio_matches_direct_zlib(spark):
     s = {r.doc_id: r.ratio for r in tx.compression_ratio(synth).collect()}
     assert s[1] < 0.05 < s[2]
 
+    # NULL text passes through as NULLs (nullable Int64 in the UDF —
+    # plain int64 would raise IntCastingNaNError and kill the task)
+    with_null = spark.createDataFrame(
+        [(1, "some text"), (2, None)], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in tx.compression_ratio(with_null).collect()}
+    assert rows[2].compressed_bytes is None and rows[2].ratio is None
+    assert rows[1].compressed_bytes > 0
+
 
 def test_incremental_near_dup_semantics(spark):
     # crafted case: a new doc near-duplicating an INDEX doc dies, a
@@ -386,3 +395,54 @@ def test_incremental_near_dup_semantics(spark):
         for r in dd.incremental_near_dup(new, index, threshold=0.5).collect()
     )
     assert got == [11]
+
+
+def test_band_index_roundtrip_probe_equals_in_plan(spark, tmp_path):
+    # The production daily-ingest shape: write the corpus's LSH band
+    # keys as parquet once, then probe the STORED index — survivors
+    # must be identical to the in-plan derivation, on real documents
+    # with real near-dups.
+    from hadoop_data_pipeline_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    index = docs.where("doc_id % 3 != 0")
+    new = docs.where("doc_id % 3 = 0")
+
+    idx_path = str(tmp_path / "band_index")
+    dd.write_band_index(index, idx_path)
+
+    # layout: partitioned by band_id, restored shape matches _banded's
+    stored = dd.read_band_index(spark, idx_path)
+    assert stored.columns == ["doc_id", "band_id", "band_key"]
+    import os
+    assert any(
+        d.startswith("band_id=") for d in os.listdir(idx_path)
+    )
+
+    via_index = {
+        r.doc_id
+        for r in dd.incremental_near_dup_against_index(
+            new, index, stored
+        ).collect()
+    }
+    in_plan = {
+        r.doc_id for r in dd.incremental_near_dup(new, index).collect()
+    }
+    assert via_index == in_plan
+    # sanity: the probe actually dropped something (sf0.01 documents
+    # contain planted near-dup families spanning the split)
+    assert len(in_plan) < new.count()
+
+    # append mode: admitting the surviving batch extends the index so
+    # the NEXT batch probes against corpus + batch-1 survivors
+    survivors_df = new.join(
+        spark.createDataFrame(
+            [(i,) for i in sorted(via_index)], "doc_id bigint"
+        ),
+        "doc_id",
+    )
+    dd.write_band_index(survivors_df, idx_path, mode="append")
+    stored2 = dd.read_band_index(spark, idx_path)
+    assert stored2.select("doc_id").distinct().count() == (
+        index.count() + len(via_index)
+    )

@@ -262,7 +262,11 @@ def test_python_datasource_jsonl_write_commit_protocol(spark, tmp_path):
     )
     assert back2.count() == 50
 
-    # overwrite replaces committed parts and rewrites the manifest
+    # overwrite replaces committed parts and rewrites the manifest —
+    # and it must use FRESH names numbered past the old parts, never
+    # renaming onto an existing committed name (a crash between the
+    # rename and the manifest swap would otherwise tear the old state)
+    old_parts = {p.name for p in out.glob("part-*.jsonl")}
     spark.range(0, 7).selectExpr(
         "id", "concat('m', id) AS name", "id * 1.0 AS score"
     ).coalesce(1).write.format("jsonl_files").mode("overwrite").option(
@@ -271,6 +275,37 @@ def test_python_datasource_jsonl_write_commit_protocol(spark, tmp_path):
     manifest2 = json.loads((out / "_MANIFEST.json").read_text())
     assert manifest2["n_rows"] == 7
     assert len(list(out.glob("part-*.jsonl"))) == len(manifest2["files"])
+    assert not old_parts & {m["file"] for m in manifest2["files"]}
+
+
+def test_python_datasource_numbering_survives_six_digit_parts(spark, tmp_path):
+    # part indices are parsed numerically, not by a 5-char slice: an
+    # append after part-100000 must continue at 100001, not collide.
+    import json
+
+    from hadoop_data_pipeline_spark.sources.pydatasource import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out = tmp_path / "sink6"
+    out.mkdir()
+    (out / "part-100000.jsonl").write_text(
+        json.dumps({"id": 1, "name": "old", "score": 1.0}) + "\n"
+    )
+    (out / "_MANIFEST.json").write_text(
+        json.dumps({"files": [{"file": "part-100000.jsonl", "rows": 1}],
+                    "n_rows": 1})
+    )
+    spark.range(2, 4).selectExpr(
+        "id", "concat('n', id) AS name", "id * 1.0 AS score"
+    ).coalesce(1).write.format("jsonl_files").mode("append").option(
+        "path", str(out)
+    ).save()
+    manifest = json.loads((out / "_MANIFEST.json").read_text())
+    names = sorted(m["file"] for m in manifest["files"])
+    assert names == ["part-100000.jsonl", "part-100001.jsonl"]
+    assert (out / "part-100000.jsonl").read_text().startswith('{"id": 1')
 
 
 def test_python_datasource_jsonl_abort_leaves_no_visible_output(spark, tmp_path):
