@@ -36,3 +36,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(queries_catalog.ORACLES)
+
+
+def bound_oracle_sql() -> dict[str, dict]:
+    """OPTIONAL extension the external driver ignores: tolerance
+    oracles for sketch-valued queries (exact ground-truth SQL + the
+    relative error bound the estimate must stay within). Enforced by
+    `tools/oracle_check.py` and the pre-commit gate."""
+    return dict(queries_catalog.BOUND_ORACLES)

@@ -42,6 +42,18 @@ def main() -> None:
             "org.apache.spark.sql.execution.window.WindowExec",
             jvm.org.apache.logging.log4j.Level.ERROR,
         )
+        # Audited false positive: the recursive-CTE (UnionLoop) path
+        # materializes per-iteration RDDs behind LogicalRDD, whose
+        # logical-vs-optimized output check compares attribute exprIds
+        # and warns even when names and types are identical (the r5
+        # bench tail printed two such warnings with IDENTICAL column
+        # lists). Name/type equality for that path is pinned durably by
+        # tests/test_plans.py::test_bom_checkpoint_schema_stable; a
+        # REAL output-schema change still fails correctness gates.
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.LogicalRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
     except Exception:  # pragma: no cover - log4j internals moved
         pass
 

@@ -148,7 +148,20 @@ def extract_features(df: DataFrame) -> DataFrame:
     """DETERMINISTIC FAKE feature extraction over binary payloads via
     ``mapInPandas``: byte-level mean/std + md5 of the first 16 bytes,
     standing in for pixel statistics. Exercises the real distributed
-    path: Arrow batches in, bounded batches out, zero shuffle."""
+    path: Arrow batches in, bounded batches out, zero shuffle.
+
+    The stats are computed from EXACT integer byte sums (S, SS) and
+    only then divided — so ``mean = S/n`` and ``std = sqrt((SS*n -
+    S*S)/(n*n))`` are single float64 operations on exactly
+    representable integers (S, SS < 2^53 for any payload under ~500
+    MB), bit-identical to a SQL engine evaluating the same formula.
+    No engine-side rounding is applied (a decimal round would
+    re-introduce half-even-vs-half-away divergence on dyadic values
+    like 92.9140625): the doubles themselves are equal, which is what
+    lets the catalog entry carry an exact DuckDB value oracle instead
+    of a rows-only check. The general recipe for any cross-engine
+    float check: keep accumulation in integers, spend floats only on
+    the final arithmetic, and never round in-engine."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -156,10 +169,15 @@ def extract_features(df: DataFrame) -> DataFrame:
         import numpy as np
 
         def stats(b: bytes) -> tuple[float | None, float | None]:
-            if not len(b):
+            n = len(b)
+            if not n:
                 return None, None
-            arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float64)
-            return round(float(arr.mean()), 6), round(float(arr.std()), 6)
+            arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+            s = int(arr.sum())
+            ss = int((arr * arr).sum())
+            mean = s / n
+            var = (ss * n - s * s) / (n * n)
+            return mean, var**0.5
 
         for pdf in batches:
             payloads = pdf["payload"]

@@ -26,12 +26,47 @@ from hadoop_data_pipeline_spark.sources.readers import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: Tolerance oracles for sketch-valued queries the exact value-hash
+#: gate cannot cover (HLL estimates are engine-specific): DuckDB SQL
+#: producing the EXACT ground truth under the same column names, plus
+#: the relative tolerance the estimate must stay within (the sketch's
+#: published error bound times a 3-sigma margin). The external driver
+#: ignores these (it records rows-only for such queries); the local
+#: harness (`tools/oracle_check.py`) and the pre-commit gate enforce
+#: them so a refactor that silently breaks a sketch fails loudly.
+BOUND_ORACLES: dict[str, dict] = {}
 
-def register(name: str, oracle: str | None = None):
+
+def _parquet_row_count(path: str) -> int:
+    """Exact row count from parquet footer metadata — driver-side file
+    reads only, no Spark job. Handles both a single parquet file (the
+    driver fixtures) and a Spark-written parquet directory (the stress
+    harness)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    bound_oracle: str | None = None,
+    rel_tol: float = 0.05,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if bound_oracle is not None:
+            BOUND_ORACLES[name] = {"sql": bound_oracle, "rel_tol": rel_tol}
         return fn
 
     return deco
@@ -1415,12 +1450,39 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_feature_extract")  # no SQL oracle: mapInPandas kernel
+@register(
+    "media_feature_extract",
+    oracle="""
+    WITH b AS (
+        SELECT d.doc_id,
+               sum(ascii(substring(d.text, t.i, 1))) AS s,
+               sum(ascii(substring(d.text, t.i, 1))
+                   * ascii(substring(d.text, t.i, 1))) AS ss
+        FROM documents d,
+             UNNEST(generate_series(1, length(d.text))) AS t(i)
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_bytes,
+           CAST(b.s AS DOUBLE) / length(d.text) AS byte_mean,
+           sqrt(
+               CAST(b.ss * length(d.text) - b.s * b.s AS DOUBLE)
+               / CAST(length(d.text) * length(d.text) AS DOUBLE)
+           ) AS byte_std,
+           md5(substring(d.text, 1, 16)) AS head_hash
+    FROM documents d LEFT JOIN b USING (doc_id)
+    """,
+)
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary payloads -> Arrow batches
     -> pandas kernel (byte stats standing in for pixel stats) ->
-    typed rows. Deliberately registered WITHOUT an oracle — the driver
-    records the weaker rows-only check for non-SQL-expressible ops."""
+    typed rows — WITH an exact value oracle: the fake payload is the
+    utf-8 bytes of the (pure-ASCII) fixture text, and the kernel
+    computes mean/std from exact integer byte sums, so DuckDB's
+    ``ascii()`` per-character unnest reproduces the identical float64
+    results (see extract_features' docstring for the numeric
+    argument). The kernel itself is unchanged production plumbing:
+    Arrow batches in, zero shuffle, one output row per payload."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.attach_fake_payload(docs))
 
@@ -1602,13 +1664,27 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users_per_type")  # rows-only: HLL sketch values
+@register(
+    "approx_distinct_users_per_type",
+    # Sketch estimates are engine-specific, so no exact value oracle —
+    # but the estimate is BOUNDED: rsd=0.02 at 3 sigma.
+    bound_oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS approx_users,
+           count(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY event_type
+    """,
+    rel_tol=0.06,
+)
 def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user sketch per event type with the exact
-    count alongside. No SQL oracle on the approx column (sketch
-    estimates are engine-specific); registered for the rows-only
-    check. At 100 TB the sketch is THE way to count distincts: fixed
-    memory per group, order-independent merges, no second shuffle."""
+    count alongside. The driver records the rows-only check (sketch
+    estimates are engine-specific), but the local harness enforces a
+    TOLERANCE oracle: the estimate must sit within 3x the configured
+    rsd (0.02) of DuckDB's exact distinct count, and the exact column
+    must agree exactly. At 100 TB the sketch is THE way to count
+    distincts: fixed memory per group, order-independent merges, no
+    second shuffle."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
@@ -3203,16 +3279,25 @@ def purchases_without_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("incremental_distinct_users_hll")
+@register(
+    "incremental_distinct_users_hll",
+    # DataSketches HLL default lgK=12 -> rsd ~1.6%; 3 sigma ~5%.
+    bound_oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS est_users
+    FROM events GROUP BY event_type
+    """,
+    rel_tol=0.05,
+)
 def incremental_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL,
     Spark 3.5+): per-event-type sketches built on two DISJOINT ingest
     batches, then hll_union_agg'd — the incremental form of
     COUNT(DISTINCT) where a 100 TB history is never rescanned (each
     batch contributes a KB-sized sketch; distinct-over-any-window =
-    union of the window's sketches). Rows-only check: DuckDB has no
-    binary-compatible HLL, but the estimate is deterministic for
-    fixed input (test pins exactness on small cardinalities)."""
+    union of the window's sketches). The driver records rows-only
+    (DuckDB has no binary-compatible HLL), but the local harness
+    enforces the sketch's error bound against the exact distinct
+    count — a refactor that breaks the union-merge fails loudly."""
     ev = load_table(spark, sf_dir, "events")
     b1 = ev.where(F.col("event_id") % 2 == 0)
     b2 = ev.where(F.col("event_id") % 2 == 1)
@@ -4373,17 +4458,37 @@ def bom_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's working set is rows x avg_depth — the ~4x-sf0.1 stress
     run (`tools/stress.py`, 320k parts x ~25 levels ≈ 7M rows)
     tripped it. The limit is budgeted from data size (|part| x the
-    64-level max depth of a bigint key tree) rather than disabled.
-    Two deliberate costs, stated plainly: sizing runs a part.count()
-    at query-CONSTRUCTION time (parquet count is a metadata-cheap
-    job, but it is a job), and the conf raise is session-scoped —
-    Spark has no per-query conf, so later recursive CTEs in the same
-    session inherit the larger budget (still a budget, never
-    unlimited).
+    64-level max depth of a bigint key tree) rather than disabled,
+    with the row count read from the parquet FOOTERS (driver-side
+    metadata, no Spark job). Because Spark reads the limit at
+    EXECUTION time (verified: a plan built under a high limit fails
+    if the conf is lowered before collect), the budget cannot be
+    restored around a lazy plan — so the tiny 3-row rollup is
+    materialized eagerly (``localCheckpoint``) inside a try/finally
+    that restores the previous conf value: the session leaves this
+    function with the budget it entered with, and later recursive
+    CTEs get the default valve, not a ratcheted one.
     """
-    part = load_table(spark, sf_dir, "part")
-    budget = max(1_000_000, part.count() * 64)
+    budget = max(
+        1_000_000, _parquet_row_count(f"{sf_dir}/part.parquet") * 64
+    )
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(budget))
+    try:
+        return _bom_rollup_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+
+
+def _bom_rollup_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy recursive-CTE plan itself (UnionLoop + one keyed
+    exchange) — split out so the plan-pin test can inspect the shape
+    that executes inside :func:`bom_rollup_recursive`'s scoped-budget
+    window."""
+    part = load_table(spark, sf_dir, "part")
     part.createOrReplaceTempView("__bom_part")
     return spark.sql(_bom_rollup_sql(dual.SPARK, table="__bom_part"))
 

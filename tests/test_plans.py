@@ -484,7 +484,45 @@ def test_incremental_near_dup_banded_joins_only(spark):
 
 def test_bom_recursive_cte_single_loop(spark):
     # the recursion is one declarative UnionLoop (no driver-side
-    # iteration), and the rollup needs a single keyed exchange.
-    plan = plan_of(spark, "bom_rollup_recursive")
+    # iteration), and the rollup needs a single keyed exchange. The
+    # registered query wraps this plan in an eager localCheckpoint to
+    # scope the recursion budget, so the pin inspects the inner frame.
+    plan = (
+        qc._bom_rollup_frame(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "UnionLoop" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bom_checkpoint_schema_stable(spark):
+    # Durable guard behind bench.py's LogicalRDD-warning downgrade:
+    # the warning fires on exprId differences between the logical and
+    # optimized plans of recursion-materialized RDDs, which is benign
+    # IFF names and types agree. Pin exactly that: the registered
+    # (checkpointed) query's schema equals the lazy recursive frame's
+    # schema, name for name, type for type.
+    lazy = qc._bom_rollup_frame(spark, SF)
+    materialized = qc.QUERIES["bom_rollup_recursive"](spark, SF)
+    assert [
+        (f.name, f.dataType) for f in materialized.schema.fields
+    ] == [(f.name, f.dataType) for f in lazy.schema.fields]
+
+
+def test_bom_recursion_budget_is_scoped(spark):
+    # running the registered query must leave the session's recursion
+    # valve exactly as it found it — raised only within the call.
+    key = "spark.sql.cteRecursionRowLimit"
+    before = spark.conf.get(key, None)
+    df = qc.QUERIES["bom_rollup_recursive"](spark, SF)
+    assert spark.conf.get(key, None) == before
+    # and the recursion really ran (eagerly), matching the lazy form
+    assert df.count() == qc._bom_rollup_frame(spark, SF).count()
+
+    # with an explicit pre-set value, that value is restored
+    spark.conf.set(key, "123456789")
+    try:
+        qc.QUERIES["bom_rollup_recursive"](spark, SF)
+        assert spark.conf.get(key) == "123456789"
+    finally:
+        spark.conf.unset(key)

@@ -41,6 +41,39 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def compare_bounded(spark_df, duck_df, rel_tol: float) -> list[str]:
+    """Tolerance compare for sketch-valued queries: key (non-numeric)
+    columns must align exactly; numeric columns must sit within
+    ``rel_tol`` relative error of the oracle's exact values."""
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return [
+            f"schema mismatch: spark={sorted(spark_df.columns)} "
+            f"duck={sorted(duck_df.columns)}"
+        ]
+    if len(spark_df) != len(duck_df):
+        return [f"row count: spark={len(spark_df)} duck={len(duck_df)}"]
+    num_cols = [
+        c for c in spark_df.columns
+        if pd.api.types.is_numeric_dtype(duck_df[c])
+    ]
+    key_cols = [c for c in spark_df.columns if c not in num_cols]
+    a = spark_df.sort_values(key_cols).reset_index(drop=True)
+    b = duck_df.sort_values(key_cols).reset_index(drop=True)
+    for c in key_cols:
+        if not a[c].astype(str).equals(b[c].astype(str)):
+            problems.append(f"key column {c} differs")
+    for c in num_cols:
+        exact = b[c].astype(float)
+        est = a[c].astype(float)
+        rel = ((est - exact).abs() / exact.abs().clip(lower=1.0)).max()
+        if rel > rel_tol:
+            problems.append(
+                f"{c}: max relative error {rel:.4f} > tol {rel_tol}"
+            )
+    return problems
+
+
 def compare(spark_df, duck_df) -> list[str]:
     problems: list[str] = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
@@ -75,6 +108,7 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    bounds = getattr(e, "bound_oracle_sql", dict)()
     failed = []
     n_run = 0
     for name, fn in qs.items():
@@ -88,6 +122,24 @@ def main() -> int:
             failed.append(name)
             continue
         if name not in oracles:
+            if name in bounds:
+                spec = bounds[name]
+                try:
+                    bdf = con.execute(spec["sql"]).df()
+                except Exception as ex:  # noqa: BLE001
+                    print(f"FAIL  {name}: duckdb raised {ex}")
+                    failed.append(name)
+                    continue
+                problems = compare_bounded(sdf, bdf, spec["rel_tol"])
+                if problems:
+                    print(f"FAIL  {name}: " + "; ".join(problems))
+                    failed.append(name)
+                else:
+                    print(
+                        f"BOUND {name}: rows={len(sdf)} within "
+                        f"rel_tol={spec['rel_tol']}"
+                    )
+                continue
             print(f"okay  {name}: rows={len(sdf)} (no oracle — rows-only check)")
             continue
         try:
