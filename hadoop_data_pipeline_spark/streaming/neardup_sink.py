@@ -1,0 +1,124 @@
+"""Continuous-ingest NEAR-dup dedup: the streaming form of
+:func:`~hadoop_data_pipeline_spark.operators.dedup.incremental_near_dup`,
+closing the loop the batch operators open — every micro-batch is
+LSH-probed against the band-key index all PREVIOUS batches persisted,
+survivors land in the clean zone, and their band keys are appended to
+the index for the next batch (reference analogue: the pending-file
+ledger discipline of `jobs/incremental_pipeline.py`, applied to
+derived dedup state).
+
+Per micro-batch work (the 100 TB shape):
+
+* candidate generation = batch band keys x the stored band-key
+  parquet — the admitted corpus is never re-shingled;
+* exact-Jaccard verification re-shingles only CANDIDATE documents
+  (clean zone semi-joined down to candidate ids);
+* survivors append to the clean zone, then their band keys append to
+  the index.
+
+Delivery semantics match :class:`StreamingDedupSink`: exactly-once
+file processing from the checkpointed source; clean-zone append
+commits BEFORE the index append, so a crash between the two can
+duplicate one batch's docs on replay (at-least-once, never lost) and
+the replayed index rows self-heal every later batch. A transactional
+table format upgrades both appends to one atomic commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from hadoop_data_pipeline_spark.operators import dedup
+
+
+class StreamingNearDupSink:
+    """File-source stream -> near-dup-free clean zone + band index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        schema: T.StructType | str,
+        clean_dir: str,
+        index_dir: str,
+        checkpoint: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.2,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir.rstrip("/")
+        self.schema = schema
+        self.clean_dir = clean_dir.rstrip("/")
+        self.index_dir = index_dir.rstrip("/")
+        self.checkpoint = checkpoint.rstrip("/")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+
+    def _has_parquet(self, path: str) -> bool:
+        if not os.path.isdir(path):
+            return False
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _clean_docs(self) -> DataFrame:
+        if self._has_parquet(self.clean_dir):
+            return self.spark.read.parquet(self.clean_dir).select(
+                self.id_col, self.text_col
+            )
+        return self.spark.createDataFrame(
+            [], f"{self.id_col} bigint, {self.text_col} string"
+        )
+
+    def _band_index(self) -> DataFrame:
+        if self._has_parquet(self.index_dir):
+            return dedup.read_band_index(
+                self.spark, self.index_dir, self.id_col
+            )
+        return self.spark.createDataFrame(
+            [], f"{self.id_col} bigint, band_id int, band_key string"
+        )
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        survivor_ids = dedup.incremental_near_dup_against_index(
+            batch_df,
+            self._clean_docs(),
+            self._band_index(),
+            self.text_col,
+            self.id_col,
+            self.threshold,
+        )
+        survivors = batch_df.join(survivor_ids, self.id_col).persist()
+        # clean zone first, index second — see module doc.
+        survivors.write.mode("append").parquet(self.clean_dir)
+        dedup.write_band_index(
+            survivors,
+            self.index_dir,
+            self.text_col,
+            self.id_col,
+            mode="append",
+        )
+        survivors.unpersist()
+
+    def run_available_now(self, timeout_sec: int = 120) -> bool:
+        """Drain everything currently in ``source_dir``, then stop —
+        one tick of continuous ingest; the file-source checkpoint
+        makes the next run process only newly arrived files."""
+        stream = (
+            self.spark.readStream.schema(self.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(self.source_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return query.awaitTermination(timeout_sec)

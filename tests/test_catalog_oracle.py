@@ -46,3 +46,43 @@ def test_query_matches_oracle(spark, duck, name):
     ddf = duck.execute(oracles[name]).df()
     problems = compare(sdf, ddf)
     assert not problems, f"{name}: {problems}"
+
+
+def test_canon_preserves_large_exact_values():
+    """Regression: numpy's scale-based round corrupts large doubles
+    (12692380641200.0 -> ...200.002 via Series.round(9)); the canon
+    must keep exact integer-valued floats exact, treat int64 and
+    float64 representations of the same number identically, and map
+    nulls to the empty string."""
+    import numpy as np
+    import pandas as pd
+
+    from tools.oracle_check import _canon, compare
+
+    big = 12692380641200.0
+    a = pd.DataFrame({"k": ["x", "y", "z"],
+                      "v": pd.array([big, 0.25, None], dtype="float64")})
+    b = pd.DataFrame({"k": ["x", "y", "z"],
+                      "v": [int(big), 0.25, None]})  # object/int mix
+    ca = _canon(a)
+    assert ca["v"].tolist()[0] in {"12692380641200"}  # not ...200.002
+    assert not compare(a, b)
+
+    # int64 vs float64 columns with identical values must match
+    c = pd.DataFrame({"n": pd.array([1, 2, 3], dtype="int64")})
+    d = pd.DataFrame({"n": pd.array([1.0, 2.0, 3.0], dtype="float64")})
+    assert not compare(c, d)
+
+    # and genuinely different values must NOT match
+    e = pd.DataFrame({"n": [1.0, 2.0, 3.5]})
+    assert compare(c, e)
+
+    # big integers beyond 2^53 stay exact through the int path
+    f = pd.DataFrame({"h": pd.array([2**61 + 7], dtype="int64")})
+    g = pd.DataFrame({"h": pd.array([2**61 + 6], dtype="int64")})
+    assert not compare(f, f.copy())
+    assert compare(f, g)
+
+    # non-finite floats normalize deterministically, nulls to ""
+    h = pd.DataFrame({"x": [np.inf, -np.inf, np.nan]})
+    assert _canon(h)["x"].tolist() == ["", "-inf", "inf"]

@@ -387,6 +387,81 @@ def test_stream_dedup_sink_incremental(spark, tmp_path):
     assert digests.count() == 3  # alpha, beta, gamma
 
 
+def test_stream_neardup_sink_probes_persisted_index(spark, tmp_path):
+    """The full daily-ingest near-dup loop: batch 1 bootstraps the
+    band index; batch 2 is probed against the STORED index (its
+    near-dup of an admitted doc dies, within-batch twin dies), and the
+    index grows by exactly the survivors' band keys."""
+    from hadoop_data_pipeline_spark.operators import dedup as dd
+    from hadoop_data_pipeline_spark.streaming.neardup_sink import (
+        StreamingNearDupSink,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / name))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    sink = StreamingNearDupSink(
+        spark,
+        source_dir=str(src),
+        schema=schema,
+        clean_dir=str(tmp_path / "clean"),
+        index_dir=str(tmp_path / "band_index"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    ships = (
+        "totally different words about ships and harbors with cargo "
+        "cranes and tide tables every morning"
+    )
+    # batch 1: an internal near-dup pair (1,3) and one unique doc
+    write_batch("b1", [(1, base), (2, ships), (3, base + " extra")])
+    assert sink.run_available_now()
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+
+    # batch 2: near-dup of ADMITTED doc 2 dies via the stored index;
+    # 11/12 are within-batch twins (11 survives); 13 is new
+    write_batch(
+        "b2",
+        [
+            (10, ships + " again"),
+            (11, "unrelated corpus line with entirely fresh vocabulary "
+                 "spanning many nouns"),
+            (12, "unrelated corpus line with entirely fresh vocabulary "
+                 "spanning many nouns indeed"),
+        ],
+    )
+    assert sink.run_available_now()
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 11]
+
+    # the index holds exactly the survivors' band keys
+    idx = dd.read_band_index(spark, str(tmp_path / "band_index"))
+    assert sorted(
+        r.doc_id for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 2, 11]
+
+    # nothing new -> no growth (checkpointed file source)
+    assert sink.run_available_now()
+    assert spark.read.parquet(str(tmp_path / "clean")).count() == 3
+
+
 def test_interval_join_left_outer_keeps_gaps(spark):
     import datetime as dt
 

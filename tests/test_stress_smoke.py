@@ -44,6 +44,25 @@ def test_stress_build_and_compare_smoke(spark, tmp_path):
     assert n == 2 * base
 
 
+def test_stress_headline_is_inclusive_by_default():
+    """Every catalog query with an exact or bound oracle is in the
+    stress sweep unless explicitly excluded with a reason — a new
+    query cannot silently skip scale coverage."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    bounds = e.bound_oracle_sql()
+    headline = set(stress.stress_headline(qs, oracles, bounds))
+    oracle_able = {n for n in qs if n in oracles or n in bounds}
+    assert headline == oracle_able - set(stress.STRESS_EXCLUDE)
+    # exclusions must name real queries and carry a reason
+    for name, reason in stress.STRESS_EXCLUDE.items():
+        assert name in qs, f"stale exclusion: {name}"
+        assert len(reason) > 10
+    # and the sweep is wide: >= 100 queries (VERDICT r5 item 5)
+    assert len(headline) >= 100
+
+
 def test_stress_skew_remap(spark, tmp_path):
     out = str(tmp_path / "stress_skew")
     stress.build(

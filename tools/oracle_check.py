@@ -22,6 +22,16 @@ TABLES = (
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Dtype-aware vectorized canonicalization. The only contract is
+    SYMMETRY — both engines' frames pass through the identical
+    transform — plus dtype-insensitivity for numbers (DuckDB may hand
+    back int64 where Spark hands float64 for the same values). The
+    per-element fallback survives only for object columns (decimals,
+    bytes, arrays); a 4.8M x 17 frame canonicalizes in seconds instead
+    of minutes (the 8x stress sweep spent 427 s in the old elementwise
+    map for one projection query)."""
+    import numpy as np
+
     df = df.reindex(sorted(df.columns), axis=1)
 
     def norm(v):
@@ -35,7 +45,35 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             return v.isoformat()
         return str(v)
 
-    out = df.map(norm)
+    cols = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            # NOTE: never Series.round(9) here — numpy's scale-by-1e9
+            # rounding corrupts large exact values (12692380641200.0
+            # -> ...200.002); Python's round() is correctly rounded,
+            # and the int-valued test runs on the RAW values exactly
+            # like the original elementwise norm did.
+            vals = s.astype("float64").to_numpy()
+            isnum = np.isfinite(vals)
+            isint = isnum & (np.floor(vals) == vals) & (np.abs(vals) < 1e15)
+            out = np.full(len(vals), "", dtype=object)
+            out[isint] = [repr(int(v)) for v in vals[isint]]
+            rest = isnum & ~isint
+            out[rest] = [repr(round(float(v), 9)) for v in vals[rest]]
+            isinf = np.isinf(vals)
+            out[isinf] = [repr(float(v)) for v in vals[isinf]]
+            cols[c] = out
+        elif pd.api.types.is_integer_dtype(s):
+            # int-valued must canonicalize like int-valued floats
+            out = s.astype("Int64").astype(str).to_numpy(dtype=object)
+            out[s.isna().to_numpy()] = ""
+            cols[c] = out
+        elif pd.api.types.is_bool_dtype(s) and not s.isna().any():
+            cols[c] = s.astype(str).to_numpy(dtype=object)
+        else:
+            cols[c] = s.map(norm).to_numpy(dtype=object)
+    out = pd.DataFrame(cols, columns=list(df.columns))
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
         drop=True
     )
