@@ -3583,6 +3583,74 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRUB_W = 8  # exact-substring window (tokens); production uses 40-50
+
+
+def _duck_substring_scrub_sql(w: int = _SCRUB_W) -> str:
+    return f"""
+    WITH __t AS (
+        SELECT doc_id, {dual.tokens('text', dual.DUCK)} AS tk FROM documents
+    ),
+    __w AS (
+        SELECT doc_id, tk,
+               list_transform(range(1, len(tk) - {w - 2}), i ->
+                   struct_pack(pos := i,
+                               digest := md5(array_to_string(
+                                   tk[i:i+{w - 1}], ' ')))) AS wd
+        FROM __t
+    ),
+    posts AS (SELECT doc_id, unnest(wd) AS w FROM __w),
+    shared AS (
+        SELECT w.digest AS digest FROM posts
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT doc_id, list(w.pos) AS starts
+        FROM posts JOIN shared ON w.digest = shared.digest
+        GROUP BY doc_id
+    ),
+    joined AS (
+        SELECT t.doc_id, t.tk, coalesce(c.starts, []) AS starts
+        FROM __t t LEFT JOIN covered c USING (doc_id)
+    )
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           len(tk) - len(list_filter(tk, (x, i) ->
+               len(list_filter(starts,
+                   s -> i >= s AND i < s + {w})) = 0)) AS n_removed,
+           md5(coalesce(array_to_string(list_filter(tk, (x, i) ->
+               len(list_filter(starts,
+                   s -> i >= s AND i < s + {w})) = 0), ' '), ''))
+               AS clean_md5
+    FROM joined
+    """
+
+
+@register("substring_scrub_docs", oracle=_duck_substring_scrub_sql())
+def substring_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document substring SCRUB (Lee et al.'s
+    exact-substring dedup, the removal half): every token covered by
+    an 8-token span occurring verbatim in >= 2 distinct documents is
+    dropped from all of them (`operators/dedup.py::
+    remove_shared_substrings`); the cleaned text is pinned by md5 so
+    the value-hash check verifies the exact edit without shipping
+    document bodies through the compare.
+
+    Scale design (see the operator docstring): window digests with
+    positions — (id, pos, digest) rows — are the only thing shuffled;
+    the shared set is one partial-agg'd distinct-doc count; coverage +
+    token filter + reassembly happen in one zero-shuffle projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.remove_shared_substrings(docs, window=_SCRUB_W)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
 def _duck_dup_ngram_sql() -> str:
     return f"""
     WITH __t AS (

@@ -397,6 +397,47 @@ def test_incremental_near_dup_semantics(spark):
     assert got == [11]
 
 
+def test_substring_scrub_and_stats(spark):
+    # Lee-et-al exact-substring semantics on a crafted corpus: an
+    # 8-token span shared across docs 1/2 is scrubbed from BOTH; the
+    # unique doc and the sub-window doc are untouched; stats agree.
+    from hadoop_data_pipeline_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "a b c d e f g h x y z w"),
+            (3, "p q r s t u v unique words only here"),
+            (4, "short doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dd.remove_shared_substrings(df, window=8).collect()
+    }
+    assert out[1].text_clean == "i j k l" and out[1].n_removed == 8
+    assert out[2].text_clean == "x y z w" and out[2].n_removed == 8
+    assert out[3].n_removed == 0 and out[3].text_clean.startswith("p q r")
+    assert out[4].n_removed == 0  # shorter than the window: no spans
+
+    stats = {
+        r.doc_id: r
+        for r in dd.cross_doc_substring_stats(df, window=8).collect()
+    }
+    assert stats[1].n_shared_windows == 1 and stats[1].n_windows == 5
+    assert stats[3].n_shared_windows == 0
+    assert stats[4].n_windows == 0 and stats[4].dup_fraction is None
+
+    # a WITHIN-doc repeat is not a cross-doc duplicate: countDistinct
+    one = spark.createDataFrame(
+        [(7, "m n o p q r s t u m n o p q r s t u")],
+        "doc_id bigint, text string",
+    )
+    solo = dd.remove_shared_substrings(one, window=8).collect()[0]
+    assert solo.n_removed == 0
+
+
 def test_band_index_roundtrip_probe_equals_in_plan(spark, tmp_path):
     # The production daily-ingest shape: write the corpus's LSH band
     # keys as parquet once, then probe the STORED index — survivors

@@ -495,6 +495,17 @@ def test_bom_recursive_cte_single_loop(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_substring_scrub_digest_only_shuffles(spark):
+    # exact-substring scrub: every exchange carries digests/ints, the
+    # document text never enters a shuffle, and no cartesian appears.
+    plan = plan_of(spark, "substring_scrub_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line and "__toks" not in line
+
+
 def test_bom_checkpoint_schema_stable(spark):
     # Durable guard behind bench.py's LogicalRDD-warning downgrade:
     # the warning fires on exprId differences between the logical and

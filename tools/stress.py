@@ -100,6 +100,20 @@ SKEW_HEADLINE = [
     "tumbling_daily_event_stats",
     "session_window_user_stats",
     "case_when_agg_per_user",
+    # user-keyed analytics added after the first skew audit: the hot
+    # user owns ~30% of all events, so every per-user window/join
+    # below funnels it through one task — these prove the plans
+    # survive that (bounded state per user, no cross-user blowup).
+    "event_funnel_conversion",
+    "weekly_cohort_retention",
+    "cumulative_distinct_users_daily",
+    "user_state_history_scd2",
+    "asof_last_purchase_per_click",
+    "purchases_without_prior_click",
+    "rolling_7d_user_value",
+    "daily_value_resample_ffill",
+    "monotonic_violations_user_value",
+    "distinct_user_event_pairs",
 ]
 
 #: Deterministic hot key: ~30% of all events collapse onto this user.
