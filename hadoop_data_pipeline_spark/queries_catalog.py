@@ -4833,6 +4833,133 @@ def incremental_near_dup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Storage-format fidelity roundtrips (S1/S3 extensions: ORC, JSON
+# lines, CSV quote-escaping). Each query WRITES the fixture table in
+# the target format to a fresh temp dir, reads it back, and reduces
+# to a per-group ORDER-INSENSITIVE checksum; the oracle computes the
+# identical checksum from the parquet directly — so a value-hash
+# MATCH proves the write->read cycle was byte-faithful for every row
+# (types, quoting, escaping, nulls), not merely row-preserving.
+# ---------------------------------------------------------------------------
+
+_DOC_ROW = (
+    "concat_ws('|', cast(doc_id as string), coalesce(text, ''),"
+    " coalesce(lang, ''), coalesce(source, ''),"
+    " cast(n_chars as string))"
+)
+
+_DUCK_DOC_CHECKSUM = f"""
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+           sum({dual.md5_int(_DOC_ROW, dual.DUCK)}) AS checksum
+    FROM documents GROUP BY source
+"""
+
+
+def _docs_checksum(back: DataFrame) -> DataFrame:
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.expr(dual.md5_int(_DOC_ROW, dual.SPARK))).alias("checksum"),
+    )
+
+
+def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_data_pipeline_spark.sources.readers import (
+        read_jsonl,
+        read_orc,
+        write_format,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix=f"{fmt}_roundtrip_") + "/documents"
+    write_format(docs, path, fmt)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    if fmt == "orc":
+        back = read_orc(spark, path)
+    else:
+        back = read_jsonl(spark, path, schema)
+    return _docs_checksum(back)
+
+
+@register("orc_roundtrip_docs", oracle=_DUCK_DOC_CHECKSUM)
+def orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write -> read fidelity (`sources/readers.py::read_orc` /
+    `write_format`): documents written as ORC, re-read, reduced to a
+    per-source order-insensitive md5 checksum that must equal the
+    same checksum DuckDB computes from the parquet — proving the ORC
+    cycle preserved every value bit-for-bit. ORC is the reference's
+    Hive-managed-table default, so a lake migration reads both.
+
+    Scale: the checksum is one partial-agg'd groupBy on the (tiny)
+    source key; at 100 TB the same reduce verifies a format
+    migration without ever collecting rows."""
+    return _roundtrip_docs(spark, sf_dir, "orc")
+
+
+@register("jsonl_roundtrip_docs", oracle=_DUCK_DOC_CHECKSUM)
+def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write -> read fidelity (`read_jsonl`, schema-first
+    — the S1 explicit-schema discipline applied to JSON; inference
+    would sample and could flip types between runs). Same
+    order-insensitive checksum contract as `orc_roundtrip_docs`."""
+    return _roundtrip_docs(spark, sf_dir, "json")
+
+
+_EVT_ROW = (
+    "concat_ws('|', cast(event_id as string), cast(user_id as string),"
+    " coalesce(event_type, ''), coalesce(props, ''))"
+)
+
+
+@register(
+    "csv_roundtrip_events_props",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           sum({dual.md5_int(_EVT_ROW, dual.DUCK)}) AS checksum
+    FROM events GROUP BY event_type
+    """,
+)
+def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write -> read fidelity on HOSTILE content: `events.props`
+    holds JSON strings full of quotes, commas and braces — exactly
+    what breaks naive CSV handling. `write_format` pins
+    quote-escaping (``escape='"'``) so the roundtrip through
+    `read_csv` with an explicit schema is lossless; the checksum
+    covers the string/int columns exactly, doubles contribute through
+    a rounded SUM (cross-engine double->string formatting is not
+    canonical, so doubles stay numeric). Timestamps are excluded:
+    the fixture's TIMESTAMP(NANOS) would truncate through CSV text —
+    a documented non-goal (parquet/ORC are the typed formats)."""
+    import tempfile
+
+    from hadoop_data_pipeline_spark.sources.readers import (
+        read_csv,
+        write_format,
+    )
+
+    evt = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/events"
+    write_format(evt, path, "csv")
+    back = read_csv(
+        spark,
+        path,
+        schema="event_id bigint, user_id bigint, event_type string,"
+        " value double, props string",
+        escape='"',
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.expr(dual.md5_int(_EVT_ROW, dual.SPARK))).alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------
 # The round driver oracle-checks the FIRST 50 registered queries, so

@@ -107,6 +107,50 @@ def read_csv_quarantine(
     return good, bad
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar format a Hadoop-era lake holds
+    (the reference's Hive 2.x serving layer defaults to ORC for
+    managed tables). Schema comes from the ORC footer; Catalyst
+    pushes filters and prunes columns exactly as for parquet."""
+    return spark.read.orc(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan with a MANDATORY schema (S1 discipline applied
+    to JSON): schema-first reads are single-pass and type-stable,
+    whereas inference samples the data and can flip types between
+    runs — the same reasoning that replaced the reference's CSV
+    ``inferSchema=true`` (`jobs/finance_itsc_pipeline.py:62`) with
+    explicit schemas. Malformed lines follow the PERMISSIVE default
+    unless callers pass ``mode``/``columnNameOfCorruptRecord``."""
+    reader = spark.read.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_format(
+    df: DataFrame, path: str, fmt: str, **options: str
+) -> None:
+    """Overwrite-write ``df`` at ``path`` in ``fmt`` (parquet / orc /
+    json / csv). One deliberate non-default: CSV writes quote-escape
+    embedded quotes and always emit a header, so a CSV written here
+    reads back losslessly through :func:`read_csv` with the same
+    schema (the fidelity contract the roundtrip catalog queries
+    pin)."""
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true").option("escape", '"')
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.format(fmt).save(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver fixture table from ``{sf_dir}/{name}.parquet``.
 
