@@ -31,6 +31,17 @@ def main() -> None:
     # one-time session costs.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Host-speed calibration: the same fixed JVM job and Python loop
+    # every round, so per-query timings can be normalized against
+    # noisy-neighbor / host-clock drift when comparing rounds (r6
+    # observed the identical commit run 1.3-1.4x slower hours apart).
+    t0 = time.perf_counter()
+    spark.range(50_000_000).selectExpr("sum(id * 2)").collect()
+    calib_jvm = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    sum(i * i for i in range(5_000_000))
+    calib_py = round(time.perf_counter() - t0, 3)
+
     # The catalog's only unpartitioned windows sit on provably bounded
     # post-aggregate frames (audited: monthly_revenue_moving_avg, ~84
     # month rows). Downgrade that one audited warning so a NEW
@@ -100,6 +111,7 @@ def main() -> None:
             3,
         ),
         "failed": failed,
+        "calib": {"jvm_sec": calib_jvm, "py_sec": calib_py},
         "queries": timings,
     }
     details_path = os.path.join(
@@ -115,6 +127,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": len(failed),
         "sec_per_query": details["sec_per_query"],
+        "calib": details["calib"],
         "queries": slowest,
     }
     print(json.dumps(result))

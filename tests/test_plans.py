@@ -537,3 +537,61 @@ def test_bom_recursion_budget_is_scoped(spark):
         assert spark.conf.get(key) == "123456789"
     finally:
         spark.conf.unset(key)
+
+
+def test_runtime_bloom_filter_injectable(spark):
+    # At cluster scale Spark can inject a runtime BLOOM FILTER from a
+    # selective dim side into the fact scan (shuffle-input pruning on
+    # top of static pushdown).  The size thresholds that gate it
+    # (creation side <= 10 MB, application side >= 10 GB scan) are
+    # cluster-scale numbers, so the fixtures never trigger it by
+    # default — lower them here to pin that OUR join shapes are
+    # ELIGIBLE: a selective filter on orders semi-filtering lineitem
+    # plans a bloom_filter probe on the fact side.  If a refactor
+    # rewrites the join into a form the optimizer can't inject into
+    # (e.g. a non-equi wrapper), this fails.
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # Force SMJ so the runtime filter is worth injecting (a
+        # broadcast join already prunes via DPP/broadcast).
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        q = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_exact_dedup_measured_shuffle_is_digest_sized(spark):
+    # The plan test above pins the SHAPE (digest keys in the
+    # exchange); this pins the measured VOLUME: executing exact dedup
+    # must shuffle far fewer bytes than the document text it scanned.
+    # A refactor that keeps the groupBy but widens the shuffled row
+    # (e.g. dragging `text` along for a later projection) passes the
+    # plan-string test and fails here.
+    from tools.metrics_audit import measure
+    from hadoop_data_pipeline_spark import queries_catalog as qc
+
+    m = measure(spark, qc.QUERIES["dedup_exact_docs"], SF)
+    assert m["scan_bytes"] > 0
+    assert 0 < m["shuffle_bytes"] < m["scan_bytes"], m
