@@ -1904,13 +1904,17 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(docs, threshold=0.5)
 
 
-def _duck_clean_corpus(
+def _duck_clean_corpus_ctes(
     min_quality: float = 0.5, langs: tuple = ("en", "de"), threshold: float = 0.5
 ) -> str:
+    """The clean_corpus pipeline as a reusable CTE body (everything
+    after ``WITH RECURSIVE``): survivors = rows of ``exact`` whose
+    ``comp.node = comp.cluster_id``. Shared by the `clean_corpus`
+    oracle and composites that keep processing the cleaned corpus
+    (`prepare_training_shards`)."""
     lang_list = ", ".join(f"'{x}'" for x in langs)
     q = tx.quality_score_expr("text", "tk", D)
-    return f"""
-    WITH RECURSIVE t0 AS (
+    return f"""t0 AS (
         SELECT doc_id, text, lang, {dual.tokens('text', D)} AS tk FROM documents
     ),
     filtered AS (
@@ -1950,7 +1954,14 @@ def _duck_clean_corpus(
         UNION
         SELECT e.src, w.label FROM walk w JOIN edges e ON w.node = e.dst
     ),
-    comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+    comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)"""
+
+
+def _duck_clean_corpus(
+    min_quality: float = 0.5, langs: tuple = ("en", "de"), threshold: float = 0.5
+) -> str:
+    return f"""
+    WITH RECURSIVE {_duck_clean_corpus_ctes(min_quality, langs, threshold)}
     SELECT exact.doc_id AS doc_id, exact.lang AS lang
     FROM exact JOIN comp ON exact.doc_id = comp.node
     WHERE comp.node = comp.cluster_id
@@ -2531,6 +2542,63 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     return cur.pack_shards(docs, budget=2000)
+
+
+def _duck_prepare_shards(budget: int = 2000) -> str:
+    bucket = cur.split_bucket_expr("doc_id", "split-v1", D)
+    case = cur.split_case_expr(
+        "bucket", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return f"""
+    WITH RECURSIVE {_duck_clean_corpus_ctes()},
+    survivors AS (
+        SELECT exact.doc_id AS doc_id, exact.text AS text
+        FROM exact JOIN comp ON exact.doc_id = comp.node
+        WHERE comp.node = comp.cluster_id
+    ),
+    b AS (
+        SELECT doc_id, len({dual.tokens('text', D)}) AS n_tokens,
+               {bucket} AS bucket
+        FROM survivors
+    ),
+    s AS (SELECT doc_id, n_tokens, {case} AS split FROM b),
+    c AS (
+        SELECT doc_id, split, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY split ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM s
+    )
+    SELECT doc_id, split, n_tokens,
+           (cum - n_tokens) // {budget} AS shard_id
+    FROM c
+    """
+
+
+@register("prepare_training_shards", oracle=_duck_prepare_shards())
+def prepare_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data pipeline in one plan: quality
+    floor -> language allowlist -> exact dedup -> near-dup
+    canonicalization (`dedup.clean_corpus`) -> deterministic
+    train/val/test split (`curation.hash_split`, stateless salted
+    hash) -> token-budgeted shard packing (`curation.pack_shards`,
+    hierarchical running sum). Returns every surviving document's
+    (split, n_tokens, shard_id) — what a trainer's data loader
+    consumes.
+
+    Composite scale shape: each stage strictly shrinks or holds the
+    row count before the next pays more per row; the only exchanges
+    are the dedup digest/band keys and the final per-split window
+    family, all pinned by the component queries' plan tests. The
+    oracle chains the SAME dual-dialect CTE fragments the component
+    oracles use — one value-hash covers the whole pipeline
+    end-to-end, so a drift in ANY stage (scoring, banding, Jaccard,
+    split thresholds, prefix sums) fails this row."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dd.clean_corpus(docs).select("doc_id")
+    cleaned = docs.select("doc_id", "text").join(keep, "doc_id", "left_semi")
+    return cur.pack_shards(cur.hash_split(cleaned), budget=2000)
 
 
 @register(
