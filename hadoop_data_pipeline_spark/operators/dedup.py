@@ -881,9 +881,10 @@ def cross_doc_substring_stats(
     Returns (id, n_windows, n_shared_windows, dup_fraction).
 
     Scale shape: spans never leave the row as text — each document's
-    distinct spans become md5 DIGESTS in one projection (the
-    exact_dedup discipline: shuffle 32-byte digests, not 50-token
-    strings). The explode emits (id, digest); the duplicated-digest
+    distinct spans become 16-byte BINARY md5 digests in one
+    projection (the exact_dedup discipline, narrowed further:
+    unhex(md5) shuffles 16 bytes, not a 32-char hex string and never
+    50-token spans). The explode emits (id, digest); the duplicated-digest
     set comes from one partial-agg'd count per digest (>= 2 docs,
     since per-doc spans are distinct); membership joins back on the
     digest key. Two keyed exchanges total (digest, then id), both
@@ -900,7 +901,7 @@ def cross_doc_substring_stats(
     )
     digests = staged.selectExpr(
         id_col,
-        f"{dual.transform('__w', 's -> md5(s)', dual.SPARK)} AS __d",
+        f"{dual.transform('__w', 's -> unhex(md5(s))', dual.SPARK)} AS __d",
     )
     posts = digests.selectExpr(id_col, "explode(__d) AS digest")
     shared = (
@@ -946,8 +947,8 @@ def remove_shared_substrings(
     the `dup_ngram_fraction` catalog query; this operator performs the
     edit.) Returns (id, n_tokens, n_removed, text_clean).
 
-    Scale shape: windows travel as md5 digests with their start
-    POSITION — (id, pos, digest) rows, never text. The shared-digest
+    Scale shape: windows travel as 16-byte binary md5 digests with
+    their start POSITION — (id, pos, digest) rows, never text. The shared-digest
     set is one partial-agg'd distinct-doc count; covered starts come
     back per document as a small int array (bounded by tokens/1), and
     the coverage test + token filter + reassembly are one zero-shuffle
@@ -968,10 +969,10 @@ def remove_shared_substrings(
     size = "size(__toks)"
     win = (
         f"CASE WHEN {size} < {window} THEN "
-        f"cast(array() as array<struct<pos:int,digest:string>>) ELSE "
+        f"cast(array() as array<struct<pos:int,digest:binary>>) ELSE "
         f"transform(sequence(1, {size} - {window - 1}), i -> "
         f"struct(cast(i as int) AS pos, "
-        f"md5(concat_ws(' ', slice(__toks, i, {window}))) AS digest)) END"
+        f"unhex(md5(concat_ws(' ', slice(__toks, i, {window})))) AS digest)) END"
     )
     staged = (
         df.selectExpr(

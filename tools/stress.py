@@ -13,7 +13,7 @@ ship.
 Timestamps are shifted per copy (+i hours) so event-time windows and
 gap statistics see genuinely new data, not K identical cohorts.
 
-Usage: python tools/stress.py [copies] [sf_dir] [--skew]
+Usage: python tools/stress.py [copies] [sf_dir] [query ...] [--skew]
 Writes the derived parquet under /tmp/spark_graft_stress (re-created
 each run), never under /root/testdata.
 """
@@ -196,6 +196,8 @@ def main() -> int:
     headline = (
         SKEW_HEADLINE if skew else stress_headline(qs, oracles, bounds)
     )
+    if len(args) > 2:  # explicit query subset: stress.py K SF_DIR q1 q2 ...
+        headline = [n for n in args[2:] if n in qs]
     failed = []
     for name in headline:
         t0 = time.perf_counter()
