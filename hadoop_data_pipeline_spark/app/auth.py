@@ -37,11 +37,14 @@ class Authenticator:
         self._users = dict(users)
 
     def check_login(self, username: str, password: str) -> bool:
+        # Compare BYTES: compare_digest on str raises TypeError for
+        # non-ASCII input, which would turn a wrong 'pässw0rt' into a
+        # crash instead of a clean False.
         expected = self._users.get(username)
         if expected is None:
-            hmac.compare_digest("missing-user-dummy", password)
+            hmac.compare_digest(b"missing-user-dummy", password.encode())
             return False
-        return hmac.compare_digest(expected, password)
+        return hmac.compare_digest(expected.encode(), password.encode())
 
     def login(self, session: Session, username: str, password: str) -> bool:
         """Reference ``login_page`` submit handler: flip the session

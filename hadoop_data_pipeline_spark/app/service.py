@@ -74,15 +74,22 @@ class DashboardService:
         df, sql = llm_ops.answer_question(
             self.spark, self.client, question, self.tables, year_context
         )
-        bounded = df.limit(self.max_rows)
-        rows = [r.asDict(recursive=True) for r in bounded.collect()]
-        columns = bounded.columns
-        summary = llm_ops.summarize_result(
-            self.client, question, bounded
-        )
-        chart_type = llm_ops.suggest_chart(
-            self.client, question, bounded, len(rows)
-        )
+        # Persist the bounded frame: summarize_result re-reads it
+        # (limit(50)), and without the cache that is a SECOND full
+        # execution of arbitrary question SQL whose LIMIT (no ORDER
+        # BY) could return different rows than the table we render.
+        bounded = df.limit(self.max_rows).persist()
+        try:
+            rows = [r.asDict(recursive=True) for r in bounded.collect()]
+            columns = bounded.columns
+            summary = llm_ops.summarize_result(
+                self.client, question, bounded
+            )
+            chart_type = llm_ops.suggest_chart(
+                self.client, question, bounded, len(rows)
+            )
+        finally:
+            bounded.unpersist()
         spec = chart_spec(columns, chart_type, question)
         result = AskResult(
             question=question,

@@ -64,11 +64,19 @@ def main() -> None:  # pragma: no cover - requires `streamlit run`
         st.session_state.session = Session()
     session: Session = st.session_state.session
 
-    auth = Authenticator(
-        {os.environ.get("DASH_USER", "admin"): os.environ.get(
-            "DASH_PASSWORD", "admin"
-        )}
-    )
+    # Fail CLOSED on missing credentials: a default admin/admin pair
+    # would expose arbitrary-SQL execution behind a well-known login
+    # the moment someone deploys without setting the env vars (the
+    # reference ships .env.example defaults; we refuse instead).
+    user = os.environ.get("DASH_USER")
+    password_conf = os.environ.get("DASH_PASSWORD")
+    if not user or not password_conf:
+        st.error(
+            "DASH_USER / DASH_PASSWORD are not configured; "
+            "refusing to start with default credentials."
+        )
+        st.stop()
+    auth = Authenticator({user: password_conf})
 
     if not auth.require_auth(session):
         st.title("Engine Dashboard")

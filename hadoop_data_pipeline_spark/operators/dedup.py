@@ -899,10 +899,15 @@ def cross_doc_substring_stats(
         f"{dual.shingles_from_tokens('__toks', dual.SPARK, n=window)}"
         " AS __w",
     )
+    # Persist the digest arrays: three consumers (posts feeds both the
+    # shared-set and per-doc sides, totals is a third) — the same
+    # project-collapse barrier remove_shared_substrings documents;
+    # without it the tokenize->shingle->md5 chain re-evaluates per
+    # consumer.
     digests = staged.selectExpr(
         id_col,
         f"{dual.transform('__w', 's -> unhex(md5(s))', dual.SPARK)} AS __d",
-    )
+    ).persist()
     posts = digests.selectExpr(id_col, "explode(__d) AS digest")
     shared = (
         posts.groupBy("digest")

@@ -123,18 +123,27 @@ def _lloyd_fit(sample, k: int, seed: int = 42, max_iter: int = 10):
         if total <= 0:  # all points coincide with a center
             centers.append(sample[rng.randint(n)])
             continue
-        centers.append(sample[np.searchsorted(np.cumsum(d2 / total), rng.rand())])
+        # clip: float rounding can leave cumsum[-1] < 1.0, and a draw
+        # in that gap would index one past the end.
+        idx = min(
+            int(np.searchsorted(np.cumsum(d2 / total), rng.rand())), n - 1
+        )
+        centers.append(sample[idx])
     centers = np.asarray(centers, dtype=np.float64)
     for _ in range(max_iter):
         d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
         assign = d2.argmin(axis=1)
         new = np.empty_like(centers)
+        # Empty clusters re-seed to the points FARTHEST from their
+        # assigned centers — distinct per empty cluster (handing the
+        # same point to two empties would pin duplicate centroids).
+        farthest = iter(np.argsort(-d2.min(axis=1)))
         for j in range(k):
             members = sample[assign == j]
             if len(members):
                 new[j] = members.mean(axis=0)
             else:
-                new[j] = sample[d2.min(axis=1).argmax()]
+                new[j] = sample[next(farthest)]
         if np.allclose(new, centers):
             centers = new
             break

@@ -1452,6 +1452,12 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_feature_extract",
+    # NOTE: the oracle's length()/ascii() are CHARACTER-based and
+    # equal the kernel's utf-8 BYTE math only because the fixture
+    # corpus is pure ASCII (true for every sf tier and the key-shifted
+    # stress builds, which reuse the same text). A non-ASCII fixture
+    # would need octet_length + byte-wise unnest here, not a kernel
+    # change.
     oracle="""
     WITH b AS (
         SELECT d.doc_id,

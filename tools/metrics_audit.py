@@ -57,15 +57,24 @@ def measure(spark, fn, sf_dir: str) -> dict[str, int]:
     """Execute one catalog query end-to-end (noop sink) and aggregate
     its SQL metrics from the status store."""
     store = spark._jsparkSession.sharedState().statusStore()
-    before = store.executionsList().size()
+    # Track by monotonic executionId, not list POSITION: the status
+    # store evicts old entries past spark.sql.ui.retainedExecutions,
+    # after which positional ranges silently go empty and every
+    # metric would read 0.
+    prior = store.executionsList()
+    last_id = (
+        prior.apply(prior.size() - 1).executionId() if prior.size() else -1
+    )
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     execs = store.executionsList()
     out = {v: 0 for v in METRIC_KEYS.values()}
     # A query may run several executions (eager sub-jobs: sample
     # collects, adaptive re-optimizations register under one id, but
     # driver-side collects are their own) — attribute all of them.
-    for i in range(before, execs.size()):
+    for i in range(execs.size()):
         ex = execs.apply(i)
+        if ex.executionId() <= last_id:
+            continue
         vals = store.executionMetrics(ex.executionId())
         mets = ex.metrics()
         for j in range(mets.size()):

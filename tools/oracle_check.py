@@ -104,6 +104,13 @@ def compare_bounded(spark_df, duck_df, rel_tol: float) -> list[str]:
     for c in num_cols:
         exact = b[c].astype(float)
         est = a[c].astype(float)
+        if c.startswith("exact_"):
+            # Companion ground-truth columns must agree EXACTLY —
+            # only sketch estimates get the tolerance (a 5% drift in
+            # an exact count is a bug the tolerance would mask).
+            if not est.equals(exact):
+                problems.append(f"exact column {c} differs")
+            continue
         rel = ((est - exact).abs() / exact.abs().clip(lower=1.0)).max()
         if rel > rel_tol:
             problems.append(

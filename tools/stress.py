@@ -59,6 +59,11 @@ STRESS_EXCLUDE = {
     "dedup_clusters_minhash": "CTE cluster oracle ~200s at 8x",
     "semantic_dedup_embeddings": "recursive-CTE cluster oracle",
     "clean_corpus": "contains near-dup clustering stage (CTE oracle)",
+    "prepare_training_shards": (
+        "chains the clean_corpus CTE oracle (recursive cluster walk) "
+        "— same reason as clean_corpus; the split/pack tail stays "
+        "stress-covered via pack_token_shards"
+    ),
     # quadratic pair-enumeration oracles:
     "simhash_near_dup_pairs": "O(d^2) simhash pair oracle",
     # layout-dependent, not scale-dependent:
@@ -197,7 +202,10 @@ def main() -> int:
         SKEW_HEADLINE if skew else stress_headline(qs, oracles, bounds)
     )
     if len(args) > 2:  # explicit query subset: stress.py K SF_DIR q1 q2 ...
-        headline = [n for n in args[2:] if n in qs]
+        unknown = [n for n in args[2:] if n not in qs]
+        if unknown:  # a typo must not produce a 0-query green sweep
+            raise SystemExit(f"unknown queries: {unknown}")
+        headline = list(args[2:])
     failed = []
     for name in headline:
         t0 = time.perf_counter()
