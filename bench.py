@@ -28,8 +28,20 @@ def main() -> None:
 
     spark = get_session("bench")
     # Warm up the JVM / parquet footers so the first query doesn't pay
-    # one-time session costs.
+    # one-time session costs: one trivial job, then a schema-only read
+    # of each fixture table (footer + filesystem metadata, no data
+    # scan, no query pre-execution).
     spark.range(1000).selectExpr("sum(id)").collect()
+    from hadoop_data_pipeline_spark.sources.readers import (
+        TESTDATA_TABLES,
+        load_table,
+    )
+
+    for t in TESTDATA_TABLES:
+        try:
+            load_table(spark, sf_dir, t).schema
+        except Exception:  # noqa: BLE001 - missing optional table
+            pass
 
     # Host-speed calibration: the same fixed JVM job and Python loop
     # every round, so per-query timings can be normalized against
