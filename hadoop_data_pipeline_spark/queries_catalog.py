@@ -5129,19 +5129,23 @@ _DRIVER_WINDOW = [
     "lang_id_heuristic",
     "text_quality_score",
     "doc_fingerprint",
-    # Dedup extensions (exact -> minhash -> simhash -> ngram -> clusters)
+    # Dedup extensions (exact -> minhash -> simhash -> ngram ->
+    # clusters -> substring scrub; signature-only micro-variants sit
+    # past the window, still oracle-checked by the local harness)
     "dedup_exact_docs",
-    "minhash_signatures_docs",
     "near_dup_pairs_minhash",
     "ngram_jaccard_pairs_lang",
-    "simhash_docs",
     "simhash_near_dup_pairs",
     "dedup_clusters_minhash",
     "clean_corpus",
+    "substring_scrub_docs",
+    # End-to-end prep composite (clean -> split -> shard-pack)
+    "prepare_training_shards",
+    # Storage-format fidelity (S1/S3/K roundtrip checksum)
+    "orc_roundtrip_docs",
     # Similarity search extensions
     "embedding_cosine_topk",
     "embedding_ann_lsh_topk",
-    "embedding_near_dup_pairs",
     # Multimodal / custom-kernel extensions
     "binary_payload_stats",
     "user_event_gap_stats_window",
