@@ -107,6 +107,30 @@ def read_csv_quarantine(
     return good, bad
 
 
+def read_parquet_evolved(
+    spark: SparkSession, paths: str | list[str]
+) -> DataFrame:
+    """Parquet scan across files written under DIFFERENT schema
+    versions (``mergeSchema=true``): the unified schema is the union
+    of every file's columns; rows from files lacking a column read as
+    NULL. This is the schema-EVOLUTION read path — a lake that added
+    columns over months must stay readable in one scan without
+    rewriting history. Cost note: schema merging reads every file's
+    FOOTER up front (one driver-side pass over file metadata, not
+    data); for a stable-schema table use :func:`read_parquet`, which
+    trusts a single footer.
+
+    The reference hard-fails on schema drift at the DQ gate
+    (`jobs/data_quality.py:31-40` — missing columns are fatal); that
+    contract still holds for the CURATED zone, while this reader
+    covers the RAW/staging zones where drift is a fact of ingestion.
+    """
+    reader = spark.read.option("mergeSchema", "true")
+    if isinstance(paths, list):
+        return reader.parquet(*paths)
+    return reader.parquet(paths)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — the other columnar format a Hadoop-era lake holds
     (the reference's Hive 2.x serving layer defaults to ORC for

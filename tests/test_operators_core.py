@@ -433,3 +433,31 @@ def test_format_roundtrips_hostile_content(spark, tmp_path):
     # papering over it.
     expect_csv = [(i, None if s == "" else s) for i, s in expect]
     assert got == expect_csv
+
+
+def test_read_parquet_evolved_unifies_schema_versions(spark, tmp_path):
+    # Schema evolution: files written months apart with added columns
+    # must read as ONE frame — union schema, NULLs where a file
+    # predates a column, and types preserved per column.
+    from hadoop_data_pipeline_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    v1 = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    )
+    v1.write.parquet(str(tmp_path / "t" / "v1"))
+    v2.write.parquet(str(tmp_path / "t" / "v2"))
+
+    df = read_parquet_evolved(
+        spark, [str(tmp_path / "t" / "v1"), str(tmp_path / "t" / "v2")]
+    )
+    assert sorted(df.columns) == ["id", "name", "score"]
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    # plain read_parquet of the same files would pick ONE footer and
+    # silently drop (or never see) the evolved column — assert the
+    # difference so the reader choice stays deliberate.
+    plain = spark.read.parquet(str(tmp_path / "t" / "v1"))
+    assert "score" not in plain.columns
