@@ -75,16 +75,23 @@ class StreamingDedupSink:
             .drop("__rn")
         )
         idx = self._existing_digests()
+        # Decide survivors EXACTLY ONCE with lineage cut: the plan
+        # reads the digest store the second append mutates; a cached
+        # frame can still recompute (cache-plan mismatch, evicted
+        # partition) and would then anti-join the batch against its
+        # OWN just-written digests, silently writing an empty digest
+        # append. localCheckpoint materializes and truncates the plan
+        # so no append can re-evaluate; executor loss fails the tick
+        # loudly and the checkpointed source replays it.
         survivors = (
             first.join(idx, "digest", "left_anti") if idx is not None else first
-        ).persist()
+        ).localCheckpoint(eager=True)
         # clean zone first, digests second: a crash in between replays
         # the batch (at-least-once), never loses it — see module doc.
         survivors.drop("digest").write.mode("append").parquet(self.clean_dir)
         survivors.select("digest").write.mode("append").parquet(
             self.digest_dir
         )
-        survivors.unpersist()
         staged.unpersist()
 
     def run_available_now(self, timeout_sec: int = 120) -> bool:

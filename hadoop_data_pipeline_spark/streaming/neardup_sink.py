@@ -94,7 +94,17 @@ class StreamingNearDupSink:
             self.id_col,
             self.threshold,
         )
-        survivors = batch_df.join(survivor_ids, self.id_col).persist()
+        # Decide survivors EXACTLY ONCE with lineage cut: the probe
+        # plan reads the clean zone AND the band index, both of which
+        # the appends below mutate — a recompute (cache-plan
+        # mismatch, evicted partition) would see every survivor as
+        # its own near-duplicate and silently append 0 index rows.
+        # localCheckpoint materializes and truncates the plan;
+        # executor loss fails the tick loudly and the checkpointed
+        # source replays it.
+        survivors = batch_df.join(survivor_ids, self.id_col).localCheckpoint(
+            eager=True
+        )
         # clean zone first, index second — see module doc.
         survivors.write.mode("append").parquet(self.clean_dir)
         dedup.write_band_index(
@@ -104,7 +114,6 @@ class StreamingNearDupSink:
             self.id_col,
             mode="append",
         )
-        survivors.unpersist()
 
     def run_available_now(self, timeout_sec: int = 120) -> bool:
         """Drain everything currently in ``source_dir``, then stop —

@@ -1,0 +1,202 @@
+"""Continuous-ingest TRAINING-DATA PREP: the streaming form of the
+whole `prepare_training_shards` front half — every micro-batch is
+quality/language gated, exact-deduped (within the batch and against
+the digest store all previous batches persisted), then LSH-probed for
+near-duplicates against the persisted band index; survivors append to
+the clean zone and both state stores. Composes the mechanics of
+:class:`StreamingDedupSink` (digest store) and
+:class:`StreamingNearDupSink` (band index) behind one sink, so a
+corpus ingested file-by-file converges to the same first-occurrence
+survivor set the batch operators produce on the concatenation
+(pinned by ``test_stream_prep_equals_iterative_batch``).
+
+Per micro-batch work (the 100 TB shape):
+
+* the gate is a zero-shuffle projection (quality score + lang filter)
+  — rejected documents never touch any state store;
+* exact dedup joins batch DIGESTS against the digest store (column-
+  pruned scan, no text), O(batch + matching digests);
+* near-dup candidates come from batch band keys x the stored band-key
+  parquet; verification re-shingles only candidate documents;
+* appends: clean zone, then digest store, then band index.
+
+Delivery semantics: exactly-once file processing from the
+checkpointed source; state appends commit AFTER the clean zone, so a
+crash between appends can duplicate one batch's docs on replay
+(at-least-once, never lost) and the replayed state rows self-heal
+every later batch — the same honest contract as the component sinks;
+a transactional table format upgrades the three appends to one
+atomic commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadoop_data_pipeline_spark.functions import dual
+from hadoop_data_pipeline_spark.operators import dedup
+from hadoop_data_pipeline_spark.operators import text as tx
+
+
+class StreamingPrepSink:
+    """File stream -> gated, exact- and near-dup-free clean zone."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        schema: T.StructType | str,
+        clean_dir: str,
+        digest_dir: str,
+        index_dir: str,
+        checkpoint: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        lang_col: str = "lang",
+        min_quality: float = 0.5,
+        langs: tuple[str, ...] = ("en", "de"),
+        threshold: float = 0.5,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir.rstrip("/")
+        self.schema = schema
+        self.clean_dir = clean_dir.rstrip("/")
+        self.digest_dir = digest_dir.rstrip("/")
+        self.index_dir = index_dir.rstrip("/")
+        self.checkpoint = checkpoint.rstrip("/")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.lang_col = lang_col
+        self.min_quality = min_quality
+        self.langs = tuple(langs)
+        self.threshold = threshold
+
+    # -- persisted-state readers (empty-safe) --------------------------
+
+    def _has_parquet(self, path: str) -> bool:
+        if not os.path.isdir(path):
+            return False
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _clean_docs(self) -> DataFrame:
+        if self._has_parquet(self.clean_dir):
+            return self.spark.read.parquet(self.clean_dir).select(
+                self.id_col, self.text_col
+            )
+        return self.spark.createDataFrame(
+            [], f"{self.id_col} bigint, {self.text_col} string"
+        )
+
+    def _digests(self) -> DataFrame | None:
+        if self._has_parquet(self.digest_dir):
+            return self.spark.read.parquet(self.digest_dir).select("digest")
+        return None
+
+    def _band_index(self) -> DataFrame:
+        if self._has_parquet(self.index_dir):
+            return dedup.read_band_index(
+                self.spark, self.index_dir, self.id_col
+            )
+        return self.spark.createDataFrame(
+            [], f"{self.id_col} bigint, band_id int, band_key string"
+        )
+
+    # -- the pipeline ---------------------------------------------------
+
+    def gate(self, df: DataFrame) -> DataFrame:
+        """Quality floor + language allowlist — zero-shuffle, applied
+        before any state store is touched."""
+        lang_list = ", ".join(f"'{x}'" for x in self.langs)
+        staged = df.selectExpr(
+            "*", f"{dual.tokens(self.text_col, dual.SPARK)} AS __toks"
+        )
+        q = tx.quality_score_expr(self.text_col, "__toks", dual.SPARK)
+        return (
+            staged.where(
+                F.expr(
+                    f"{q} >= {self.min_quality}"
+                    f" AND {self.lang_col} IN ({lang_list})"
+                )
+            )
+            .drop("__toks")
+        )
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        gated = self.gate(batch_df)
+        # exact dedup: first occurrence (min id) within the batch,
+        # then anti-join the digest store — digests only, never text.
+        digested = gated.withColumn(
+            "digest", F.md5(F.col(self.text_col))
+        )
+        w = Window.partitionBy("digest").orderBy(self.id_col)
+        first = (
+            digested.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__rn")
+        )
+        idx = self._digests()
+        exact = (
+            first.join(idx, "digest", "left_anti") if idx is not None else first
+        )
+        exact = exact.persist()
+        # near-dup: probe the persisted band index (+ within batch).
+        survivor_ids = dedup.incremental_near_dup_against_index(
+            exact.drop("digest"),
+            self._clean_docs(),
+            self._band_index(),
+            self.text_col,
+            self.id_col,
+            self.threshold,
+        )
+        # Decide the survivor set EXACTLY ONCE, with lineage cut:
+        # the probe plan reads the clean zone and the band index, and
+        # the appends below MUTATE those directories — any downstream
+        # re-evaluation (cache-plan mismatch, lost cached partition)
+        # would re-run the probe against the post-append state and see
+        # every survivor as its own near-duplicate (observed: the
+        # band-index append silently wrote 0 rows). localCheckpoint
+        # materializes the rows and truncates the plan, so the three
+        # appends cannot recompute; an executor loss now fails the
+        # tick loudly and the checkpointed source replays it.
+        survivors = exact.join(survivor_ids, self.id_col).localCheckpoint(
+            eager=True
+        )
+        # commit order — see module doc.
+        survivors.drop("digest").write.mode("append").parquet(self.clean_dir)
+        survivors.select("digest").write.mode("append").parquet(
+            self.digest_dir
+        )
+        dedup.write_band_index(
+            survivors.drop("digest"),
+            self.index_dir,
+            self.text_col,
+            self.id_col,
+            mode="append",
+        )
+        exact.unpersist()
+
+    def run_available_now(self, timeout_sec: int = 120) -> bool:
+        """Drain everything currently in ``source_dir``, then stop —
+        one tick of continuous ingest; the file-source checkpoint
+        makes the next run process only newly arrived files."""
+        stream = (
+            self.spark.readStream.schema(self.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(self.source_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return query.awaitTermination(timeout_sec)

@@ -555,3 +555,75 @@ def test_stateful_running_totals_tws(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_prep_equals_iterative_batch(spark, tmp_path):
+    # The full streaming prep pipeline (gate -> exact dedup vs digest
+    # store -> near-dup probe vs band index -> clean zone) over three
+    # AvailableNow ticks: gate rejects never touch state, exact dups
+    # are caught within AND across batches, near-dups across batches,
+    # and the final clean zone is exactly the first-occurrence
+    # survivor set.
+    from hadoop_data_pipeline_spark.streaming.prep_sink import (
+        StreamingPrepSink,
+    )
+
+    base = "the quick brown fox and the lazy dog run in the park together"
+    other = "a slow green turtle walks along the warm sand near the sea"
+    third = ("it is the case that a good engine keeps all of the "
+            "shuffles keyed and all of the state bounded")
+    batches = [
+        [
+            (1, base, "en"),
+            (2, base, "en"),            # exact dup within batch
+            (3, "???!!!....", "en"),    # gate: quality reject
+            (4, other, "fr"),           # gate: lang reject
+        ],
+        [
+            (5, base, "en"),            # exact dup across batches
+            (6, base + " today", "en"),  # near-dup of doc 1
+            (7, other, "en"),           # survives
+        ],
+        [
+            (8, other + " again", "en"),  # near-dup of doc 7
+            (9, third, "en"),           # survives
+        ],
+    ]
+    schema = "doc_id bigint, text string, lang string"
+    src = tmp_path / "src"
+    sink = StreamingPrepSink(
+        spark,
+        str(src),
+        schema,
+        str(tmp_path / "clean"),
+        str(tmp_path / "digests"),
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        min_quality=0.5,
+        langs=("en",),
+        threshold=0.5,
+    )
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        assert sink.run_available_now(timeout_sec=180), f"tick {i}"
+
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    got = sorted(r.doc_id for r in clean.select("doc_id").collect())
+    assert got == [1, 7, 9]
+    # state stores hold exactly the survivors
+    digests = spark.read.parquet(str(tmp_path / "digests"))
+    assert digests.count() == 3
+    from hadoop_data_pipeline_spark.operators.dedup import read_band_index
+    from hadoop_data_pipeline_spark.functions.dual import N_BANDS
+
+    idx = read_band_index(spark, str(tmp_path / "index"), "doc_id")
+    assert sorted(
+        r.doc_id for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 7, 9]
+    assert idx.count() == 3 * N_BANDS
+    # checkpoint incrementality: a fourth tick with no new files
+    # admits nothing and appends nothing.
+    assert sink.run_available_now(timeout_sec=180)
+    assert spark.read.parquet(str(tmp_path / "clean")).count() == 3
