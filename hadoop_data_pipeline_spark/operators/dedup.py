@@ -817,6 +817,65 @@ def read_band_index(spark, path: str, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def write_band_index_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the band index as a catalog table BUCKETED by
+    ``band_key`` — the top-scale layout `write_band_index`'s docstring
+    promises: the probe join then reads the index with NO index-side
+    exchange (bucket i joins bucket i directly), so each daily probe
+    shuffles only the NEW batch's band keys, never the
+    corpus-sized index. Bucket count fixes probe parallelism; sort
+    within buckets makes the sort-merge side sort-free."""
+    from hadoop_data_pipeline_spark.sources.bucketing import write_bucketed
+
+    bands = _banded(
+        _minhash_sig(staged_shingle_hashes(df, text_col, id_col), id_col),
+        id_col,
+    )
+    write_bucketed(
+        bands, table, ["band_key"], n_buckets,
+        sort_cols=["band_key"], path=path, mode=mode,
+    )
+
+
+def probe_candidates_bucketed(
+    spark, staged_new: DataFrame, index_table: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate (id_new, id_other) pairs against a BUCKETED index
+    table. Here the JOIN form is deliberately kept for the cross side
+    (grouping the union per bucket — the `_probe_candidates` shape —
+    would re-exchange the stored index and throw the bucketing away):
+    the bucketed scan carries hashpartitioning(band_key), so the
+    sort-merge join exchanges ONLY the new batch's band keys. The
+    join key is ``band_key`` alone (the bucket column); ``band_id``
+    equality is a post-join filter — same candidate set, since a
+    cross-band key collision also implies identical minhash band
+    values. The within-batch half still uses the single-shuffle
+    grouped expansion (the new batch has no stored layout)."""
+    bands_new = _banded(_minhash_sig(staged_new, id_col), id_col)
+    idx = spark.table(index_table)
+    cross = (
+        bands_new.withColumnRenamed(id_col, "id_new")
+        .withColumnRenamed("band_id", "__bid_new")
+        .join(idx.withColumnRenamed(id_col, "id_other"), "band_key")
+        .where(F.col("__bid_new") == F.col("band_id"))
+        .select("id_new", "id_other")
+    )
+    within = (
+        _pairs_from_banded(bands_new, id_col)
+        .withColumnRenamed("id_a", "id_other")
+        .withColumnRenamed("id_b", "id_new")
+    )
+    return cross.unionByName(within).distinct()
+
+
 def incremental_near_dup_against_index(
     new_df: DataFrame,
     index_df: DataFrame,
@@ -845,6 +904,23 @@ def incremental_near_dup_against_index(
     """
     staged_new = staged_shingle_hashes(new_df, text_col, id_col)
     cand = _probe_candidates(staged_new, band_index, id_col)
+    return _survivors_from_candidates(
+        new_df, index_df, staged_new, cand, text_col, id_col, threshold
+    )
+
+
+def _survivors_from_candidates(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    staged_new: DataFrame,
+    cand: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Candidate-proportional verification shared by the probe
+    variants: re-shingle only candidate partners, verify exact
+    Jaccard, anti-join dropped ids off the new batch."""
     a = staged_new.selectExpr(
         f"{id_col} AS id_new", "__sh AS sh_a",
         "size(array_distinct(__sh)) AS n_a",
@@ -861,6 +937,28 @@ def incremental_near_dup_against_index(
     )
     dropped = _verify_dropped(cand, a, b, id_col, threshold)
     return new_df.select(id_col).join(dropped, id_col, "left_anti")
+
+
+def incremental_near_dup_against_bucketed_index(
+    spark,
+    new_df: DataFrame,
+    index_df: DataFrame,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """:func:`incremental_near_dup_against_index` probing the
+    BUCKETED index table (:func:`write_band_index_bucketed`) — the
+    top-scale daily-ingest shape: the index side of the candidate
+    join reads its bucketed layout with no exchange, so per probe the
+    only corpus-sized work is a bucket-local scan; identical survivor
+    semantics (pinned by the bucketed roundtrip test)."""
+    staged_new = staged_shingle_hashes(new_df, text_col, id_col)
+    cand = probe_candidates_bucketed(spark, staged_new, index_table, id_col)
+    return _survivors_from_candidates(
+        new_df, index_df, staged_new, cand, text_col, id_col, threshold
+    )
 
 
 def cross_doc_substring_stats(

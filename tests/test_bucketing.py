@@ -52,3 +52,67 @@ def test_bucketed_aggregation_skips_exchange(spark, bucketed_tables):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_bucketed_band_index_probe(spark, tmp_path):
+    # The top-scale daily-ingest shape write_band_index documents:
+    # index bucketed by band_key -> the probe's candidate join reads
+    # the index WITHOUT an exchange (only the new batch's band keys
+    # shuffle), and survivors are identical to the directory-index
+    # probe.
+    from pyspark.sql import functions as F
+
+    from hadoop_data_pipeline_spark.operators import dedup
+    from hadoop_data_pipeline_spark.sources.readers import (
+        load_table as _lt,
+    )
+
+    docs = _lt(spark, SF, "documents").select("doc_id", "text")
+    index_docs = docs.where("doc_id < 25")
+    new_docs = docs.where("doc_id >= 25")
+    try:
+        dedup.write_band_index_bucketed(
+            index_docs, "b_band_index", n_buckets=4,
+            path=str(tmp_path / "b_band_index"),
+        )
+        got = dedup.incremental_near_dup_against_bucketed_index(
+            spark, new_docs, index_docs, "b_band_index", threshold=0.5
+        )
+        # reference: the directory-index probe
+        dedup.write_band_index(
+            index_docs, str(tmp_path / "dir_index"), mode="overwrite"
+        )
+        ref = dedup.incremental_near_dup_against_index(
+            new_docs,
+            index_docs,
+            dedup.read_band_index(spark, str(tmp_path / "dir_index")),
+            threshold=0.5,
+        )
+        assert sorted(r.doc_id for r in got.collect()) == sorted(
+            r.doc_id for r in ref.collect()
+        )
+        # plan: the bucketed scan side of the candidate join carries
+        # its bucket partitioning — no Exchange directly above it.
+        staged = dedup.staged_shingle_hashes(new_docs, "text", "doc_id")
+        cand = dedup.probe_candidates_bucketed(
+            spark, staged, "b_band_index"
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [
+            ln for ln in plan.splitlines() if "Scan parquet" in ln
+            and "b_band_index" in ln
+        ]
+        assert scan_lines, plan
+        # the index-side subtree between the join and the bucketed
+        # scan must contain no hash exchange: count exchanges in the
+        # whole plan — exactly those for the new-batch side (cross
+        # join input) and the within-batch groupBy/distinct family,
+        # never one whose child is the bucketed scan.
+        for i, ln in enumerate(plan.splitlines()):
+            if "Scan parquet" in ln and "b_band_index" in ln:
+                above = plan.splitlines()[max(0, i - 2):i]
+                assert not any(
+                    "Exchange hashpartitioning" in a for a in above
+                ), plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_band_index")
