@@ -865,7 +865,14 @@ def probe_candidates_bucketed(
         bands_new.withColumnRenamed(id_col, "id_new")
         .withColumnRenamed("band_id", "__bid_new")
         .join(idx.withColumnRenamed(id_col, "id_other"), "band_key")
-        .where(F.col("__bid_new") == F.col("band_id"))
+        # band_id equality in ARITHMETIC form, deliberately: a plain
+        # == gets pushed into the join as a second equi-key, and the
+        # planner then disables the bucketed scan because the join
+        # keys no longer equal the bucket column ("Bucketed: false
+        # (disabled by query planner)" — observed). The non-equi form
+        # stays a post-join condition, keeping band_key the sole join
+        # key and the index side exchange-free.
+        .where(F.expr("__bid_new - band_id = 0"))
         .select("id_new", "id_other")
     )
     within = (
@@ -954,7 +961,13 @@ def incremental_near_dup_against_bucketed_index(
     join reads its bucketed layout with no exchange, so per probe the
     only corpus-sized work is a bucket-local scan; identical survivor
     semantics (pinned by the bucketed roundtrip test)."""
-    staged_new = staged_shingle_hashes(new_df, text_col, id_col)
+    # Persist the new batch's staged hashes: the plan references them
+    # three times (cross-join bands, within-batch bands, verify side
+    # `a`) — the same multi-reference shape near_dup_pairs_minhash
+    # caches; without it the tokenize/shingle/hash pipeline runs
+    # three times per probe. Default storage level; lifetime is the
+    # session's (clearCache between daily runs).
+    staged_new = staged_shingle_hashes(new_df, text_col, id_col).persist()
     cand = probe_candidates_bucketed(spark, staged_new, index_table, id_col)
     return _survivors_from_candidates(
         new_df, index_df, staged_new, cand, text_col, id_col, threshold

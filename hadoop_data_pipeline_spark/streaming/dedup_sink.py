@@ -33,6 +33,74 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
+def has_parquet(path: str) -> bool:
+    """True iff ``path`` holds at least one parquet file (recursively)
+    — the empty-state probe every stateful sink shares."""
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def field_ddl(schema: T.StructType | str, name: str) -> str:
+    """DDL type string of one field of a (possibly DDL-string) schema
+    — used to type EMPTY state frames from the sink's own source
+    schema instead of hardcoding bigint ids (string doc ids are
+    common; a hardcoded type would break the first batch's union)."""
+    st = (
+        T._parse_datatype_string(schema)
+        if isinstance(schema, str)
+        else schema
+    )
+    return st[name].dataType.simpleString()
+
+
+def first_per_digest(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """The exact-dedup convention both the dedup and prep sinks share:
+    md5 digest of the text, FIRST occurrence (min id) per digest
+    within the frame (WindowGroupLimit shape). Returns the frame plus
+    a ``digest`` column. Changing the digest algorithm or tie-break
+    here changes it for every sink at once."""
+    staged = df.withColumn("digest", F.md5(F.col(text_col)))
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        staged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def stage_and_release(
+    df: DataFrame, staging_dir: str
+) -> tuple[DataFrame, "object"]:
+    """Materialize ``df`` to a per-batch staging parquet and return
+    (re-read frame, release callable). The survivor set of a
+    state-mutating sink must be decided EXACTLY ONCE: its plan reads
+    the state directories the subsequent appends mutate, and any
+    re-evaluation (cache-plan mismatch — observed with
+    `write_band_index`'s derived plan — or an evicted cached/
+    checkpointed block) would re-run the probe against post-append
+    state and silently append wrong (usually empty) rows. A staging
+    write cuts the lineage completely and, unlike `localCheckpoint`,
+    releases its storage deterministically (the callable removes the
+    directory; a crash leaves only an orphan staging dir that the
+    replayed batch overwrites)."""
+    import shutil
+
+    spark = df.sparkSession
+    df.write.mode("overwrite").parquet(staging_dir)
+    staged = spark.read.parquet(staging_dir)
+
+    def release() -> None:
+        shutil.rmtree(staging_dir, ignore_errors=True)
+
+    return staged, release
+
+
 class StreamingDedupSink:
     """File-source stream -> exact-deduped clean zone + digest store."""
 
@@ -57,42 +125,32 @@ class StreamingDedupSink:
         self.id_col = id_col
 
     def _existing_digests(self) -> DataFrame | None:
-        if not os.path.isdir(self.digest_dir) or not any(
-            f.endswith(".parquet") for f in os.listdir(self.digest_dir)
-        ):
+        if not has_parquet(self.digest_dir):
             return None
         return self.spark.read.parquet(self.digest_dir).select("digest")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        staged = batch_df.withColumn(
-            "digest", F.md5(F.col(self.text_col))
-        ).persist()
-        # first occurrence within the batch (WindowGroupLimit shape)
-        w = Window.partitionBy("digest").orderBy(self.id_col)
-        first = (
-            staged.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        first = first_per_digest(batch_df, self.text_col, self.id_col)
         idx = self._existing_digests()
-        # Decide survivors EXACTLY ONCE with lineage cut: the plan
-        # reads the digest store the second append mutates; a cached
-        # frame can still recompute (cache-plan mismatch, evicted
-        # partition) and would then anti-join the batch against its
-        # OWN just-written digests, silently writing an empty digest
-        # append. localCheckpoint materializes and truncates the plan
-        # so no append can re-evaluate; executor loss fails the tick
-        # loudly and the checkpointed source replays it.
-        survivors = (
-            first.join(idx, "digest", "left_anti") if idx is not None else first
-        ).localCheckpoint(eager=True)
-        # clean zone first, digests second: a crash in between replays
-        # the batch (at-least-once), never loses it — see module doc.
-        survivors.drop("digest").write.mode("append").parquet(self.clean_dir)
-        survivors.select("digest").write.mode("append").parquet(
-            self.digest_dir
+        # Decide survivors EXACTLY ONCE (see stage_and_release): the
+        # plan reads the digest store the second append mutates, so
+        # it must not be re-evaluable after the first append.
+        survivors, release = stage_and_release(
+            first.join(idx, "digest", "left_anti") if idx is not None else first,
+            f"{self.checkpoint}/staging-{batch_id}",
         )
-        staged.unpersist()
+        try:
+            # clean zone first, digests second: a crash in between
+            # replays the batch (at-least-once), never loses it — see
+            # module doc.
+            survivors.drop("digest").write.mode("append").parquet(
+                self.clean_dir
+            )
+            survivors.select("digest").write.mode("append").parquet(
+                self.digest_dir
+            )
+        finally:
+            release()
 
     def run_available_now(self, timeout_sec: int = 120) -> bool:
         """Drain everything currently in ``source_dir``, then stop —

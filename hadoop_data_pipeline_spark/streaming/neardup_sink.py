@@ -59,33 +59,39 @@ class StreamingNearDupSink:
         self.id_col = id_col
         self.threshold = threshold
 
-    def _has_parquet(self, path: str) -> bool:
-        if not os.path.isdir(path):
-            return False
-        for _root, _dirs, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+    def _id_ddl(self) -> str:
+        from hadoop_data_pipeline_spark.streaming.dedup_sink import field_ddl
+
+        return field_ddl(self.schema, self.id_col)
 
     def _clean_docs(self) -> DataFrame:
-        if self._has_parquet(self.clean_dir):
+        from hadoop_data_pipeline_spark.streaming.dedup_sink import has_parquet
+
+        if has_parquet(self.clean_dir):
             return self.spark.read.parquet(self.clean_dir).select(
                 self.id_col, self.text_col
             )
         return self.spark.createDataFrame(
-            [], f"{self.id_col} bigint, {self.text_col} string"
+            [], f"{self.id_col} {self._id_ddl()}, {self.text_col} string"
         )
 
     def _band_index(self) -> DataFrame:
-        if self._has_parquet(self.index_dir):
+        from hadoop_data_pipeline_spark.streaming.dedup_sink import has_parquet
+
+        if has_parquet(self.index_dir):
             return dedup.read_band_index(
                 self.spark, self.index_dir, self.id_col
             )
         return self.spark.createDataFrame(
-            [], f"{self.id_col} bigint, band_id int, band_key string"
+            [],
+            f"{self.id_col} {self._id_ddl()}, band_id int, band_key string",
         )
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from hadoop_data_pipeline_spark.streaming.dedup_sink import (
+            stage_and_release,
+        )
+
         survivor_ids = dedup.incremental_near_dup_against_index(
             batch_df,
             self._clean_docs(),
@@ -94,26 +100,27 @@ class StreamingNearDupSink:
             self.id_col,
             self.threshold,
         )
-        # Decide survivors EXACTLY ONCE with lineage cut: the probe
-        # plan reads the clean zone AND the band index, both of which
-        # the appends below mutate — a recompute (cache-plan
-        # mismatch, evicted partition) would see every survivor as
-        # its own near-duplicate and silently append 0 index rows.
-        # localCheckpoint materializes and truncates the plan;
-        # executor loss fails the tick loudly and the checkpointed
-        # source replays it.
-        survivors = batch_df.join(survivor_ids, self.id_col).localCheckpoint(
-            eager=True
+        # Decide survivors EXACTLY ONCE (see stage_and_release): the
+        # probe plan reads the clean zone AND the band index, both of
+        # which the appends below mutate — a re-evaluation would see
+        # every survivor as its own near-duplicate and silently
+        # append 0 index rows.
+        survivors, release = stage_and_release(
+            batch_df.join(survivor_ids, self.id_col),
+            f"{self.checkpoint}/staging-{batch_id}",
         )
-        # clean zone first, index second — see module doc.
-        survivors.write.mode("append").parquet(self.clean_dir)
-        dedup.write_band_index(
-            survivors,
-            self.index_dir,
-            self.text_col,
-            self.id_col,
-            mode="append",
-        )
+        try:
+            # clean zone first, index second — see module doc.
+            survivors.write.mode("append").parquet(self.clean_dir)
+            dedup.write_band_index(
+                survivors,
+                self.index_dir,
+                self.text_col,
+                self.id_col,
+                mode="append",
+            )
+        finally:
+            release()
 
     def run_available_now(self, timeout_sec: int = 120) -> bool:
         """Drain everything currently in ``source_dir``, then stop —

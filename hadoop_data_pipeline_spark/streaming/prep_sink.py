@@ -18,20 +18,25 @@ Per micro-batch work (the 100 TB shape):
   pruned scan, no text), O(batch + matching digests);
 * near-dup candidates come from batch band keys x the stored band-key
   parquet; verification re-shingles only candidate documents;
-* appends: clean zone, then digest store, then band index.
+* appends: clean zone, then band index, then digest store — the
+  index BEFORE the digests, because a replay after a partial commit
+  is blocked by whichever store already holds the batch: if the
+  digests landed but the band keys did not, the replayed batch would
+  be exact-anti-joined away and the index hole would become
+  PERMANENT (future near-dups admitted); with the index first, a
+  replay missing only digests still drops exact dups via the index
+  probe (an identical document always exceeds any Jaccard
+  threshold).
 
 Delivery semantics: exactly-once file processing from the
-checkpointed source; state appends commit AFTER the clean zone, so a
-crash between appends can duplicate one batch's docs on replay
-(at-least-once, never lost) and the replayed state rows self-heal
-every later batch — the same honest contract as the component sinks;
-a transactional table format upgrades the three appends to one
-atomic commit.
+checkpointed source; a crash between appends replays the batch
+(at-least-once — clean-zone rows can duplicate, never be lost), and
+with the index-before-digests order above every partial-commit state
+is self-consistent for all later batches; a transactional table
+format upgrades the three appends to one atomic commit.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +45,12 @@ from pyspark.sql import types as T
 from hadoop_data_pipeline_spark.functions import dual
 from hadoop_data_pipeline_spark.operators import dedup
 from hadoop_data_pipeline_spark.operators import text as tx
+from hadoop_data_pipeline_spark.streaming.dedup_sink import (
+    field_ddl,
+    first_per_digest,
+    has_parquet,
+    stage_and_release,
+)
 
 
 class StreamingPrepSink:
@@ -75,79 +86,63 @@ class StreamingPrepSink:
         self.langs = tuple(langs)
         self.threshold = threshold
 
-    # -- persisted-state readers (empty-safe) --------------------------
+    # -- persisted-state readers (empty-safe, typed from the source
+    # schema so non-bigint doc ids work from the first batch) --------
 
-    def _has_parquet(self, path: str) -> bool:
-        if not os.path.isdir(path):
-            return False
-        for _root, _dirs, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+    def _id_ddl(self) -> str:
+        return field_ddl(self.schema, self.id_col)
 
     def _clean_docs(self) -> DataFrame:
-        if self._has_parquet(self.clean_dir):
+        if has_parquet(self.clean_dir):
             return self.spark.read.parquet(self.clean_dir).select(
                 self.id_col, self.text_col
             )
         return self.spark.createDataFrame(
-            [], f"{self.id_col} bigint, {self.text_col} string"
+            [], f"{self.id_col} {self._id_ddl()}, {self.text_col} string"
         )
 
     def _digests(self) -> DataFrame | None:
-        if self._has_parquet(self.digest_dir):
+        if has_parquet(self.digest_dir):
             return self.spark.read.parquet(self.digest_dir).select("digest")
         return None
 
     def _band_index(self) -> DataFrame:
-        if self._has_parquet(self.index_dir):
+        if has_parquet(self.index_dir):
             return dedup.read_band_index(
                 self.spark, self.index_dir, self.id_col
             )
         return self.spark.createDataFrame(
-            [], f"{self.id_col} bigint, band_id int, band_key string"
+            [],
+            f"{self.id_col} {self._id_ddl()}, band_id int, band_key string",
         )
 
     # -- the pipeline ---------------------------------------------------
 
     def gate(self, df: DataFrame) -> DataFrame:
         """Quality floor + language allowlist — zero-shuffle, applied
-        before any state store is touched."""
-        lang_list = ", ".join(f"'{x}'" for x in self.langs)
+        before any state store is touched. The allowlist is a column
+        `isin` (never string-spliced SQL: a quote inside a malformed
+        lang tag, or an empty tuple, must not break the expression);
+        an empty ``langs`` means no language filter."""
         staged = df.selectExpr(
             "*", f"{dual.tokens(self.text_col, dual.SPARK)} AS __toks"
         )
         q = tx.quality_score_expr(self.text_col, "__toks", dual.SPARK)
-        return (
-            staged.where(
-                F.expr(
-                    f"{q} >= {self.min_quality}"
-                    f" AND {self.lang_col} IN ({lang_list})"
-                )
-            )
-            .drop("__toks")
-        )
+        out = staged.where(F.expr(f"{q} >= {self.min_quality}"))
+        if self.langs:
+            out = out.where(F.col(self.lang_col).isin(*self.langs))
+        return out.drop("__toks")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
         gated = self.gate(batch_df)
-        # exact dedup: first occurrence (min id) within the batch,
-        # then anti-join the digest store — digests only, never text.
-        digested = gated.withColumn(
-            "digest", F.md5(F.col(self.text_col))
-        )
-        w = Window.partitionBy("digest").orderBy(self.id_col)
-        first = (
-            digested.withColumn("__rn", F.row_number().over(w))
-            .where("__rn = 1")
-            .drop("__rn")
-        )
+        # exact dedup (shared convention, see dedup_sink.first_per_
+        # digest): first occurrence within the batch, then anti-join
+        # the digest store — digests only, never text.
+        first = first_per_digest(gated, self.text_col, self.id_col)
         idx = self._digests()
         exact = (
             first.join(idx, "digest", "left_anti") if idx is not None else first
-        )
-        exact = exact.persist()
+        ).persist()
         # near-dup: probe the persisted band index (+ within batch).
         survivor_ids = dedup.incremental_near_dup_against_index(
             exact.drop("digest"),
@@ -157,32 +152,33 @@ class StreamingPrepSink:
             self.id_col,
             self.threshold,
         )
-        # Decide the survivor set EXACTLY ONCE, with lineage cut:
+        # Decide the survivor set EXACTLY ONCE (see stage_and_release):
         # the probe plan reads the clean zone and the band index, and
-        # the appends below MUTATE those directories — any downstream
-        # re-evaluation (cache-plan mismatch, lost cached partition)
-        # would re-run the probe against the post-append state and see
-        # every survivor as its own near-duplicate (observed: the
-        # band-index append silently wrote 0 rows). localCheckpoint
-        # materializes the rows and truncates the plan, so the three
-        # appends cannot recompute; an executor loss now fails the
-        # tick loudly and the checkpointed source replays it.
-        survivors = exact.join(survivor_ids, self.id_col).localCheckpoint(
-            eager=True
+        # the appends below MUTATE those directories — a re-evaluation
+        # would see every survivor as its own near-duplicate
+        # (observed: the band-index append silently wrote 0 rows).
+        survivors, release = stage_and_release(
+            exact.join(survivor_ids, self.id_col),
+            f"{self.checkpoint}/staging-{batch_id}",
         )
-        # commit order — see module doc.
-        survivors.drop("digest").write.mode("append").parquet(self.clean_dir)
-        survivors.select("digest").write.mode("append").parquet(
-            self.digest_dir
-        )
-        dedup.write_band_index(
-            survivors.drop("digest"),
-            self.index_dir,
-            self.text_col,
-            self.id_col,
-            mode="append",
-        )
-        exact.unpersist()
+        try:
+            # commit order — see module doc (index BEFORE digests).
+            survivors.drop("digest").write.mode("append").parquet(
+                self.clean_dir
+            )
+            dedup.write_band_index(
+                survivors.drop("digest"),
+                self.index_dir,
+                self.text_col,
+                self.id_col,
+                mode="append",
+            )
+            survivors.select("digest").write.mode("append").parquet(
+                self.digest_dir
+            )
+        finally:
+            release()
+            exact.unpersist()
 
     def run_available_now(self, timeout_sec: int = 120) -> bool:
         """Drain everything currently in ``source_dir``, then stop —
