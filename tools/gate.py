@@ -37,6 +37,10 @@ HEADLINE = (
     "ngram_jaccard_pairs_lang",
     "clean_corpus",
     "user_event_gap_stats_window",
+    # round-6 heavyweights: the end-to-end prep composite and the
+    # exact substring scrub both chain several shuffle families.
+    "prepare_training_shards",
+    "substring_scrub_docs",
 )
 
 
