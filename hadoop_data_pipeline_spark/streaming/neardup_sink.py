@@ -48,7 +48,16 @@ class StreamingNearDupSink:
         text_col: str = "text",
         id_col: str = "doc_id",
         threshold: float = 0.2,
+        index_table: str | None = None,
+        n_buckets: int = 8,
     ):
+        """``index_table`` switches the persisted state to the
+        BUCKETED catalog table (:func:`dedup.write_band_index_bucketed`)
+        instead of the ``index_dir`` parquet directory: every probe
+        then reads the index side with NO exchange — the top-scale
+        daily-ingest layout; ``index_dir`` doubles as the table's
+        storage path. Survivor semantics are identical either way
+        (pinned by the bucketed-vs-directory test)."""
         self.spark = spark
         self.source_dir = source_dir.rstrip("/")
         self.schema = schema
@@ -58,6 +67,8 @@ class StreamingNearDupSink:
         self.text_col = text_col
         self.id_col = id_col
         self.threshold = threshold
+        self.index_table = index_table
+        self.n_buckets = n_buckets
 
     def _id_ddl(self) -> str:
         from hadoop_data_pipeline_spark.streaming.dedup_sink import field_ddl
@@ -92,14 +103,27 @@ class StreamingNearDupSink:
             stage_and_release,
         )
 
-        survivor_ids = dedup.incremental_near_dup_against_index(
-            batch_df,
-            self._clean_docs(),
-            self._band_index(),
-            self.text_col,
-            self.id_col,
-            self.threshold,
-        )
+        if self.index_table and self.spark.catalog.tableExists(
+            self.index_table
+        ):
+            survivor_ids = dedup.incremental_near_dup_against_bucketed_index(
+                self.spark,
+                batch_df,
+                self._clean_docs(),
+                self.index_table,
+                self.text_col,
+                self.id_col,
+                self.threshold,
+            )
+        else:
+            survivor_ids = dedup.incremental_near_dup_against_index(
+                batch_df,
+                self._clean_docs(),
+                self._band_index(),
+                self.text_col,
+                self.id_col,
+                self.threshold,
+            )
         # Decide survivors EXACTLY ONCE (see stage_and_release): the
         # probe plan reads the clean zone AND the band index, both of
         # which the appends below mutate — a re-evaluation would see
@@ -112,13 +136,38 @@ class StreamingNearDupSink:
         try:
             # clean zone first, index second — see module doc.
             survivors.write.mode("append").parquet(self.clean_dir)
-            dedup.write_band_index(
-                survivors,
-                self.index_dir,
-                self.text_col,
-                self.id_col,
-                mode="append",
-            )
+            if self.index_table:
+                # first batch creates the bucketed table; later
+                # batches append (Spark validates the bucket spec).
+                mode = (
+                    "append"
+                    if self.spark.catalog.tableExists(self.index_table)
+                    else "overwrite"
+                )
+                dedup.write_band_index_bucketed(
+                    survivors,
+                    self.index_table,
+                    n_buckets=self.n_buckets,
+                    text_col=self.text_col,
+                    id_col=self.id_col,
+                    path=self.index_dir,
+                    mode=mode,
+                )
+                # The append ran on the micro-batch's session clone;
+                # the MAIN session's relation cache for the table is
+                # now stale (observed: spark.table kept serving the
+                # pre-append file list, so the next probe missed this
+                # batch's band keys). Refresh through the sink's own
+                # session, which every later probe uses.
+                self.spark.catalog.refreshTable(self.index_table)
+            else:
+                dedup.write_band_index(
+                    survivors,
+                    self.index_dir,
+                    self.text_col,
+                    self.id_col,
+                    mode="append",
+                )
         finally:
             release()
 
@@ -137,4 +186,10 @@ class StreamingNearDupSink:
             .trigger(availableNow=True)
             .start()
         )
-        return query.awaitTermination(timeout_sec)
+        done = query.awaitTermination(timeout_sec)
+        # awaitTermination returns True for a FAILED termination too —
+        # surface the foreachBatch exception instead of reporting a
+        # green tick with partial state.
+        if query.exception() is not None:
+            raise query.exception()
+        return done

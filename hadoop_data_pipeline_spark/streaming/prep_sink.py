@@ -195,4 +195,10 @@ class StreamingPrepSink:
             .trigger(availableNow=True)
             .start()
         )
-        return query.awaitTermination(timeout_sec)
+        done = query.awaitTermination(timeout_sec)
+        # awaitTermination returns True for a FAILED termination too —
+        # surface the foreachBatch exception instead of reporting a
+        # green tick with partial state.
+        if query.exception() is not None:
+            raise query.exception()
+        return done

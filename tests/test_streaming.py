@@ -627,3 +627,79 @@ def test_stream_prep_equals_iterative_batch(spark, tmp_path):
     # admits nothing and appends nothing.
     assert sink.run_available_now(timeout_sec=180)
     assert spark.read.parquet(str(tmp_path / "clean")).count() == 3
+
+
+def test_stream_neardup_sink_bucketed_index_mode(spark, tmp_path):
+    # Same two-batch loop as the directory-index test, with the sink
+    # persisting its state as the BUCKETED catalog table instead:
+    # identical clean-zone survivors, a real bucketed table with the
+    # declared spec, and the exchange-free probe path engaged from
+    # batch 2 on.
+    from hadoop_data_pipeline_spark.streaming.neardup_sink import (
+        StreamingNearDupSink,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / name))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    sink = StreamingNearDupSink(
+        spark,
+        source_dir=str(src),
+        schema=schema,
+        clean_dir=str(tmp_path / "clean"),
+        index_dir=str(tmp_path / "band_index"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.5,
+        index_table="b_stream_band_index",
+        n_buckets=4,
+    )
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    ships = (
+        "totally different words about ships and harbors with cargo "
+        "cranes and tide tables every morning"
+    )
+    try:
+        write_batch("b1", [(1, base), (2, ships), (3, base + " extra")])
+        assert sink.run_available_now()
+        assert spark.catalog.tableExists("b_stream_band_index")
+        write_batch(
+            "b2",
+            [
+                (10, ships + " again"),
+                (11, "unrelated corpus line with entirely fresh "
+                     "vocabulary spanning many nouns"),
+                (12, "unrelated corpus line with entirely fresh "
+                     "vocabulary spanning many nouns indeed"),
+            ],
+        )
+        assert sink.run_available_now()
+        clean = spark.read.parquet(str(tmp_path / "clean"))
+        assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 11]
+        idx = spark.table("b_stream_band_index")
+        assert sorted(
+            r.doc_id for r in idx.select("doc_id").distinct().collect()
+        ) == [1, 2, 11]
+        # the table really is bucketed with the declared spec
+        ddl = "\n".join(
+            r.createtab_stmt
+            for r in spark.sql(
+                "SHOW CREATE TABLE b_stream_band_index"
+            ).collect()
+        )
+        assert "CLUSTERED BY (band_key)" in ddl and "4 BUCKETS" in ddl, ddl
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_stream_band_index")
