@@ -1114,11 +1114,24 @@ def remove_shared_substrings(
         "__toks",
         "coalesce(__starts, cast(array() as array<int>)) AS __starts",
     )
-    # token i (0-based lambda index) is covered iff some shared window
-    # starting at s (1-based) satisfies s <= i+1 < s + window
+    # Covered-position SET, not a per-token scan over __starts: the
+    # old filter-in-filter form was O(n_tokens x n_starts) per row —
+    # a fully-duplicated 100k-token document (every start shared) made
+    # that 10^10 lambda evaluations in ONE row (r6 verdict hazard).
+    # Each shared start covers exactly `window` positions, so the
+    # expansion is bounded at window*k ints; array_except hashes the
+    # covered set and walks sequence(1, n) once, preserving order —
+    # O(window*k + n) per row, fully codegen'd, no quadratic blowup.
+    # Starts never exceed n - window + 1 (windows are generated only
+    # that far), so s + window - 1 <= n and no clamp is needed.
+    covered_pos = (
+        f"flatten(transform(__starts, s -> sequence(s, s + {window - 1})))"
+    )
+    # sequence(1, 0) would produce a DESCENDING [1, 0] — guard n = 0.
     keep = (
-        f"filter(__toks, (x, i) -> size(filter(__starts, "
-        f"s -> i + 1 >= s AND i + 1 < s + {window})) = 0)"
+        f"CASE WHEN {size} = 0 THEN __toks ELSE "
+        f"transform(array_except(sequence(1, {size}), {covered_pos}), "
+        f"p -> element_at(__toks, p)) END"
     )
     return joined.selectExpr(
         id_col,

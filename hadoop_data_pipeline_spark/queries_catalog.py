@@ -1704,12 +1704,17 @@ def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
     # variant; DuckDB: exact) — no exact value oracle, but the
     # estimate is BOUNDED: accuracy=10000 caps rank error at 1e-4 of
     # the group size, far inside the 5% value tolerance on this
-    # distribution.
+    # distribution. quantile_disc, not quantile_cont: Spark's sketch
+    # returns an ACTUAL data point (nearest rank), and at small group
+    # sizes cont's interpolation between the two largest order stats
+    # can drift >5% in a heavy tail while disc stays within one order
+    # statistic of the sketch (observed: p99 rel err 0.247 at sf0.001
+    # with cont, <1e-3 with disc).
     bound_oracle="""
     SELECT event_type,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.9) AS p90,
-           quantile_cont(value, 0.99) AS p99
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99
     FROM events WHERE value IS NOT NULL GROUP BY event_type
     """,
     rel_tol=0.05,
@@ -2532,7 +2537,7 @@ def _duck_pack_shards(budget: int) -> str:
         FROM s
     )
     SELECT doc_id, split, n_tokens,
-           (cum - n_tokens) // {budget} AS shard_id
+           CAST((cum - n_tokens) // {budget} AS BIGINT) AS shard_id
     FROM c
     """
 
@@ -2577,7 +2582,7 @@ def _duck_prepare_shards(budget: int = 2000) -> str:
         FROM s
     )
     SELECT doc_id, split, n_tokens,
-           (cum - n_tokens) // {budget} AS shard_id
+           CAST((cum - n_tokens) // {budget} AS BIGINT) AS shard_id
     FROM c
     """
 
@@ -3263,11 +3268,12 @@ def incremental_daily_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(CASE WHEN q2 THEN 1 ELSE 0 END) AS r2
         FROM q2 GROUP BY 1
     )
-    SELECT 1 AS step_index, 'view' AS step, sum(r0) AS n_users FROM u
+    SELECT 1 AS step_index, 'view' AS step,
+           CAST(sum(r0) AS BIGINT) AS n_users FROM u
     UNION ALL
-    SELECT 2, 'click', sum(r1) FROM u
+    SELECT 2, 'click', CAST(sum(r1) AS BIGINT) FROM u
     UNION ALL
-    SELECT 3, 'purchase', sum(r2) FROM u
+    SELECT 3, 'purchase', CAST(sum(r2) AS BIGINT) FROM u
     """,
 )
 def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3441,10 +3447,10 @@ def incremental_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFram
                 WHEN date_diff('day', cast(o_orderdate AS DATE),
                                cast(l_shipdate AS DATE)) <= 90 THEN '61-90'
                 ELSE '90+' END AS latency_bucket,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_priority_lines,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_priority_lines
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
     """,
@@ -3559,10 +3565,10 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT day, count(*) AS new_users FROM first_seen GROUP BY 1
     )
     SELECT day, new_users,
-           sum(new_users) OVER (
+           CAST(sum(new_users) OVER (
                ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_users
+           ) AS BIGINT) AS cum_users
     FROM daily
     """,
 )
@@ -3780,7 +3786,8 @@ def _duck_dup_ngram_sql() -> str:
     ex AS (SELECT doc_id, unnest(sh) AS hsh FROM h),
     freq AS (SELECT hsh, count(*) AS df FROM ex GROUP BY 1)
     SELECT e.doc_id, count(*) AS n_ngrams,
-           sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS n_dup,
+           CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
            round(CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*), 4) AS dup_fraction
     FROM ex e JOIN freq f ON e.hsh = f.hsh
@@ -3913,9 +3920,10 @@ def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
     )
     SELECT e.event_type,
-           sum(CASE WHEN t.user_id IS NULL THEN 1 ELSE 0 END) AS rows_kept,
-           sum(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)
-               AS rows_purged,
+           CAST(sum(CASE WHEN t.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_kept,
+           CAST(sum(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_purged,
            count(DISTINCT t.user_id) AS users_purged
     FROM events e LEFT JOIN tomb t ON e.user_id = t.user_id
     GROUP BY 1
@@ -3999,7 +4007,10 @@ def _pagerank_sql(dialect: str, table: str = "lineitem") -> str:
         "SELECT node AS node_id,",
         "       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END"
         " AS node_type,",
-        "       r AS rank_scaled",
+        # CAST both dialects: DuckDB's sum() promoted r to HUGEINT
+        # (float64 in pandas); BIGINT on both sides keeps the driver's
+        # dtype-strict hash aligned (no-op for Spark's bigint).
+        "       CAST(r AS BIGINT) AS rank_scaled",
         f"FROM r{_PR_ITERS} ORDER BY rank_scaled DESC, node_id LIMIT 25",
     ]
     return "\n".join(lines)
@@ -4041,7 +4052,8 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(cast(round(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
            min(value) AS min_value,
            max(value) AS max_value
     FROM events GROUP BY 1
@@ -4090,7 +4102,8 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
-           sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents,
+           CAST(sum(cast(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents,
            count(*) AS n_lines
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -4135,7 +4148,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_events,
            count(k) AS n_with_k,
-           sum(k) AS sum_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
            min(k) AS min_k,
            max(k) AS max_k
     FROM (
@@ -4281,7 +4294,7 @@ def rolling_1h_user_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_name LIKE 'red %'
         GROUP BY l_partkey, l_suppkey
     ), tot AS (
-        SELECT l_partkey, sum(supp_qty) AS part_qty,
+        SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty,
                count(*) AS n_suppliers
         FROM ps GROUP BY l_partkey
     )
@@ -4607,8 +4620,8 @@ def _bom_rollup_sql(dialect: str, table: str = "part") -> str:
     SELECT t.anc AS top_assembly,
            count(*) AS n_parts,
            max(t.depth) AS max_depth,
-           sum(CAST(round(p.p_retailprice * 100) AS BIGINT))
-               AS retail_cents
+           CAST(sum(CAST(round(p.p_retailprice * 100) AS BIGINT))
+                AS BIGINT) AS retail_cents
     FROM climb t
     JOIN {table} p ON p.p_partkey = t.p_partkey
     WHERE t.anc <= 3
@@ -4961,9 +4974,15 @@ _DOC_ROW = (
     " cast(n_chars as string))"
 )
 
+# DuckDB types sum(BIGINT) as HUGEINT, which fetchdf() materializes
+# as float64 while Spark returns int64 — the driver's hash is dtype
+# sensitive, so every integer SUM must be CAST back to BIGINT (r6
+# driver-red root cause; see tools/oracle_check.py --strict).
 _DUCK_DOC_CHECKSUM = f"""
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-           sum({dual.md5_int(_DOC_ROW, dual.DUCK)}) AS checksum
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({dual.md5_int(_DOC_ROW, dual.DUCK)}) AS BIGINT)
+               AS checksum
     FROM documents GROUP BY source
 """
 
@@ -5031,7 +5050,8 @@ _EVT_ROW = (
     oracle=f"""
     SELECT event_type, count(*) AS n_events,
            round(sum(value), 2) AS sum_value,
-           sum({dual.md5_int(_EVT_ROW, dual.DUCK)}) AS checksum
+           CAST(sum({dual.md5_int(_EVT_ROW, dual.DUCK)}) AS BIGINT)
+               AS checksum
     FROM events GROUP BY event_type
     """,
 )

@@ -98,14 +98,39 @@ class StreamingNearDupSink:
             f"{self.id_col} {self._id_ddl()}, band_id int, band_key string",
         )
 
+    def _ensure_index_table(self) -> bool:
+        """Return True when ``index_table`` is registered and backed by
+        data. The session catalog is in-memory (no Hive metastore), so
+        after a process restart the registration is gone while the
+        bucketed data at ``index_dir`` survives; without this guard the
+        first batch of the next run would pick mode='overwrite' and
+        silently destroy the accumulated index (ADVICE r6). Re-register
+        the external bucketed table over the surviving files instead —
+        Spark recovers bucket ids from the file names, so the
+        exchange-free probe layout is intact across restarts (pinned by
+        the restart test)."""
+        from hadoop_data_pipeline_spark.streaming.dedup_sink import has_parquet
+
+        if self.spark.catalog.tableExists(self.index_table):
+            return True
+        if not has_parquet(self.index_dir):
+            return False
+        self.spark.sql(
+            f"CREATE TABLE {self.index_table} "
+            f"({self.id_col} {self._id_ddl()}, band_id INT, "
+            f"band_key STRING) USING parquet "
+            f"CLUSTERED BY (band_key) SORTED BY (band_key) "
+            f"INTO {self.n_buckets} BUCKETS "
+            f"LOCATION '{self.index_dir}'"
+        )
+        return True
+
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from hadoop_data_pipeline_spark.streaming.dedup_sink import (
             stage_and_release,
         )
 
-        if self.index_table and self.spark.catalog.tableExists(
-            self.index_table
-        ):
+        if self.index_table and self._ensure_index_table():
             survivor_ids = dedup.incremental_near_dup_against_bucketed_index(
                 self.spark,
                 batch_df,

@@ -438,6 +438,32 @@ def test_substring_scrub_and_stats(spark):
     assert solo.n_removed == 0
 
 
+def test_substring_scrub_long_fully_duplicated_doc(spark):
+    # r6 verdict hazard: the old per-token coverage filter was
+    # O(n_tokens x n_starts) per row — a fully-duplicated long doc
+    # pair (every window shared) was the quadratic worst case. The
+    # covered-position-set rewrite is O(window*k + n); this pair
+    # (20k tokens, ~20k shared starts each) took minutes before and
+    # must now complete in seconds with every token scrubbed.
+    import time
+
+    from hadoop_data_pipeline_spark.operators import dedup as dd
+
+    n = 20_000
+    text = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id bigint, text string"
+    )
+    t0 = time.perf_counter()
+    rows = {
+        r.doc_id: r for r in dd.remove_shared_substrings(df, window=8).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    for r in rows.values():
+        assert r.n_tokens == n and r.n_removed == n and r.text_clean == ""
+    assert elapsed < 60, f"scrub took {elapsed:.1f}s — quadratic regression"
+
+
 def test_band_index_roundtrip_probe_equals_in_plan(spark, tmp_path):
     # The production daily-ingest shape: write the corpus's LSH band
     # keys as parquet once, then probe the STORED index — survivors

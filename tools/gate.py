@@ -62,10 +62,19 @@ def main() -> int:
     steps: list[tuple[str, list[str]]] = []
     if "--skip-pytest" not in sys.argv:
         steps.append(("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]))
+    # --strict = driver-faithful dtype-sensitive hashing (r7): the
+    # lenient canon bridged DuckDB HUGEINT->float64 sums to int repr
+    # and masked two driver reds in r6; the mirror must be at least
+    # as strict as the thing it mirrors.
     steps.append(
         (
-            "oracle_sf0.01",
-            [sys.executable, "tools/oracle_check.py", "/root/testdata/sf0.01"],
+            "oracle_sf0.01_strict",
+            [
+                sys.executable,
+                "tools/oracle_check.py",
+                "/root/testdata/sf0.01",
+                "--strict",
+            ],
         )
     )
     steps.append(
@@ -75,6 +84,7 @@ def main() -> int:
                 sys.executable,
                 "tools/oracle_check.py",
                 "/root/testdata/sf0.1",
+                "--strict",
                 *HEADLINE,
             ],
         )

@@ -21,15 +21,23 @@ TABLES = (
 )
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
+def _canon(df: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
     """Dtype-aware vectorized canonicalization. The only contract is
     SYMMETRY — both engines' frames pass through the identical
-    transform — plus dtype-insensitivity for numbers (DuckDB may hand
-    back int64 where Spark hands float64 for the same values). The
-    per-element fallback survives only for object columns (decimals,
-    bytes, arrays); a 4.8M x 17 frame canonicalizes in seconds instead
-    of minutes (the 8x stress sweep spent 427 s in the old elementwise
-    map for one projection query)."""
+    transform — plus (in the DEFAULT lenient mode) dtype-insensitivity
+    for numbers (DuckDB may hand back int64 where Spark hands float64
+    for the same values). The per-element fallback survives only for
+    object columns (decimals, bytes, arrays); a 4.8M x 17 frame
+    canonicalizes in seconds instead of minutes (the 8x stress sweep
+    spent 427 s in the old elementwise map for one projection query).
+
+    ``strict=True`` is the DRIVER-FAITHFUL mode (round-7 fix for the
+    r6 driver reds): the driver's hasher is dtype-sensitive — a DuckDB
+    HUGEINT sum materialized as float64 ``5.0`` hashes differently
+    from Spark's int64 ``5`` — so strict mode never bridges int-valued
+    floats to int repr. A float64 column canonicalizes as float repr,
+    an int column as int repr, and a dtype mismatch between the
+    engines therefore FAILS here exactly as it fails in the driver."""
     import numpy as np
 
     df = df.reindex(sorted(df.columns), axis=1)
@@ -38,7 +46,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return ""
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
+            if not strict and v == int(v) and abs(v) < 1e15:
                 return repr(int(v))
             return repr(round(v, 9))
         if isinstance(v, pd.Timestamp):
@@ -56,7 +64,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             # like the original elementwise norm did.
             vals = s.astype("float64").to_numpy()
             isnum = np.isfinite(vals)
-            isint = isnum & (np.floor(vals) == vals) & (np.abs(vals) < 1e15)
+            if strict:
+                isint = np.zeros(len(vals), dtype=bool)
+            else:
+                isint = (
+                    isnum & (np.floor(vals) == vals) & (np.abs(vals) < 1e15)
+                )
             out = np.full(len(vals), "", dtype=object)
             out[isint] = [repr(int(v)) for v in vals[isint]]
             rest = isnum & ~isint
@@ -101,9 +114,19 @@ def compare_bounded(spark_df, duck_df, rel_tol: float) -> list[str]:
     for c in key_cols:
         if not a[c].astype(str).equals(b[c].astype(str)):
             problems.append(f"key column {c} differs")
+    if key_cols and b.duplicated(subset=key_cols).any():
+        # Positional compare after a key sort is only sound when the
+        # key columns identify rows uniquely (ADVICE r6).
+        problems.append(f"duplicate key rows on {key_cols}")
+        return problems
     for c in num_cols:
         exact = b[c].astype(float)
         est = a[c].astype(float)
+        if not est.isna().equals(exact.isna()):
+            # NaN estimates must not pass silently: (est-exact) is NaN
+            # and Series.max() skips it, so rel>tol would be False.
+            problems.append(f"{c}: NaN pattern differs from oracle")
+            continue
         if c.startswith("exact_"):
             # Companion ground-truth columns must agree EXACTLY —
             # only sketch estimates get the tolerance (a 5% drift in
@@ -119,7 +142,7 @@ def compare_bounded(spark_df, duck_df, rel_tol: float) -> list[str]:
     return problems
 
 
-def compare(spark_df, duck_df) -> list[str]:
+def compare(spark_df, duck_df, strict: bool = False) -> list[str]:
     problems: list[str] = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         problems.append(
@@ -128,7 +151,7 @@ def compare(spark_df, duck_df) -> list[str]:
         return problems
     if len(spark_df) != len(duck_df):
         problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
-    a, b = _canon(spark_df), _canon(duck_df)
+    a, b = _canon(spark_df, strict), _canon(duck_df, strict)
     if len(a) == len(b) and not a.equals(b):
         diff = (a != b).any(axis=1)
         idx = diff[diff].index[:3]
@@ -138,8 +161,10 @@ def compare(spark_df, duck_df) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
@@ -193,13 +218,14 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb raised {ex}")
             failed.append(name)
             continue
-        problems = compare(sdf, ddf)
+        problems = compare(sdf, ddf, strict)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failed.append(name)
         else:
             print(f"MATCH {name}: rows={len(sdf)}")
-    print(f"\n{n_run - len(failed)}/{n_run} pass")
+    mode = "strict" if strict else "lenient"
+    print(f"\n{n_run - len(failed)}/{n_run} pass ({mode})")
     return 1 if failed else 0
 
 
