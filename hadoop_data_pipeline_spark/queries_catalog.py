@@ -4995,8 +4995,28 @@ def _docs_checksum(back: DataFrame) -> DataFrame:
     )
 
 
+_ROUNDTRIP_TMP: str | None = None
+
+
+def _roundtrip_tmp() -> str:
+    """ONE process-scoped scratch root for every format-roundtrip
+    query, removed at interpreter exit. Each query writes to a fixed
+    subpath in overwrite mode, so repeated catalog evaluations reuse
+    the same directory instead of leaking a fresh ``mkdtemp`` per
+    call (r6 hygiene finding)."""
+    global _ROUNDTRIP_TMP
+    if _ROUNDTRIP_TMP is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _ROUNDTRIP_TMP = tempfile.mkdtemp(prefix="hdp_roundtrip_")
+        atexit.register(shutil.rmtree, _ROUNDTRIP_TMP, ignore_errors=True)
+    return _ROUNDTRIP_TMP
+
+
 def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
-    import tempfile
+    import os
 
     from hadoop_data_pipeline_spark.sources.readers import (
         read_jsonl,
@@ -5005,7 +5025,7 @@ def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix=f"{fmt}_roundtrip_") + "/documents"
+    path = os.path.join(_roundtrip_tmp(), f"{fmt}_documents")
     write_format(docs, path, fmt)
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
     if fmt == "orc":
@@ -5066,7 +5086,7 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical, so doubles stay numeric). Timestamps are excluded:
     the fixture's TIMESTAMP(NANOS) would truncate through CSV text —
     a documented non-goal (parquet/ORC are the typed formats)."""
-    import tempfile
+    import os
 
     from hadoop_data_pipeline_spark.sources.readers import (
         read_csv,
@@ -5076,7 +5096,7 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     evt = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "props"
     )
-    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/events"
+    path = os.path.join(_roundtrip_tmp(), "csv_events")
     write_format(evt, path, "csv")
     back = read_csv(
         spark,

@@ -7,15 +7,16 @@ table of md5 digests written by all previous batches) — and only the
 survivors are appended to the clean zone. The corpus itself is never
 re-read or re-shuffled: each micro-batch joins against digests only.
 
-Delivery semantics, stated honestly: the file source's checkpoint
-gives exactly-once FILE processing; within a batch the clean-zone
-append commits BEFORE the digest append, so a crash between the two
-writes can duplicate that batch's docs on replay (never lose them) —
-at-least-once across crashes, self-healing afterwards (the replayed
-digests make every later batch filter correctly). Production note:
-a transactional table format (or writing both outputs in one commit
-via a manifest) upgrades this to exactly-once; the engine seam is
-this one function.
+Delivery semantics: EXACTLY-ONCE clean-zone rows across crashes.
+The file source's checkpoint gives exactly-once file processing, and
+the two appends (clean zone, digest store) run inside one
+manifest-last commit (:class:`~hadoop_data_pipeline_spark.streaming.
+commitlog.BatchCommitLog`): a crash between the appends is rolled
+back to the pre-batch snapshot before the engine replays the batch,
+and a replay of a batch whose marker already landed is a no-op —
+no window duplicates or loses rows (crash-injection-pinned by
+``test_stream_dedup_sink_crash_between_appends``). See the commitlog
+module doc for the single-writer / append-only assumptions.
 
 Scale shape per batch: digest store scanned as (digest) only —
 column-pruned, no text; batch reduced to digests before the LEFT
@@ -31,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+from hadoop_data_pipeline_spark.streaming.commitlog import BatchCommitLog
 
 
 def has_parquet(path: str) -> bool:
@@ -123,6 +126,10 @@ class StreamingDedupSink:
         self.checkpoint = checkpoint.rstrip("/")
         self.text_col = text_col
         self.id_col = id_col
+        self.commit_log = BatchCommitLog(
+            f"{self.checkpoint}/commitlog",
+            {"clean": self.clean_dir, "digests": self.digest_dir},
+        )
 
     def _existing_digests(self) -> DataFrame | None:
         if not has_parquet(self.digest_dir):
@@ -130,6 +137,11 @@ class StreamingDedupSink:
         return self.spark.read.parquet(self.digest_dir).select("digest")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.commit_log.is_committed(batch_id):
+            # replay of a batch whose marker landed before the engine's
+            # own checkpoint commit — everything is already in the
+            # stores; re-appending would duplicate it.
+            return
         first = first_per_digest(batch_df, self.text_col, self.id_col)
         idx = self._existing_digests()
         # Decide survivors EXACTLY ONCE (see stage_and_release): the
@@ -140,15 +152,17 @@ class StreamingDedupSink:
             f"{self.checkpoint}/staging-{batch_id}",
         )
         try:
-            # clean zone first, digests second: a crash in between
-            # replays the batch (at-least-once), never loses it — see
-            # module doc.
+            # both appends inside one manifest-last commit — a crash
+            # anywhere in here rolls back to the begin() snapshot on
+            # the next tick (see module doc).
+            self.commit_log.begin(batch_id)
             survivors.drop("digest").write.mode("append").parquet(
                 self.clean_dir
             )
             survivors.select("digest").write.mode("append").parquet(
                 self.digest_dir
             )
+            self.commit_log.commit(batch_id)
         finally:
             release()
 
@@ -156,6 +170,9 @@ class StreamingDedupSink:
         """Drain everything currently in ``source_dir``, then stop —
         one cron tick of continuous ingest. Re-running after new files
         arrive processes ONLY the new files (file-source checkpoint)."""
+        # roll back any half-committed batch BEFORE the engine replays
+        # it — the replay must recompute against pre-batch state.
+        self.commit_log.recover()
         stream = (
             self.spark.readStream.schema(self.schema)
             .option("pathGlobFilter", "*.parquet")

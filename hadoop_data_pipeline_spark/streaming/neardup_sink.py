@@ -16,12 +16,16 @@ Per micro-batch work (the 100 TB shape):
 * survivors append to the clean zone, then their band keys append to
   the index.
 
-Delivery semantics match :class:`StreamingDedupSink`: exactly-once
-file processing from the checkpointed source; clean-zone append
-commits BEFORE the index append, so a crash between the two can
-duplicate one batch's docs on replay (at-least-once, never lost) and
-the replayed index rows self-heal every later batch. A transactional
-table format upgrades both appends to one atomic commit.
+Delivery semantics match :class:`StreamingDedupSink`: EXACTLY-ONCE
+clean-zone rows across crashes — exactly-once file processing from
+the checkpointed source, both appends (clean zone, band index)
+inside one manifest-last :class:`~hadoop_data_pipeline_spark.
+streaming.commitlog.BatchCommitLog` commit: a crash between them is
+rolled back to the pre-batch snapshot before the replay, and a
+replay of a marker-committed batch is a no-op. The bucketed-table
+index mode participates too (the table's storage IS ``index_dir``,
+so snapshot-rollback covers it; the catalog re-registration after a
+restart reads only surviving committed files).
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from hadoop_data_pipeline_spark.operators import dedup
+from hadoop_data_pipeline_spark.streaming.commitlog import BatchCommitLog
 
 
 class StreamingNearDupSink:
@@ -69,6 +74,10 @@ class StreamingNearDupSink:
         self.threshold = threshold
         self.index_table = index_table
         self.n_buckets = n_buckets
+        self.commit_log = BatchCommitLog(
+            f"{self.checkpoint}/commitlog",
+            {"clean": self.clean_dir, "index": self.index_dir},
+        )
 
     def _id_ddl(self) -> str:
         from hadoop_data_pipeline_spark.streaming.dedup_sink import field_ddl
@@ -130,6 +139,10 @@ class StreamingNearDupSink:
             stage_and_release,
         )
 
+        if self.commit_log.is_committed(batch_id):
+            # replay of a batch whose marker landed before the engine's
+            # checkpoint commit — already fully in the stores.
+            return
         if self.index_table and self._ensure_index_table():
             survivor_ids = dedup.incremental_near_dup_against_bucketed_index(
                 self.spark,
@@ -159,7 +172,8 @@ class StreamingNearDupSink:
             f"{self.checkpoint}/staging-{batch_id}",
         )
         try:
-            # clean zone first, index second — see module doc.
+            # both appends inside one manifest-last commit (module doc).
+            self.commit_log.begin(batch_id)
             survivors.write.mode("append").parquet(self.clean_dir)
             if self.index_table:
                 # first batch creates the bucketed table; later
@@ -193,6 +207,7 @@ class StreamingNearDupSink:
                     self.id_col,
                     mode="append",
                 )
+            self.commit_log.commit(batch_id)
         finally:
             release()
 
@@ -200,6 +215,13 @@ class StreamingNearDupSink:
         """Drain everything currently in ``source_dir``, then stop —
         one tick of continuous ingest; the file-source checkpoint
         makes the next run process only newly arrived files."""
+        # roll back any half-committed batch BEFORE the engine replays
+        # it; in bucketed-table mode the catalog's cached file list may
+        # now be stale, so refresh when the table is registered.
+        if self.commit_log.recover() and self.index_table and (
+            self.spark.catalog.tableExists(self.index_table)
+        ):
+            self.spark.catalog.refreshTable(self.index_table)
         stream = (
             self.spark.readStream.schema(self.schema)
             .option("pathGlobFilter", "*.parquet")

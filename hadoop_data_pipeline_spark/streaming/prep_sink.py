@@ -18,22 +18,21 @@ Per micro-batch work (the 100 TB shape):
   pruned scan, no text), O(batch + matching digests);
 * near-dup candidates come from batch band keys x the stored band-key
   parquet; verification re-shingles only candidate documents;
-* appends: clean zone, then band index, then digest store — the
-  index BEFORE the digests, because a replay after a partial commit
-  is blocked by whichever store already holds the batch: if the
-  digests landed but the band keys did not, the replayed batch would
-  be exact-anti-joined away and the index hole would become
-  PERMANENT (future near-dups admitted); with the index first, a
-  replay missing only digests still drops exact dups via the index
-  probe (an identical document always exceeds any Jaccard
-  threshold).
+* appends: clean zone, band index, digest store — all three inside
+  ONE manifest-last :class:`~hadoop_data_pipeline_spark.streaming.
+  commitlog.BatchCommitLog` commit. (The index-before-digests order
+  is kept as defense in depth: even if a rollback were somehow
+  skipped, a replay over a partial commit stays self-consistent —
+  an index-present/digests-missing state still drops exact dups via
+  the index probe, because an identical document always exceeds any
+  Jaccard threshold.)
 
-Delivery semantics: exactly-once file processing from the
-checkpointed source; a crash between appends replays the batch
-(at-least-once — clean-zone rows can duplicate, never be lost), and
-with the index-before-digests order above every partial-commit state
-is self-consistent for all later batches; a transactional table
-format upgrades the three appends to one atomic commit.
+Delivery semantics: EXACTLY-ONCE clean-zone rows across crashes —
+exactly-once file processing from the checkpointed source, and a
+crash anywhere between the three appends rolls the stores back to
+the pre-batch snapshot before the engine replays the batch; a replay
+of a marker-committed batch is a no-op (crash-injection-pinned by
+``test_stream_prep_sink_crash_between_appends``).
 """
 
 from __future__ import annotations
@@ -45,6 +44,7 @@ from pyspark.sql import types as T
 from hadoop_data_pipeline_spark.functions import dual
 from hadoop_data_pipeline_spark.operators import dedup
 from hadoop_data_pipeline_spark.operators import text as tx
+from hadoop_data_pipeline_spark.streaming.commitlog import BatchCommitLog
 from hadoop_data_pipeline_spark.streaming.dedup_sink import (
     field_ddl,
     first_per_digest,
@@ -85,6 +85,14 @@ class StreamingPrepSink:
         self.min_quality = min_quality
         self.langs = tuple(langs)
         self.threshold = threshold
+        self.commit_log = BatchCommitLog(
+            f"{self.checkpoint}/commitlog",
+            {
+                "clean": self.clean_dir,
+                "index": self.index_dir,
+                "digests": self.digest_dir,
+            },
+        )
 
     # -- persisted-state readers (empty-safe, typed from the source
     # schema so non-bigint doc ids work from the first batch) --------
@@ -134,6 +142,10 @@ class StreamingPrepSink:
         return out.drop("__toks")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.commit_log.is_committed(batch_id):
+            # replay of a batch whose marker landed before the engine's
+            # checkpoint commit — already fully in the stores.
+            return
         gated = self.gate(batch_df)
         # exact dedup (shared convention, see dedup_sink.first_per_
         # digest): first occurrence within the batch, then anti-join
@@ -162,7 +174,10 @@ class StreamingPrepSink:
             f"{self.checkpoint}/staging-{batch_id}",
         )
         try:
-            # commit order — see module doc (index BEFORE digests).
+            # all three appends inside one manifest-last commit; the
+            # index-before-digests order is defense in depth (module
+            # doc).
+            self.commit_log.begin(batch_id)
             survivors.drop("digest").write.mode("append").parquet(
                 self.clean_dir
             )
@@ -176,6 +191,7 @@ class StreamingPrepSink:
             survivors.select("digest").write.mode("append").parquet(
                 self.digest_dir
             )
+            self.commit_log.commit(batch_id)
         finally:
             release()
             exact.unpersist()
@@ -184,6 +200,9 @@ class StreamingPrepSink:
         """Drain everything currently in ``source_dir``, then stop —
         one tick of continuous ingest; the file-source checkpoint
         makes the next run process only newly arrived files."""
+        # roll back any half-committed batch BEFORE the engine replays
+        # it — the replay must recompute against pre-batch state.
+        self.commit_log.recover()
         stream = (
             self.spark.readStream.schema(self.schema)
             .option("pathGlobFilter", "*.parquet")

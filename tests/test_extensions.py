@@ -461,7 +461,15 @@ def test_substring_scrub_long_fully_duplicated_doc(spark):
     elapsed = time.perf_counter() - t0
     for r in rows.values():
         assert r.n_tokens == n and r.n_removed == n and r.text_clean == ""
-    assert elapsed < 60, f"scrub took {elapsed:.1f}s — quadratic regression"
+    # Wall-clock guard for the quadratic regression (minutes before the
+    # rewrite, ~15 s after). This host's speed drifts 1.3-1.8x between
+    # runs, so the default bound is wide; HDP_STRICT_TIMING=1 tightens
+    # it for deliberate perf runs (ADVICE r7: a timing assertion in the
+    # correctness suite must not be a flake source).
+    import os
+
+    bound = 60 if os.environ.get("HDP_STRICT_TIMING") else 180
+    assert elapsed < bound, f"scrub took {elapsed:.1f}s — quadratic regression"
 
 
 def test_band_index_roundtrip_probe_equals_in_plan(spark, tmp_path):

@@ -703,3 +703,278 @@ def test_stream_neardup_sink_bucketed_index_mode(spark, tmp_path):
         assert "CLUSTERED BY (band_key)" in ddl and "4 BUCKETS" in ddl, ddl
     finally:
         spark.sql("DROP TABLE IF EXISTS b_stream_band_index")
+
+
+def test_commit_log_rollback_and_idempotence(tmp_path):
+    """Pure-filesystem contract of the manifest-last commit: rollback
+    deletes exactly the files a crashed batch added, a committed batch
+    survives recovery untouched, and a pending record whose marker DID
+    land (crash between rename and cleanup) is finished, not rolled
+    back."""
+    from hadoop_data_pipeline_spark.streaming.commitlog import BatchCommitLog
+
+    a = tmp_path / "store_a"
+    b = tmp_path / "store_b"
+    a.mkdir()
+    b.mkdir()
+    (a / "pre.parquet").write_text("pre")
+    log = BatchCommitLog(str(tmp_path / "log"), {"a": str(a), "b": str(b)})
+
+    # batch 0: full commit — recovery must not touch it
+    log.begin(0)
+    (a / "b0.parquet").write_text("x")
+    (b / "b0.parquet").write_text("y")
+    log.commit(0)
+    assert log.is_committed(0)
+    assert log.recover() == {}
+    assert (a / "b0.parquet").exists() and (b / "b0.parquet").exists()
+
+    # batch 1: crash after a partial append — rollback to the snapshot
+    log.begin(1)
+    (a / "b1.parquet").write_text("x")
+    (a / "nested").mkdir()
+    (a / "nested" / "b1b.parquet").write_text("x")
+    rolled = log.recover()
+    assert sorted(rolled["a"]) == ["b1.parquet", "nested/b1b.parquet"]
+    assert not (a / "b1.parquet").exists()
+    assert (a / "pre.parquet").exists() and (a / "b0.parquet").exists()
+    assert not log.is_committed(1)
+
+    # batch 2: crash between marker rename and pending cleanup — the
+    # batch IS committed; recovery only finishes the cleanup.
+    log.begin(2)
+    (b / "b2.parquet").write_text("z")
+    log._write_atomic(log._commit_path(2), {"batch_id": 2})
+    assert log.recover() == {}
+    assert (b / "b2.parquet").exists() and log.is_committed(2)
+
+
+def test_stream_dedup_sink_crash_between_appends(spark, tmp_path, monkeypatch):
+    """Crash injection between the clean-zone and digest appends: the
+    failed tick leaves partial clean-zone rows on disk, the next tick
+    rolls them back and replays the batch, and the final stores hold
+    exactly-once rows (zero duplicates)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from hadoop_data_pipeline_spark.streaming.dedup_sink import (
+        StreamingDedupSink,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        import glob
+        import shutil
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / name))
+        part = glob.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    clean_dir = str(tmp_path / "clean")
+    digest_dir = str(tmp_path / "digests")
+    sink = StreamingDedupSink(
+        spark,
+        source_dir=str(src),
+        schema=schema,
+        clean_dir=clean_dir,
+        digest_dir=digest_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    write_batch("b1", [(1, "alpha"), (2, "beta")])
+    assert sink.run_available_now()
+
+    # inject: the NEXT write to the digest store dies AFTER the clean
+    # zone append landed — the exact between-appends window.
+    real_parquet = DataFrameWriter.parquet
+    armed = {"on": True}
+
+    def flaky_parquet(self, path, *args, **kwargs):
+        if armed["on"] and path == digest_dir:
+            raise RuntimeError("injected crash before digest append")
+        return real_parquet(self, path, *args, **kwargs)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", flaky_parquet)
+    write_batch("b2", [(10, "beta"), (11, "gamma"), (12, "gamma")])
+    with pytest.raises(Exception, match="injected crash"):
+        sink.run_available_now()
+    # the partial commit is visible: clean zone grew, digests did not
+    assert spark.read.parquet(clean_dir).count() == 3  # 1,2 + partial 11
+    assert spark.read.parquet(digest_dir).count() == 2
+
+    # replay tick: rollback + recompute -> exactly-once
+    armed["on"] = False
+    assert sink.run_available_now()
+    clean = spark.read.parquet(clean_dir)
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 11]
+    assert clean.count() == clean.select("doc_id").distinct().count()
+    assert spark.read.parquet(digest_dir).count() == 3
+
+    # replay of a marker-committed batch (engine checkpoint lost after
+    # our commit): a direct re-run of the batch is a no-op.
+    last_batch = spark.createDataFrame([(10, "beta"), (11, "gamma")], schema)
+    committed = sorted(
+        int(f.split("-")[1].split(".")[0])
+        for f in __import__("os").listdir(str(tmp_path / "ckpt" / "commitlog"))
+        if f.startswith("commit-")
+    )
+    sink._process_batch(last_batch, committed[-1])
+    assert spark.read.parquet(clean_dir).count() == 3
+    assert spark.read.parquet(digest_dir).count() == 3
+
+
+def test_stream_prep_sink_crash_between_appends(spark, tmp_path, monkeypatch):
+    """Crash injection in the three-store prep sink: kill between the
+    clean-zone and band-index appends, replay, and assert the final
+    clean zone equals the batch pipeline's survivor set with zero
+    duplicate rows."""
+    from hadoop_data_pipeline_spark.operators import dedup as dd
+    from hadoop_data_pipeline_spark.streaming.prep_sink import (
+        StreamingPrepSink,
+    )
+
+    base = "the quick brown fox and the lazy dog run in the park together"
+    other = "a slow green turtle walks along the warm sand near the sea"
+    schema = "doc_id bigint, text string, lang string"
+    src = tmp_path / "src"
+    sink = StreamingPrepSink(
+        spark,
+        str(src),
+        schema,
+        str(tmp_path / "clean"),
+        str(tmp_path / "digests"),
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        min_quality=0.5,
+        langs=("en",),
+        threshold=0.5,
+    )
+
+    spark.createDataFrame(
+        [(1, base, "en"), (2, other, "en")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    assert sink.run_available_now(timeout_sec=180)
+
+    # arm: the band-index append of the NEXT batch dies after the
+    # clean-zone append landed.
+    real_write_band_index = dd.write_band_index
+    armed = {"on": True}
+
+    def flaky_write_band_index(*args, **kwargs):
+        if armed["on"]:
+            raise RuntimeError("injected crash before index append")
+        return real_write_band_index(*args, **kwargs)
+
+    monkeypatch.setattr(dd, "write_band_index", flaky_write_band_index)
+    spark.createDataFrame(
+        [
+            (5, base, "en"),             # exact dup of 1 — must die
+            (6, base + " today", "en"),  # near-dup of 1 — must die
+            (7, other + " again", "en"), # near-dup of 2 — must die
+            (8, "it is the case that a good engine keeps all of the "
+                "shuffles keyed and all of the state bounded", "en"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    with pytest.raises(Exception, match="injected crash"):
+        sink.run_available_now(timeout_sec=180)
+    # the partial commit is visible: clean zone grew past 2 rows
+    assert spark.read.parquet(str(tmp_path / "clean")).count() > 2
+
+    armed["on"] = False
+    assert sink.run_available_now(timeout_sec=180)
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == [
+        1,
+        2,
+        8,
+    ]
+    assert clean.count() == clean.select("doc_id").distinct().count()
+    # every store self-consistent: exactly the survivors
+    assert spark.read.parquet(str(tmp_path / "digests")).count() == 3
+    idx = dd.read_band_index(spark, str(tmp_path / "index"), "doc_id")
+    assert sorted(
+        r.doc_id for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 2, 8]
+
+
+def test_stream_neardup_sink_bucketed_index_restart(spark, tmp_path):
+    """Process-restart recovery for the bucketed index mode (ADVICE
+    r7): the in-memory catalog loses the table registration while the
+    bucketed files survive; the next tick must re-register the
+    external table over the surviving files (NOT bootstrap-overwrite
+    them) and keep probing correctly."""
+    from hadoop_data_pipeline_spark.streaming.neardup_sink import (
+        StreamingNearDupSink,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        import glob
+        import shutil
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / name))
+        part = glob.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    sink = StreamingNearDupSink(
+        spark,
+        source_dir=str(src),
+        schema=schema,
+        clean_dir=str(tmp_path / "clean"),
+        index_dir=str(tmp_path / "band_index"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.5,
+        index_table="b_restart_band_index",
+        n_buckets=4,
+    )
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    try:
+        write_batch("b1", [(1, base), (2, "ships and harbors with cargo "
+                                         "cranes and tide tables")])
+        assert sink.run_available_now()
+        # simulate a process restart: the in-memory catalog entry is
+        # gone, the external table's files remain.
+        spark.sql("DROP TABLE b_restart_band_index")
+        assert not spark.catalog.tableExists("b_restart_band_index")
+
+        # tick 2: near-dup of admitted doc 1 must die via the
+        # re-registered index; the genuinely new doc survives.
+        write_batch(
+            "b2",
+            [
+                (10, base + " extra"),
+                (11, "fresh vocabulary spanning compilers registers "
+                     "and allocation strategies"),
+            ],
+        )
+        assert sink.run_available_now()
+        clean = spark.read.parquet(str(tmp_path / "clean"))
+        assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 11]
+        # the index was APPENDED (1, 2 survived the restart), and the
+        # re-created table kept the bucket spec.
+        idx = spark.table("b_restart_band_index")
+        assert sorted(
+            r.doc_id for r in idx.select("doc_id").distinct().collect()
+        ) == [1, 2, 11]
+        ddl = "\n".join(
+            r.createtab_stmt
+            for r in spark.sql(
+                "SHOW CREATE TABLE b_restart_band_index"
+            ).collect()
+        )
+        assert "CLUSTERED BY (band_key)" in ddl and "4 BUCKETS" in ddl, ddl
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_restart_band_index")

@@ -4,7 +4,11 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` on DuckDB over the same parquet fixtures, then
 compares row count, column names, and order-insensitive values.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--strict] [sf_dir] [query ...]
+
+``--strict`` hashes dtype-faithfully like the round driver (no
+int-valued-float bridging) — the gate runs this mode; the default
+lenient mode remains for quick eyeballing of value-level diffs.
 """
 
 from __future__ import annotations
@@ -163,6 +167,17 @@ def compare(spark_df, duck_df, strict: bool = False) -> list[str]:
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--strict"]
     strict = "--strict" in sys.argv[1:]
+    unknown = [a for a in argv if a.startswith("-")]
+    if unknown:
+        # a typo'd flag must not be silently consumed as sf_dir or a
+        # query-name filter (ADVICE r7)
+        print(f"unknown option(s): {' '.join(unknown)}", file=sys.stderr)
+        print(
+            "usage: python tools/oracle_check.py [--strict] [sf_dir]"
+            " [query ...]",
+            file=sys.stderr,
+        )
+        return 2
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
