@@ -151,6 +151,47 @@ def _lloyd_fit(sample, k: int, seed: int = 42, max_iter: int = 10):
     return centers
 
 
+def fit_coarse_quantizer(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer on a deterministic capped sample
+    and return the centroids as plain floats — the TRAIN half of IVF,
+    split out so a quantizer can be fitted once, persisted (e.g. as a
+    code/config constant), and applied to any later corpus snapshot
+    with :func:`ann_topk_ivf`'s ``centroids`` parameter — the
+    production shape at 100 TB, where the quantizer is a versioned
+    artifact, not a per-query fit.
+
+    Sampling: hash the id (crc32), keep the ``train_cap`` smallest
+    buckets — deterministic, stable at the margin as the corpus grows
+    (a fraction-sample would need a count() pass), bounded collect.
+    The Lloyd fit itself is driver-side vectorized numpy over the
+    capped sample (see :func:`_lloyd_fit` for why not Spark ML)."""
+    import numpy as np
+
+    train_cap = max(200 * n_centroids, 1000)
+    train = (
+        df.select(
+            id_col, vec_col, F.crc32(F.col(id_col).cast("string")).alias("__r")
+        )
+        .orderBy("__r", id_col)
+        .limit(train_cap)
+        .select(vec_col)
+        .toPandas()
+    )
+    sample = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in train[vec_col]]
+    )
+    return [
+        [float(x) for x in c]
+        for c in _lloyd_fit(sample, n_centroids, seed=seed, max_iter=10)
+    ]
+
+
 def ann_topk_ivf(
     df: DataFrame,
     query_ids: Sequence[int],
@@ -159,6 +200,7 @@ def ann_topk_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a KMeans coarse quantizer assigns every vector to
     a centroid cell; each query scores only the cells of its
@@ -178,33 +220,22 @@ def ann_topk_ivf(
     the centroid-distance array — one narrow projection at ingest;
     the probe join hash-partitions on the cell — the classic IVF
     trade: recall for a corpus-fraction's worth of dot products.
-    Registered rows-only (a trained quantizer isn't SQL-expressible).
-    """
-    train_cap = max(200 * n_centroids, 1000)
-    # Deterministic sample: hash the id, keep the smallest-bucket rows.
-    # limit() after the hash-order sort keeps the sample identical as
-    # the corpus grows at the margin (pure sample(fraction) would need
-    # a count() pass to size the fraction).
-    # Arrow-batched toPandas: ~2x faster than row collect for array
-    # columns, and the sample is train_cap-bounded either way.
-    train = (
-        df.select(
-            id_col, vec_col, F.crc32(F.col(id_col).cast("string")).alias("__r")
-        )
-        .orderBy("__r", id_col)
-        .limit(train_cap)
-        .select(vec_col)
-        .toPandas()
-    )
-    import numpy as np
 
-    sample = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in train[vec_col]]
-    )
-    cents = [
-        [float(x) for x in c]
-        for c in _lloyd_fit(sample, n_centroids, seed=42, max_iter=10)
-    ]
+    ``centroids`` injects a PRETRAINED quantizer (the production
+    shape: train once via :func:`fit_coarse_quantizer`, version the
+    ~kilobyte model, apply to every later corpus snapshot — and the
+    shape that makes the whole query SQL-expressible for the DuckDB
+    oracle, since assignment/probe/score over constant centroids is
+    pure relational algebra). When omitted, fits in-line on the
+    deterministic capped sample.
+    """
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+        n_centroids = len(cents)
+    else:
+        cents = fit_coarse_quantizer(
+            df, n_centroids, id_col=id_col, vec_col=vec_col
+        )
     # Distance of every vector to every centroid as ONE transform over
     # a nested centroid-literal array — a single compact expression
     # the analyzer/codegen handles once, instead of n_centroids
