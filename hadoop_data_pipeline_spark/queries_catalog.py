@@ -1988,14 +1988,91 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.clean_corpus(docs)
 
 
-@register("embedding_ann_ivf_topk")  # rows-only: trained quantizer
+def _duck_double_lit(v: float) -> str:
+    """DOUBLE literal that parses exactly in DuckDB: repr() round-trips
+    the binary double, and the exponent suffix forces the parser down
+    the DOUBLE path (a bare decimal literal goes through DECIMAL, which
+    rounds values whose repr needs >15 significant digits)."""
+    r = repr(float(v))
+    return r if "e" in r else r + "e0"
+
+
+def _duck_ivf_topk_sql(k: int = 5, n_probe: int = 2, n_queries: int = 10) -> str:
+    """Exact oracle for IVF ANN over the PINNED quantizer: with the
+    centroids constant (functions/ivf_centroids.py), assignment /
+    probe / score is pure relational algebra — the same fold order as
+    the Spark side (dual.fold), so cosines are bit-identical."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+
+    n = len(SF001_CENTROIDS)
+    cents = "[%s]" % ", ".join(
+        "[%s]" % ", ".join(_duck_double_lit(v) for v in c)
+        for c in SF001_CENTROIDS
+    )
+    diff2 = dual.transform(
+        "list_zip(embedding, c)",
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])",
+        D,
+    )
+    d2 = dual.transform(
+        cents,
+        f"c -> {dual.fold(diff2, 'CAST(0.0 AS DOUBLE)', '(acc, v) -> acc + v', D)}",
+        D,
+    )
+    cos = dual.cosine("q.embedding", "c.embedding", D)
+    return f"""
+    WITH asg AS (
+        SELECT vec_id, embedding, d2,
+               CAST(list_position(d2, list_min(d2)) - 1 AS INT) AS cell
+        FROM (SELECT vec_id, embedding, {d2} AS d2 FROM embeddings)
+    ),
+    ud AS (
+        SELECT vec_id, unnest(d2) AS d, unnest(range(0, {n})) AS cell
+        FROM asg WHERE vec_id < {n_queries}
+    ),
+    probe AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM ud
+        ) WHERE rn <= {n_probe}
+    ),
+    s AS (
+        SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS cand_id,
+               {cos} AS cosine
+        FROM probe p
+        JOIN embeddings q ON q.vec_id = p.vec_id
+        JOIN asg c ON c.cell = p.cell AND c.vec_id <> p.vec_id
+    )
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+        ) AS rn FROM s
+    ) WHERE rn <= {k}
+    """
+
+
+@register("embedding_ann_ivf_topk", oracle=_duck_ivf_topk_sql())
 def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans coarse quantizer (16 cells, 2 probed) + exact
-    cosine within probed cells. Rows-only driver check — a trained
-    quantizer is not SQL-expressible; recall vs brute force is tested
-    in tests/test_extensions.py."""
+    """IVF ANN: coarse quantizer (16 cells, 2 probed) + exact cosine
+    within probed cells, using the PINNED pretrained quantizer
+    (functions/ivf_centroids.py, fitted once on the sf0.01 fixture by
+    tools/fit_ivf_centroids.py) — the production shape at 100 TB,
+    where the quantizer is a versioned artifact applied to every
+    corpus snapshot, never a per-query fit. Constant centroids also
+    make the query exactly SQL-expressible, so the driver hash-checks
+    it like any relational query; recall vs brute force is separately
+    tested in tests/test_extensions.py."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    out = sim.ann_topk_ivf(emb, query_ids=list(range(10)), k=5)
+    out = sim.ann_topk_ivf(
+        emb, query_ids=list(range(10)), k=5, centroids=SF001_CENTROIDS
+    )
     return out.select("query_id", "cand_id", "cosine")
 
 

@@ -265,6 +265,57 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert ivf == ivf2
 
 
+def test_fit_coarse_quantizer_deterministic_and_shaped(spark):
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = sim.fit_coarse_quantizer(emb, n_centroids=8)
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert len(cents) == 8 and all(len(c) == dim for c in cents)
+    assert all(isinstance(v, float) for c in cents for v in c)
+    # Deterministic: the capped hash-sample + seeded Lloyd fit must
+    # reproduce bit-identical centroids (they are a pinned artifact).
+    assert cents == sim.fit_coarse_quantizer(emb, n_centroids=8)
+    # Distinct centers: the empty-cluster reseed must not pin dupes.
+    assert len({tuple(c) for c in cents}) == 8
+
+
+def test_ann_ivf_pretrained_centroids_match_inline_fit(spark):
+    """The centroids= injection path (the production versioned-
+    quantizer shape) must give EXACTLY the result of the inline fit
+    when handed the centroids that fit would produce — this is the
+    equivalence the SQL oracle for embedding_ann_ivf_topk rests on."""
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = list(range(10))
+    cents = sim.fit_coarse_quantizer(emb, n_centroids=8)
+    inline = sorted(
+        map(tuple, sim.ann_topk_ivf(emb, qids, k=5, n_centroids=8).collect())
+    )
+    pinned = sorted(
+        map(tuple, sim.ann_topk_ivf(emb, qids, k=5, centroids=cents).collect())
+    )
+    assert inline == pinned
+    # n_centroids is derived from the injected list, not the default.
+    cells = sim.ann_topk_ivf(emb, qids, k=2, centroids=cents[:4])
+    assert cells.count() > 0
+
+
+def test_pinned_sf001_centroids_artifact_fresh(spark):
+    """The committed quantizer artifact must equal a fresh fit on the
+    sf0.01 fixture — guards against the fixture or the fit changing
+    without `tools/fit_ivf_centroids.py` being re-run (the DuckDB
+    oracle embeds these centroids as literals)."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    assert sim.fit_coarse_quantizer(emb, n_centroids=16) == SF001_CENTROIDS
+
+
 def test_dedup_within_doc(spark):
     df = spark.createDataFrame(
         [
