@@ -5191,81 +5191,76 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver correctness window
-# ---------------------------------------------------------------------------
 # The round driver oracle-checks the FIRST 50 registered queries, so
-# registration order is part of the contract: the 50 below cover every
-# SURVEY.md §2 operator ID (including both J1 forms) plus the
-# dedup/similarity/text/multimodal/streaming extensions; redundant
-# micro-variants and TPC-H-shaped extras sit past the window (still
-# oracle-checked by tools/oracle_check.py and tests/test_catalog_oracle.py).
+# registration order is part of the contract. ROTATION (round 9): the
+# previous window (rounds 6-8) covered every SURVEY.md §2 operator ID
+# and went fully green in CORRECTNESS_r08.json; this round rotates in
+# 50 queries the driver has NEVER hash-checked — prioritizing the 17
+# integer-dtype-sensitive oracles that got CAST-to-BIGINT fixes in r7
+# (proving those fixes in the driver's own hash, not just the local
+# strict mirror), the newly oracle-ized embedding_ann_ivf_topk, and a
+# family-diverse spread of TPC-H-shaped, temporal/as-of, curation, and
+# incremental/CDC/graph entries. Rotated-out queries remain
+# oracle-checked every commit by tools/oracle_check.py --strict and
+# tests/test_catalog_oracle.py (140/140).
 
 _DRIVER_WINDOW = [
-    # J1 / J2 latest-per-group family (flagship + reference join form)
-    "latest_event_per_user_type",
-    "latest_order_per_customer",
-    "latest_order_join_form",
-    "latest_event_global",
-    # Projection / predicate operators (P1-P14)
-    "cast_and_literal_projection",
-    "provenance_file_name",
-    "regexp_extract_source_id",
-    "rlike_sentinel_filter",
-    "null_and_nonzero_counts",
-    "membership_filter",
-    "value_remap",
-    "forward_fill_purchase_value",
-    # Reshape (R1/R2)
-    "unpivot_part_measures",
-    "pivot_user_event_values",
-    # Aggregation (A1-A8)
-    "count_orders_per_year",
-    "distinct_user_event_pairs",
-    "filtered_sum_returned_revenue",
-    "grouped_max_event_ts",
-    "horizontal_sum_lineitem",
-    "distinct_order_years",
-    "case_when_agg_per_user",
-    # Ordering / quality (O1-O4)
-    "monotonic_violations_user_value",
-    "top3_orders_per_customer",
-    "running_sum_per_user",
-    # Set ops (§2.8)
-    "union_high_low_value_events",
-    "users_purchase_and_error",
-    "users_purchase_no_error",
-    # Windowed / streaming-equivalent (§2.10)
-    "tumbling_daily_event_stats",
-    "sliding_2d_event_counts",
-    "session_window_user_stats",
-    # TPC-H-shaped headliners (multi-join + agg pipelines)
-    "pricing_summary",
-    "revenue_by_nation",
-    "shipping_priority_top10",
-    # Text analysis extensions
-    "text_token_stats",
-    "lang_id_heuristic",
-    "text_quality_score",
-    "doc_fingerprint",
-    # Dedup extensions (exact -> minhash -> simhash -> ngram ->
-    # clusters -> substring scrub; signature-only micro-variants sit
-    # past the window, still oracle-checked by the local harness)
-    "dedup_exact_docs",
-    "near_dup_pairs_minhash",
-    "ngram_jaccard_pairs_lang",
-    "simhash_near_dup_pairs",
-    "dedup_clusters_minhash",
-    "clean_corpus",
-    "substring_scrub_docs",
-    # End-to-end prep composite (clean -> split -> shard-pack)
-    "prepare_training_shards",
-    # Storage-format fidelity (S1/S3/K roundtrip checksum)
-    "orc_roundtrip_docs",
-    # Similarity search extensions
-    "embedding_cosine_topk",
-    "embedding_ann_lsh_topk",
-    # Multimodal / custom-kernel extensions
-    "binary_payload_stats",
-    "user_event_gap_stats_window",
+    # r7 HUGEINT-cast oracles, never driver-hashed until now
+    "pack_token_shards",
+    "jsonl_roundtrip_docs",
+    "csv_roundtrip_events_props",
+    "pagerank_part_supplier",
+    "event_funnel_conversion",
+    "media_feature_extract",
+    "ship_latency_priority_counts",
+    "daily_revenue_anomalies",
+    "cumulative_distinct_users_daily",
+    "tombstone_delete_users",
+    "salted_event_type_stats",
+    "grouping_sets_revenue",
+    "variant_json_prop_stats",
+    "dominant_supplier_share",
+    "media_frame_digests",
+    "event_value_histogram",
+    "quantity_price_correlation",
+    # newly oracle-ized this round (pinned IVF quantizer)
+    "embedding_ann_ivf_topk",
+    # TPC-H-shaped analytics
+    "order_priority_counts",
+    "customer_order_histogram",
+    "top_supplier_revenue",
+    "promo_revenue_share",
+    "nation_market_share",
+    "min_cost_supplier_per_part",
+    "profit_by_nation_year",
+    "small_quantity_part_revenue",
+    # temporal / as-of
+    "asof_last_purchase_per_click",
+    "clicks_before_purchase",
+    "daily_value_resample_ffill",
+    "rolling_7d_user_value",
+    "event_type_transitions",
+    "weekly_cohort_retention",
+    # curation / text quality
+    "json_prop_stats",
+    "repetition_quality_stats",
+    "pii_redaction_stats",
+    "train_val_test_split",
+    "token_vocab_top50",
+    "benchmark_contamination",
+    "corpus_mix_sample",
+    "semantic_dedup_embeddings",
+    "chunk_documents_overlap",
+    "dup_ngram_fraction",
+    # incremental / CDC / graph
+    "incremental_dedup_new_docs",
+    "user_state_history_scd2",
+    "incremental_daily_agg_merge",
+    "table_diff_orders_drift",
+    "cdc_upsert_orders",
+    "cdc_emit_changelog_orders",
+    "bom_rollup_recursive",
+    "user_journey_paths",
 ]
 
 

@@ -35,6 +35,21 @@ def test_every_query_has_callable_signature():
         assert callable(fn), name
 
 
+def test_driver_window_invariants():
+    """The driver hash-checks the FIRST 50 queries() keys; the window
+    must stay exactly 50 registered entries, each with an exact DuckDB
+    oracle (a rows-only entry inside the window wastes a hash slot)."""
+    from hadoop_data_pipeline_spark.queries_catalog import _DRIVER_WINDOW
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    assert list(qs)[:50] == _DRIVER_WINDOW
+    missing = [n for n in _DRIVER_WINDOW if n not in oracles]
+    assert not missing, f"window entries without exact oracles: {missing}"
+
+
 @pytest.mark.parametrize("name", list(entrymod.queries()))
 def test_query_matches_oracle(spark, duck, name):
     fn = entrymod.queries()[name]
