@@ -785,8 +785,8 @@ def write_band_index(
     story: each run writes the band keys of the documents it ADMITTED,
     and the next run probes the stored index instead of re-shingling
     the corpus (reference analogue: the pending-file ledger in
-    `jobs/incremental_pipeline.py` — persist the small derived state,
-    never re-derive it from the raw data).
+    `jobs/finance_itsc_pipeline.py:32-56` — persist the small derived
+    state, never re-derive it from the raw data).
 
     Layout: partitioned by ``band_id`` (N_BANDS directories) so a
     probe that band-joins per band prunes to 1/N of the index files;

@@ -14,6 +14,7 @@ Conventions
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -5073,14 +5074,16 @@ def _docs_checksum(back: DataFrame) -> DataFrame:
 
 
 _ROUNDTRIP_TMP: str | None = None
+_ROUNDTRIP_SEQ = itertools.count()
 
 
-def _roundtrip_tmp() -> str:
-    """ONE process-scoped scratch root for every format-roundtrip
-    query, removed at interpreter exit. Each query writes to a fixed
-    subpath in overwrite mode, so repeated catalog evaluations reuse
-    the same directory instead of leaking a fresh ``mkdtemp`` per
-    call (r6 hygiene finding)."""
+def _roundtrip_tmp(subdir: str) -> str:
+    """Per-call scratch path under ONE process-scoped root, removed at
+    interpreter exit. The shared root keeps cleanup centralized (r6
+    hygiene finding: no leaked ``mkdtemp`` per call); the per-call
+    sequence suffix keeps paths unique, so two concurrent evaluations
+    of the same roundtrip query in one process (a parallel bench/test
+    harness) never race overwrite-vs-read on a shared subpath."""
     global _ROUNDTRIP_TMP
     if _ROUNDTRIP_TMP is None:
         import atexit
@@ -5089,7 +5092,11 @@ def _roundtrip_tmp() -> str:
 
         _ROUNDTRIP_TMP = tempfile.mkdtemp(prefix="hdp_roundtrip_")
         atexit.register(shutil.rmtree, _ROUNDTRIP_TMP, ignore_errors=True)
-    return _ROUNDTRIP_TMP
+    import os
+
+    return os.path.join(
+        _ROUNDTRIP_TMP, f"{subdir}_{next(_ROUNDTRIP_SEQ)}"
+    )
 
 
 def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
@@ -5102,7 +5109,7 @@ def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(_roundtrip_tmp(), f"{fmt}_documents")
+    path = _roundtrip_tmp(f"{fmt}_documents")
     write_format(docs, path, fmt)
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
     if fmt == "orc":
@@ -5173,7 +5180,7 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     evt = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "props"
     )
-    path = os.path.join(_roundtrip_tmp(), "csv_events")
+    path = _roundtrip_tmp("csv_events")
     write_format(evt, path, "csv")
     back = read_csv(
         spark,

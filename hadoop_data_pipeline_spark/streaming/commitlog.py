@@ -13,13 +13,14 @@ duplication `StreamingDedupSink`'s module doc used to concede.
 The protocol (same family as the repo's 2-phase-commit
 `sources/pydatasource.py` writer, applied across N directories):
 
-1. ``begin(batch_id)`` — snapshot the file listing of every store
-   into ``pending-{batch_id}.json`` (written tmp-then-rename, so the
-   intent record itself is atomic). Nothing has been mutated yet.
+1. ``begin(batch_id)`` — acquire the writer lock, then snapshot the
+   file listing of every store into ``pending-{batch_id}.json``
+   (written tmp-fsync-rename, so the intent record itself is atomic
+   AND durable). Nothing has been mutated yet.
 2. the sink runs its appends — any number, any order;
 3. ``commit(batch_id)`` — write the ``commit-{batch_id}.json``
-   marker (again tmp-then-rename: the RENAME is the commit point),
-   then drop the pending record.
+   marker (again tmp-fsync-rename: the RENAME is the commit point),
+   then drop the pending record and release the writer lock.
 
 Crash anywhere before the marker rename: ``recover()`` (run before
 the next tick's first batch) finds a pending record without its
@@ -31,13 +32,35 @@ batch sees ``is_committed(batch_id)`` and becomes a no-op instead of
 a double append. Every window is covered; clean-zone rows are
 exactly-once.
 
-Assumptions, stated plainly:
+Crash model and enforced assumptions:
 
-* single writer — the sink is the only process mutating the stores
-  while a batch is in flight (rollback deletes files the snapshot
-  does not list; an external writer racing a crashed batch would
-  lose its files). This is the same discipline the reference's
-  pending-file ledger (`jobs/incremental_pipeline.py`) imposes.
+* **durable markers** — ``_write_atomic`` fsyncs the record before
+  the rename and fsyncs the log directory after it, so the protocol
+  survives power loss / kernel crash, not just process crash: a
+  renamed record is never empty or torn, and a commit marker cannot
+  vanish while the batch's parquet appends survived (which would
+  re-open the double-append window on replay).
+* **single writer, ENFORCED** — rollback deletes files the snapshot
+  does not list, so a second writer racing a crashed batch's
+  ``recover()`` would lose its files. ``begin()``/``recover()``
+  therefore take a ``writer.lock`` lease (atomic O_EXCL create) and
+  raise :class:`ConcurrentWriterError` fail-fast if another LIVE
+  process holds it; a lease whose pid is dead (or is this process —
+  the restart-after-crash path) is reclaimed. This hardens the
+  discipline the reference's pending-file ledger leaves implicit
+  (`jobs/finance_itsc_pipeline.py:32-56`, markers via
+  `jobs/utils/hdfs.py:29-33`). Liveness is checked via the pid on
+  the SAME host — on a shared filesystem a lease from another host
+  is never reclaimed automatically (delete it manually after
+  verifying the holder is gone).
+* **run identity** — markers are stamped with the streaming query id
+  (``run_id_file``, conventionally ``{checkpoint}/metadata``); a
+  marker from a different query lineage never no-ops a real batch
+  (e.g. the commitlog subdir survived a checkpoint reset, so batch
+  ids restarted at 0). The checkpoint must still be treated as ONE
+  unit: delete or restore it wholesale, never piecemeal — a restore
+  to an older snapshot of the SAME checkpoint reuses batch ids under
+  the same query id and is indistinguishable from normal replay.
 * stores are append-only during a batch (parquet ``mode="append"``
   creates new uniquely-named part files and never rewrites old ones
   — rollback-by-listing-diff is lossless). The one ``overwrite`` in
@@ -58,6 +81,14 @@ from __future__ import annotations
 
 import json
 import os
+import socket
+import time
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second live writer holds the commit-log lease. Proceeding
+    would let one writer's rollback delete the other's files —
+    fail-fast instead of silent corruption."""
 
 
 class BatchCommitLog:
@@ -66,6 +97,9 @@ class BatchCommitLog:
     ``stores`` maps a stable name to a directory path. The log itself
     lives in ``log_dir`` (conventionally ``{checkpoint}/commitlog``),
     beside the engine's checkpoint so the pair travels together.
+    ``run_id_file`` (conventionally ``{checkpoint}/metadata``, the
+    engine-written ``{"id": ...}`` JSON) stamps commit markers with
+    the query lineage; omit it for non-streaming uses.
     """
 
     #: commit markers older than (latest - KEEP) are pruned at commit
@@ -73,9 +107,17 @@ class BatchCommitLog:
     #: so a short tail is ample.
     KEEP = 16
 
-    def __init__(self, log_dir: str, stores: dict[str, str]):
+    def __init__(
+        self,
+        log_dir: str,
+        stores: dict[str, str],
+        run_id_file: str | None = None,
+    ):
         self.log_dir = log_dir.rstrip("/")
         self.stores = dict(stores)
+        self.run_id_file = run_id_file
+        self._run_id_cache: str | None = None
+        self._lock_held = False
         os.makedirs(self.log_dir, exist_ok=True)
 
     # -- paths ----------------------------------------------------------
@@ -85,6 +127,9 @@ class BatchCommitLog:
 
     def _commit_path(self, batch_id: int) -> str:
         return os.path.join(self.log_dir, f"commit-{batch_id}.json")
+
+    def _lock_path(self) -> str:
+        return os.path.join(self.log_dir, "writer.lock")
 
     @staticmethod
     def _files(root: str) -> list[str]:
@@ -100,34 +145,155 @@ class BatchCommitLog:
 
     @staticmethod
     def _write_atomic(path: str, payload: dict) -> None:
+        """tmp → fsync(file) → rename → fsync(dir): the rename is the
+        atomicity point; the two fsyncs make it DURABLE (without them
+        a power loss can surface the renamed name with torn contents,
+        or lose the rename while later data writes survived)."""
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(payload, fh)
-        os.replace(tmp, path)  # POSIX rename — the atomicity point
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    # -- identity ---------------------------------------------------------
+
+    def _run_id(self) -> str | None:
+        """Query-lineage id from ``run_id_file`` (None until the engine
+        writes it, or when no file was configured). Cached after the
+        first successful read — the id is immutable for a checkpoint's
+        lifetime."""
+        if self._run_id_cache is not None:
+            return self._run_id_cache
+        if not self.run_id_file or not os.path.exists(self.run_id_file):
+            return None
+        try:
+            with open(self.run_id_file, encoding="utf-8") as fh:
+                rid = json.load(fh).get("id")
+        except (json.JSONDecodeError, OSError):
+            return None
+        if rid is not None:
+            self._run_id_cache = str(rid)
+        return self._run_id_cache
+
+    # -- writer lease -------------------------------------------------------
+
+    def _acquire_lock(self) -> None:
+        """Take the single-writer lease (atomic O_EXCL create). A held
+        lease is reclaimed only when its pid is dead on THIS host, or
+        is this very process (the restart-after-crash path — the old
+        instance died with the process, so its lease is ours)."""
+        if self._lock_held:
+            return
+        path = self._lock_path()
+        me = {"pid": os.getpid(), "host": socket.gethostname()}
+        for attempt in range(8):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, json.dumps(me).encode("utf-8"))
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+                self._lock_held = True
+                return
+            except FileExistsError:
+                pass
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    holder = json.load(fh)
+            except FileNotFoundError:
+                continue  # holder released between create and read
+            except (json.JSONDecodeError, OSError):
+                # glimpsed between the holder's O_EXCL create and its
+                # payload write — give it a beat, then re-read; a lock
+                # that STAYS unreadable needs a human, not a guess.
+                time.sleep(0.05)
+                continue
+            if holder.get("host") == me["host"]:
+                pid = holder.get("pid")
+                if pid == me["pid"]:
+                    self._lock_held = True  # our own lease (pre-crash instance)
+                    return
+                try:
+                    os.kill(int(pid), 0)
+                except (ProcessLookupError, ValueError, TypeError):
+                    # dead holder: reclaim and retry the atomic create
+                    try:
+                        os.remove(path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                except PermissionError:
+                    pass  # alive, different user
+            raise ConcurrentWriterError(
+                f"commit log {self.log_dir} is held by another live "
+                f"writer {holder}; a second writer would corrupt "
+                f"rollback state — stop it (or remove {path} if the "
+                f"holder is a dead remote process)"
+            )
+        raise ConcurrentWriterError(
+            f"could not acquire {path}: lease file persistently unreadable"
+        )
+
+    def _release_lock(self) -> None:
+        if not self._lock_held:
+            return
+        try:
+            os.remove(self._lock_path())
+        except FileNotFoundError:
+            pass
+        self._lock_held = False
 
     # -- protocol ---------------------------------------------------------
 
     def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._commit_path(batch_id))
+        """True iff ``batch_id`` committed IN THIS QUERY LINEAGE. A
+        marker stamped with a different run id is a leftover from a
+        reset/foreign checkpoint whose batch numbering restarted —
+        treating it as committed would silently drop a real batch."""
+        path = self._commit_path(batch_id)
+        if not os.path.exists(path):
+            return False
+        try:
+            with open(path, encoding="utf-8") as fh:
+                marker = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            raise RuntimeError(f"unreadable commit marker: {path}")
+        mine, theirs = self._run_id(), marker.get("run_id")
+        if mine and theirs and mine != theirs:
+            return False
+        return True
 
     def begin(self, batch_id: int) -> None:
         """Record the pre-batch snapshot of every store. Call before
-        the first state append of the batch (reads are fine earlier)."""
+        the first state append of the batch (reads are fine earlier).
+        Takes the writer lease (held until ``commit``)."""
+        self._acquire_lock()
         snap = {name: self._files(path) for name, path in self.stores.items()}
         self._write_atomic(
             self._pending_path(batch_id),
-            {"batch_id": batch_id, "snapshot": snap},
+            {"batch_id": batch_id, "snapshot": snap, "run_id": self._run_id()},
         )
 
     def commit(self, batch_id: int) -> None:
         """The commit point: rename the marker into place, then drop
-        the pending record and prune old markers."""
-        self._write_atomic(self._commit_path(batch_id), {"batch_id": batch_id})
+        the pending record, prune old markers, release the lease."""
+        self._write_atomic(
+            self._commit_path(batch_id),
+            {"batch_id": batch_id, "run_id": self._run_id()},
+        )
         try:
             os.remove(self._pending_path(batch_id))
         except FileNotFoundError:
             pass
         self._prune(batch_id)
+        self._release_lock()
 
     def _prune(self, latest: int) -> None:
         for fn in os.listdir(self.log_dir):
@@ -144,37 +310,54 @@ class BatchCommitLog:
 
     def recover(self) -> dict[str, list[str]]:
         """Roll back any batch that began but never committed: delete
-        every store file absent from its pending snapshot. Run before
-        the first batch of a tick (the engine replays the rolled-back
-        batch from its own checkpoint). Returns {store: [deleted
-        relative paths]} for observability; empty when clean."""
-        rolled: dict[str, list[str]] = {}
-        for fn in sorted(os.listdir(self.log_dir)):
-            if not (fn.startswith("pending-") and fn.endswith(".json")):
-                continue
-            pending = os.path.join(self.log_dir, fn)
-            try:
-                record = json.load(open(pending, encoding="utf-8"))
-            except (json.JSONDecodeError, OSError):
-                # a torn write never reaches this name (rename-atomic),
-                # so an unreadable record is real corruption; without
-                # its snapshot the rollback set is unknowable — refuse
-                # to guess, surface it.
-                raise RuntimeError(
-                    f"unreadable commit-log pending record: {pending}"
-                )
-            batch_id = record["batch_id"]
-            if self.is_committed(batch_id):
-                # crash between marker rename and pending removal —
-                # the batch IS committed; just finish the cleanup.
+        every store file absent from its pending snapshot, then prune
+        directories the dead batch left empty (Hadoop ``_temporary``
+        attempt dirs and the like). Takes the writer lease for the
+        duration — recovering under a live writer would delete its
+        in-flight files. Run before the first batch of a tick (the
+        engine replays the rolled-back batch from its own checkpoint).
+        Returns {store: [deleted relative paths]} for observability;
+        empty when clean."""
+        self._acquire_lock()
+        try:
+            rolled: dict[str, list[str]] = {}
+            for fn in sorted(os.listdir(self.log_dir)):
+                if not (fn.startswith("pending-") and fn.endswith(".json")):
+                    continue
+                pending = os.path.join(self.log_dir, fn)
+                try:
+                    record = json.load(open(pending, encoding="utf-8"))
+                except (json.JSONDecodeError, OSError):
+                    # _write_atomic fsyncs before the rename, so a torn
+                    # write never reaches this name even across power
+                    # loss; an unreadable record is real corruption —
+                    # without its snapshot the rollback set is
+                    # unknowable. Refuse to guess, surface it.
+                    raise RuntimeError(
+                        f"unreadable commit-log pending record: {pending}"
+                    )
+                batch_id = record["batch_id"]
+                if self.is_committed(batch_id):
+                    # crash between marker rename and pending removal —
+                    # the batch IS committed; just finish the cleanup.
+                    os.remove(pending)
+                    continue
+                snapshot = record["snapshot"]
+                for name, path in self.stores.items():
+                    keep = set(snapshot.get(name, []))
+                    for rel in self._files(path):
+                        if rel not in keep:
+                            os.remove(os.path.join(path, rel))
+                            rolled.setdefault(name, []).append(rel)
+                    # bottom-up empty-dir sweep: repeated crash/replay
+                    # cycles must not accumulate skeleton directories.
+                    for r, _dirs, _files in os.walk(path, topdown=False):
+                        if r != path:
+                            try:
+                                os.rmdir(r)
+                            except OSError:
+                                pass  # not empty / concurrent — keep it
                 os.remove(pending)
-                continue
-            snapshot = record["snapshot"]
-            for name, path in self.stores.items():
-                keep = set(snapshot.get(name, []))
-                for rel in self._files(path):
-                    if rel not in keep:
-                        os.remove(os.path.join(path, rel))
-                        rolled.setdefault(name, []).append(rel)
-            os.remove(pending)
-        return rolled
+            return rolled
+        finally:
+            self._release_lock()

@@ -129,6 +129,7 @@ class StreamingDedupSink:
         self.commit_log = BatchCommitLog(
             f"{self.checkpoint}/commitlog",
             {"clean": self.clean_dir, "digests": self.digest_dir},
+            run_id_file=f"{self.checkpoint}/metadata",
         )
 
     def _existing_digests(self) -> DataFrame | None:

@@ -4,8 +4,8 @@ closing the loop the batch operators open — every micro-batch is
 LSH-probed against the band-key index all PREVIOUS batches persisted,
 survivors land in the clean zone, and their band keys are appended to
 the index for the next batch (reference analogue: the pending-file
-ledger discipline of `jobs/incremental_pipeline.py`, applied to
-derived dedup state).
+ledger discipline of `jobs/finance_itsc_pipeline.py:32-56`, applied
+to derived dedup state).
 
 Per micro-batch work (the 100 TB shape):
 
@@ -77,6 +77,7 @@ class StreamingNearDupSink:
         self.commit_log = BatchCommitLog(
             f"{self.checkpoint}/commitlog",
             {"clean": self.clean_dir, "index": self.index_dir},
+            run_id_file=f"{self.checkpoint}/metadata",
         )
 
     def _id_ddl(self) -> str:

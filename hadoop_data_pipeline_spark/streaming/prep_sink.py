@@ -92,6 +92,7 @@ class StreamingPrepSink:
                 "index": self.index_dir,
                 "digests": self.digest_dir,
             },
+            run_id_file=f"{self.checkpoint}/metadata",
         )
 
     # -- persisted-state readers (empty-safe, typed from the source

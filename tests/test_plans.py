@@ -128,19 +128,24 @@ def test_gap_stats_window_has_no_python_stage(spark):
 
 def test_driver_window_covers_load_bearing_queries():
     # The round driver oracle-checks only the FIRST 50 registered
-    # queries — pin that the window holds the load-bearing set and that
-    # every windowed query has a value-hash (not rows-only) oracle.
+    # queries. Round 9 ROTATED the window to never-driver-checked
+    # entries (the r6-8 window went fully green in CORRECTNESS_r08);
+    # pin that the rotation's point is honored: every integer-dtype-
+    # sensitive oracle that got a CAST-to-BIGINT fix in r7 is in the
+    # window (proving the fix in the driver's own hash), along with
+    # the newly oracle-ized IVF entry, and every windowed query has a
+    # value-hash (not rows-only) oracle.
     names = list(qc.QUERIES)
     first50 = names[:50]
     for required in (
-        "latest_event_per_user_type",
-        "latest_order_join_form",
-        "clean_corpus",
-        "dedup_clusters_minhash",
-        "near_dup_pairs_minhash",
-        "ngram_jaccard_pairs_lang",
-        "user_event_gap_stats_window",
-        "pricing_summary",
+        "pack_token_shards",
+        "jsonl_roundtrip_docs",
+        "csv_roundtrip_events_props",
+        "pagerank_part_supplier",
+        "event_funnel_conversion",
+        "grouping_sets_revenue",
+        "variant_json_prop_stats",
+        "embedding_ann_ivf_topk",
     ):
         assert required in first50, required
     assert all(n in qc.ORACLES for n in first50)

@@ -749,6 +749,153 @@ def test_commit_log_rollback_and_idempotence(tmp_path):
     assert (b / "b2.parquet").exists() and log.is_committed(2)
 
 
+def test_commit_log_writer_lock_fails_fast(tmp_path):
+    """A second LIVE writer must raise instead of proceeding — its
+    recover() would delete the first writer's in-flight files. A lease
+    whose pid is dead is stale and reclaimed; our own pid (the
+    restart-after-crash path) is reclaimed too."""
+    import json as _json
+    import os as _os
+
+    from hadoop_data_pipeline_spark.streaming.commitlog import (
+        BatchCommitLog,
+        ConcurrentWriterError,
+    )
+
+    store = tmp_path / "s"
+    store.mkdir()
+    log = BatchCommitLog(str(tmp_path / "log"), {"s": str(store)})
+
+    # foreign LIVE holder (pid 1 is always alive): begin and recover
+    # both fail fast.
+    lock = tmp_path / "log" / "writer.lock"
+    lock.write_text(_json.dumps({"pid": 1, "host": _os.uname().nodename}))
+    with pytest.raises(ConcurrentWriterError):
+        log.begin(0)
+    with pytest.raises(ConcurrentWriterError):
+        log.recover()
+
+    # dead holder: reclaimed transparently. Find a pid that is free.
+    dead = 2
+    while True:
+        try:
+            _os.kill(dead, 0)
+            dead += 1
+        except ProcessLookupError:
+            break
+        except PermissionError:
+            dead += 1
+    lock.write_text(_json.dumps({"pid": dead, "host": _os.uname().nodename}))
+    log.begin(0)
+    log.commit(0)  # commit releases the lease
+    assert not lock.exists()
+
+    # our own pid (pre-crash instance of this process): reclaimed.
+    log.begin(1)
+    assert lock.exists()
+    log2 = BatchCommitLog(str(tmp_path / "log"), {"s": str(store)})
+    assert log2.recover() == {}  # reclaims, rolls back batch 1's (empty) diff
+    # a remote-host lease is never auto-reclaimed (no liveness check)
+    lock.write_text(_json.dumps({"pid": dead, "host": "some-other-host"}))
+    with pytest.raises(ConcurrentWriterError):
+        log2.begin(2)
+
+
+def test_commit_log_prune_retention(tmp_path):
+    """Markers older than (latest - KEEP) are pruned at commit time;
+    everything inside the retention window stays committed — including
+    exactly AT the boundary. The engine only ever replays the LAST
+    uncommitted batch, so a pruned marker can never be consulted; this
+    pins that the window is wide enough and the off-by-one stays put
+    (a marker wrongly pruned inside the window would re-run an old
+    batch as a double append on a deep replay)."""
+    from hadoop_data_pipeline_spark.streaming.commitlog import BatchCommitLog
+
+    store = tmp_path / "s"
+    store.mkdir()
+    log = BatchCommitLog(str(tmp_path / "log"), {"s": str(store)})
+    n = BatchCommitLog.KEEP * 2 + 5
+    for bid in range(n):
+        log.begin(bid)
+        log.commit(bid)
+    latest = n - 1
+    boundary = latest - BatchCommitLog.KEEP
+    for bid in range(n):
+        if bid >= boundary:
+            assert log.is_committed(bid), f"batch {bid} inside window"
+        else:
+            assert not log.is_committed(bid), f"batch {bid} should be pruned"
+    # no pending residue, and a fresh instance sees the same state
+    log2 = BatchCommitLog(str(tmp_path / "log"), {"s": str(store)})
+    assert log2.is_committed(latest) and not log2.is_committed(0)
+    assert log2.recover() == {}
+
+
+def test_commit_log_run_id_scopes_markers(tmp_path):
+    """Markers are stamped with the streaming query id: a marker from
+    a different query lineage (checkpoint reset kept the commitlog
+    subdir, batch ids restarted) must NOT no-op a real batch."""
+    import json as _json
+
+    from hadoop_data_pipeline_spark.streaming.commitlog import BatchCommitLog
+
+    store = tmp_path / "s"
+    store.mkdir()
+    meta = tmp_path / "metadata"
+    meta.write_text(_json.dumps({"id": "run-A"}))
+    log = BatchCommitLog(
+        str(tmp_path / "log"), {"s": str(store)}, run_id_file=str(meta)
+    )
+    log.begin(0)
+    log.commit(0)
+    assert log.is_committed(0)
+
+    # same lineage, fresh instance: still committed
+    again = BatchCommitLog(
+        str(tmp_path / "log"), {"s": str(store)}, run_id_file=str(meta)
+    )
+    assert again.is_committed(0)
+
+    # new lineage (engine rewrote metadata after a reset): batch 0 of
+    # run-B is a REAL batch, not a replay of run-A's batch 0.
+    meta.write_text(_json.dumps({"id": "run-B"}))
+    fresh = BatchCommitLog(
+        str(tmp_path / "log"), {"s": str(store)}, run_id_file=str(meta)
+    )
+    assert not fresh.is_committed(0)
+
+    # unstamped legacy marker or unconfigured run_id_file: existence
+    # decides (backward-compatible lenient path)
+    legacy = BatchCommitLog(str(tmp_path / "log"), {"s": str(store)})
+    assert legacy.is_committed(0)
+
+
+def test_commit_log_recover_prunes_empty_dirs(tmp_path):
+    """Rollback removes the directories a crashed batch created once
+    they are empty (Hadoop _temporary attempt dirs), but keeps the
+    store root and any directory that still holds surviving files."""
+    from hadoop_data_pipeline_spark.streaming.commitlog import BatchCommitLog
+
+    store = tmp_path / "s"
+    (store / "year=2024").mkdir(parents=True)
+    (store / "year=2024" / "pre.parquet").write_text("pre")
+    log = BatchCommitLog(str(tmp_path / "log"), {"s": str(store)})
+
+    log.begin(0)
+    tmpdir = store / "_temporary" / "0" / "attempt_1"
+    tmpdir.mkdir(parents=True)
+    (tmpdir / "part-0.parquet").write_text("x")
+    (store / "year=2024" / "new.parquet").write_text("y")
+    rolled = log.recover()
+    assert sorted(rolled["s"]) == [
+        "_temporary/0/attempt_1/part-0.parquet",
+        "year=2024/new.parquet",
+    ]
+    assert not (store / "_temporary").exists()  # skeleton swept
+    assert (store / "year=2024" / "pre.parquet").exists()  # kept
+    assert store.exists()  # root never removed
+
+
 def test_stream_dedup_sink_crash_between_appends(spark, tmp_path, monkeypatch):
     """Crash injection between the clean-zone and digest appends: the
     failed tick leaves partial clean-zone rows on disk, the next tick
