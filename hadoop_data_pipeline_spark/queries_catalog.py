@@ -4937,17 +4937,60 @@ def cdc_emit_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("compression_ratio_quality")
+def _zlib_oracle_sql() -> str | None:
+    """Exact oracle for the zlib quality signal. DuckDB has no zlib,
+    so the ground truth is precomputed HERE (driver-side, the same
+    pinned ``zlib.compress(level=6)`` the pandas UDF runs) for every
+    distinct document text across the shipped fixtures, keyed by
+    md5(text) — content-addressed, so the same VALUES map is correct
+    at every sf AND under the key-shifted stress corpora (doc_ids
+    change, texts don't). An inner join means a text missing from the
+    map surfaces as a row-count mismatch, never a silent pass.
+    Returns None (rows-only fallback) when no fixture is readable."""
+    import hashlib
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    rows: dict[str, int] = {}
+    found = False
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        found = True
+        for t in pq.read_table(p, columns=["text"]).column("text").to_pylist():
+            if t is None:
+                continue
+            b = t.encode("utf-8")
+            h = hashlib.md5(b).hexdigest()
+            if h not in rows:
+                rows[h] = len(zlib.compress(b, 6))
+    if not found:
+        return None
+    vals = ", ".join(f"('{h}', {n})" for h, n in sorted(rows.items()))
+    return f"""
+    WITH zmap(h, zlen) AS (VALUES {vals})
+    SELECT d.doc_id, octet_length(encode(d.text)) AS n_bytes,
+           z.zlen AS compressed_bytes,
+           round(CAST(z.zlen AS DOUBLE) / octet_length(encode(d.text)), 6)
+               AS ratio
+    FROM documents d JOIN zmap z ON md5(d.text) = z.h
+    """
+
+
+@register("compression_ratio_quality", oracle=_zlib_oracle_sql())
 def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document zlib compression ratio (`text.compression_ratio`)
     — the repetition/boilerplate quality signal, and the catalog's
-    scalar-pandas-UDF exemplar (SURVEY.md §2.11). Rows-only check:
-    DuckDB has no zlib function, so no SQL oracle exists — exactness
-    is pinned instead by the unit test comparing the distributed
-    output against direct ``zlib.compress`` on the same fixture rows
-    (`tests/test_extensions.py`). Zero shuffle; one Arrow-batched
-    projection.
-    """
+    scalar-pandas-UDF exemplar (SURVEY.md §2.11). Exact oracle:
+    DuckDB has no zlib, so the oracle joins the documents view to a
+    content-addressed VALUES map of precomputed zlib lengths (see
+    ``_zlib_oracle_sql``); the unit test comparing the distributed
+    output against direct ``zlib.compress`` on fixture rows
+    (`tests/test_extensions.py`) remains as the Python-side pin.
+    Zero shuffle; one Arrow-batched projection."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.compression_ratio(docs)
 
@@ -5255,7 +5298,7 @@ _DRIVER_WINDOW = [
     "train_val_test_split",
     "token_vocab_top50",
     "benchmark_contamination",
-    "corpus_mix_sample",
+    "compression_ratio_quality",
     "semantic_dedup_embeddings",
     "chunk_documents_overlap",
     "dup_ngram_fraction",
