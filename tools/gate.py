@@ -12,6 +12,9 @@ script IS the checklist — run it, and only snapshot on exit 0:
 4. ``tools/stress.py 4`` — the 50-query sweep at a key-shifted ~4x
    sf0.1, which caught the overflow / float-drift / recursion-valve
    bugs that every sf0.1 check passed
+5. ``tools/stress_stream.py 8 4`` — the crash-injected streaming
+   sweep: writer killed mid-batch at scale, replay must stay
+   exactly-once vs the batch reference
 
 Appends one result line to COVERAGE.md ("Gate log" section) so the
 judge can see the gate actually ran.
@@ -95,6 +98,16 @@ def main() -> int:
         # sf0.1 sweeps could not see (tools/stress.py).
         steps.append(
             ("stress_4x", [sys.executable, "tools/stress.py", "4"])
+        )
+        # crash-injected streaming sweep (r9): StreamingPrepSink over
+        # an 8x corpus, writer killed mid-batch at tick 1 and replayed
+        # — survivor set must equal the crash-free batch reference
+        # (exactly-once at scale, ~60s).
+        steps.append(
+            (
+                "stress_stream_crash",
+                [sys.executable, "tools/stress_stream.py", "8", "4"],
+            )
         )
     results = [run(name, cmd) for name, cmd in steps]
     all_ok = all(ok for _, ok, _, _ in results)
