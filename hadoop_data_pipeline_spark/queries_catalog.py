@@ -4973,7 +4973,7 @@ def _zlib_oracle_sql() -> str | None:
     return f"""
     WITH zmap(h, zlen) AS (VALUES {vals})
     SELECT d.doc_id, octet_length(encode(d.text)) AS n_bytes,
-           z.zlen AS compressed_bytes,
+           CAST(z.zlen AS BIGINT) AS compressed_bytes,
            round(CAST(z.zlen AS DOUBLE) / octet_length(encode(d.text)), 6)
                AS ratio
     FROM documents d JOIN zmap z ON md5(d.text) = z.h
