@@ -151,6 +151,25 @@ def test_driver_window_covers_load_bearing_queries():
     assert all(n in qc.ORACLES for n in first50)
 
 
+def test_ivf_pretrained_plan_shape(spark):
+    """The pinned-quantizer IVF query must keep its scale contract:
+    the 10-row probe side BROADCASTS into the cell join (never a
+    shuffled join of the corpus against itself), top-k is pushed down
+    as WindowGroupLimit (partial limit before the exchange), the cell
+    assignment is computed ONCE and reused from cache by both join
+    sides, and — with centroids pinned — there is no Python stage and
+    no driver-side fit anywhere in the plan."""
+    plan = plan_of(spark, "embedding_ann_ivf_topk")
+    assert "BroadcastHashJoin" in plan and "BuildLeft" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert "InMemoryRelation" in plan  # assignment cached, not re-derived
+    assert "Python" not in plan  # pure JVM expressions
+    # exactly one parquet source feeds the whole query (both sides of
+    # the join read the SAME cached assignment over embeddings)
+    scans = scans_of(plan)
+    assert all("embeddings" in s for s in scans)
+
+
 @pytest.mark.parametrize(
     "name", ["repetition_quality_stats", "pii_redaction_stats"]
 )
