@@ -39,12 +39,17 @@ def main() -> None:
 
     for t in TESTDATA_TABLES:
         try:
-            # full-scan count, not schema-only: warms the OS page cache
-            # and column decoders for every table so the first query to
-            # scan a table's DATA doesn't pay its disk read — a cost
-            # that otherwise lands on whichever queries sit early in
-            # catalog order (seat-dependent, see BENCH_NOTES r9).
-            load_table(spark, sf_dir, t).count()
+            # full noop write, not count(): count() over parquet plans
+            # ReadSchema struct<> (row counts come from row-group
+            # footers, no data pages touched), so it warms nothing.
+            # The noop sink forces every column through the vectorized
+            # reader — OS page cache + decoders genuinely warm, so the
+            # first query to scan a table's DATA doesn't pay its disk
+            # read (a cost that otherwise lands on whichever queries
+            # sit early in catalog order; see BENCH_NOTES r9).
+            load_table(spark, sf_dir, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
         except Exception:  # noqa: BLE001 - missing optional table
             pass
 
@@ -85,19 +90,34 @@ def main() -> None:
     except Exception:  # pragma: no cover - log4j internals moved
         pass
 
-    # Deeper warm-up, UNTIMED: one shuffling query end-to-end and one
+    # Deeper warm-up, UNTIMED: one SYNTHETIC shuffle+window job and one
     # Arrow/pandas-UDF job, so the first TIMED query doesn't absorb
     # the Python-worker pool fork, Arrow init, shuffle/AQE spin-up and
     # codegen-cache misses. This cost is position-dependent: when the
     # r9 window rotation moved different queries into slot #1, the new
     # first query (pack_token_shards) showed 0.73->3.43 s while the
     # old slot-1 query dropped 1.79->0.61 s — same plans, different
-    # seats. Warming the machinery once keeps per-query timings
-    # comparable across catalog reorderings.
+    # seats. The warm jobs are synthetic (spark.range), NOT a catalog
+    # query: pre-running a timed query verbatim would leave ITS codegen
+    # and scan path warm and bias that one entry fast vs its peers.
     try:
-        queries_catalog.QUERIES["latest_event_per_user_type"](
-            spark, sf_dir
-        ).write.format("noop").mode("overwrite").save()
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        base = spark.range(100_000).select(
+            (_F.col("id") % 97).alias("k"), _F.col("id").alias("v")
+        )
+        (
+            base.withColumn(
+                "rn",
+                _F.row_number().over(_W.partitionBy("k").orderBy("v")),
+            )
+            .groupBy("k")
+            .agg(_F.sum("v").alias("s"), _F.max("rn").alias("m"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("long")

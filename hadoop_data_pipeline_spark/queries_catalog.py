@@ -4937,39 +4937,20 @@ def cdc_emit_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _zlib_oracle_sql() -> str | None:
+def _zlib_oracle_sql() -> str:
     """Exact oracle for the zlib quality signal. DuckDB has no zlib,
-    so the ground truth is precomputed HERE (driver-side, the same
-    pinned ``zlib.compress(level=6)`` the pandas UDF runs) for every
-    distinct document text across the shipped fixtures, keyed by
-    md5(text) — content-addressed, so the same VALUES map is correct
-    at every sf AND under the key-shifted stress corpora (doc_ids
-    change, texts don't). An inner join means a text missing from the
-    map surfaces as a row-count mismatch, never a silent pass.
-    Returns None (rows-only fallback) when no fixture is readable."""
-    import hashlib
-    import os
-    import zlib
+    so the ground truth is the PINNED content-addressed map of
+    ``zlib.compress(level=6)`` lengths per distinct fixture text
+    (``functions/zlib_lens.py``, generated by ``tools/gen_zlib_map.py``
+    — the same versioned-derived-artifact shape as the IVF centroids;
+    a freshness pytest re-derives it from the fixtures). Keying by
+    md5(text) makes the same map correct at every sf AND under the
+    key-shifted stress corpora (doc_ids change, texts don't). An
+    inner join means a text missing from the map surfaces as a
+    row-count mismatch, never a silent pass."""
+    from hadoop_data_pipeline_spark.functions.zlib_lens import ZLIB_LENS
 
-    import pyarrow.parquet as pq
-
-    rows: dict[str, int] = {}
-    found = False
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        p = f"/root/testdata/{sf}/documents.parquet"
-        if not os.path.exists(p):
-            continue
-        found = True
-        for t in pq.read_table(p, columns=["text"]).column("text").to_pylist():
-            if t is None:
-                continue
-            b = t.encode("utf-8")
-            h = hashlib.md5(b).hexdigest()
-            if h not in rows:
-                rows[h] = len(zlib.compress(b, 6))
-    if not found:
-        return None
-    vals = ", ".join(f"('{h}', {n})" for h, n in sorted(rows.items()))
+    vals = ", ".join(f"('{h}', {n})" for h, n in sorted(ZLIB_LENS.items()))
     return f"""
     WITH zmap(h, zlen) AS (VALUES {vals})
     SELECT d.doc_id, octet_length(encode(d.text)) AS n_bytes,
@@ -5118,6 +5099,7 @@ def _docs_checksum(back: DataFrame) -> DataFrame:
 
 _ROUNDTRIP_TMP: str | None = None
 _ROUNDTRIP_SEQ = itertools.count()
+_ROUNDTRIP_LAST: dict[str, list] = {}
 
 
 def _roundtrip_tmp(subdir: str) -> str:
@@ -5126,20 +5108,31 @@ def _roundtrip_tmp(subdir: str) -> str:
     hygiene finding: no leaked ``mkdtemp`` per call); the per-call
     sequence suffix keeps paths unique, so two concurrent evaluations
     of the same roundtrip query in one process (a parallel bench/test
-    harness) never race overwrite-vs-read on a shared subpath."""
+    harness) never race overwrite-vs-read on a shared subpath. Growth
+    stays BOUNDED without reopening that race: paths retire through a
+    two-generation queue — creating generation n deletes generation
+    n-2, so an evaluation overlapping its predecessor still finds its
+    files, while a long-lived process that re-evaluates the roundtrip
+    queries (bench rounds, repeated sweeps) holds at most two copies
+    per key — never an unbounded backlog waiting for atexit. (Three
+    CONCURRENT evaluations of the same key could still race the
+    oldest; no shipped harness runs even two.)"""
     global _ROUNDTRIP_TMP
+    import os
+    import shutil
+
     if _ROUNDTRIP_TMP is None:
         import atexit
-        import shutil
         import tempfile
 
         _ROUNDTRIP_TMP = tempfile.mkdtemp(prefix="hdp_roundtrip_")
         atexit.register(shutil.rmtree, _ROUNDTRIP_TMP, ignore_errors=True)
-    import os
-
-    return os.path.join(
-        _ROUNDTRIP_TMP, f"{subdir}_{next(_ROUNDTRIP_SEQ)}"
-    )
+    gens = _ROUNDTRIP_LAST.setdefault(subdir, [])
+    path = os.path.join(_ROUNDTRIP_TMP, f"{subdir}_{next(_ROUNDTRIP_SEQ)}")
+    gens.append(path)
+    while len(gens) > 2:
+        shutil.rmtree(gens.pop(0), ignore_errors=True)
+    return path
 
 
 def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:

@@ -183,6 +183,42 @@ class BatchCommitLog:
 
     # -- writer lease -------------------------------------------------------
 
+    def _reclaim_stale(self, path: str, holder: dict) -> None:
+        """Remove a dead holder's lease. Serialized through an O_EXCL
+        ``.steal`` marker so two writers that BOTH observed the dead
+        holder cannot both run remove+create (the loser of the marker
+        race would otherwise delete the winner's freshly created valid
+        lease — a TOCTOU that silently yields two 'exclusive' writers).
+        Only the marker winner removes the lock, and only after
+        re-reading it to confirm it is STILL the dead holder it saw."""
+        steal = path + ".steal"
+        try:
+            fd = os.open(steal, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            raise ConcurrentWriterError(
+                f"another writer is concurrently reclaiming {path} "
+                f"({steal} exists); retry after it finishes"
+            )
+        try:
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    current = json.load(fh)
+            except FileNotFoundError:
+                return  # already reclaimed+released; lock name is free
+            except (json.JSONDecodeError, OSError):
+                return  # changed under us; let the acquire loop re-read
+            if current == holder:  # still the dead holder we observed
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+        finally:
+            try:
+                os.remove(steal)
+            except FileNotFoundError:
+                pass
+
     def _acquire_lock(self) -> None:
         """Take the single-writer lease (atomic O_EXCL create). A held
         lease is reclaimed only when its pid is dead on THIS host, or
@@ -223,11 +259,7 @@ class BatchCommitLog:
                 try:
                     os.kill(int(pid), 0)
                 except (ProcessLookupError, ValueError, TypeError):
-                    # dead holder: reclaim and retry the atomic create
-                    try:
-                        os.remove(path)
-                    except FileNotFoundError:
-                        pass
+                    self._reclaim_stale(path, holder)
                     continue
                 except PermissionError:
                     pass  # alive, different user
@@ -337,6 +369,22 @@ class BatchCommitLog:
                         f"unreadable commit-log pending record: {pending}"
                     )
                 batch_id = record["batch_id"]
+                mine, theirs = self._run_id(), record.get("run_id")
+                if mine and theirs and mine != theirs:
+                    # a pending record from a DIFFERENT query lineage:
+                    # its snapshot describes another run's store state,
+                    # so "rolling back" against it would DELETE data
+                    # later lineages committed. This only happens when
+                    # a checkpoint was reset piecemeal (docs forbid
+                    # it); refuse loudly instead of guessing.
+                    raise RuntimeError(
+                        f"commit-log pending record {pending} belongs "
+                        f"to query lineage {theirs!r} but the current "
+                        f"lineage is {mine!r}; the checkpoint was "
+                        f"reset piecemeal. Restore/delete the "
+                        f"checkpoint WHOLESALE (metadata, offsets, "
+                        f"commits and commitlog together), then retry."
+                    )
                 if self.is_committed(batch_id):
                     # crash between marker rename and pending removal —
                     # the batch IS committed; just finish the cleanup.

@@ -302,6 +302,22 @@ def test_ann_ivf_pretrained_centroids_match_inline_fit(spark):
     assert cells.count() > 0
 
 
+def test_pinned_zlib_map_artifact_fresh():
+    """The committed zlib-length map must equal a fresh derivation
+    from the fixtures — guards against fixture changes or a zlib
+    level drift without `tools/gen_zlib_map.py` being re-run (the
+    compression_ratio_quality oracle embeds this map)."""
+    import tools.gen_zlib_map as gen
+
+    from hadoop_data_pipeline_spark.functions.zlib_lens import (
+        ZLIB_LENS,
+        ZLIB_LEVEL,
+    )
+
+    assert ZLIB_LEVEL == 6
+    assert gen.build_map() == ZLIB_LENS
+
+
 def test_pinned_sf001_centroids_artifact_fresh(spark):
     """The committed quantizer artifact must equal a fresh fit on the
     sf0.01 fixture — guards against the fixture or the fit changing

@@ -801,6 +801,65 @@ def test_commit_log_writer_lock_fails_fast(tmp_path):
         log2.begin(2)
 
 
+def test_commit_log_reclaim_is_serialized_and_foreign_pending_refused(
+    tmp_path,
+):
+    """(a) Stale-lease reclaim goes through an O_EXCL .steal marker: a
+    concurrent reclaimer (marker present) gets ConcurrentWriterError
+    instead of both writers running remove+create and ending up with
+    two 'exclusive' leases. (b) recover() REFUSES a pending record
+    from a different query lineage — rolling back against a foreign
+    snapshot would delete data later lineages committed."""
+    import json as _json
+    import os as _os
+
+    from hadoop_data_pipeline_spark.streaming.commitlog import (
+        BatchCommitLog,
+        ConcurrentWriterError,
+    )
+
+    store = tmp_path / "s"
+    store.mkdir()
+    log_dir = tmp_path / "log"
+    log = BatchCommitLog(str(log_dir), {"s": str(store)})
+
+    # (a) dead holder + someone mid-steal: fail fast, don't double-steal
+    dead = 2
+    while True:
+        try:
+            _os.kill(dead, 0)
+            dead += 1
+        except ProcessLookupError:
+            break
+        except PermissionError:
+            dead += 1
+    lock = log_dir / "writer.lock"
+    lock.write_text(_json.dumps({"pid": dead, "host": _os.uname().nodename}))
+    (log_dir / "writer.lock.steal").touch()
+    with pytest.raises(ConcurrentWriterError, match="reclaiming"):
+        log.begin(0)
+    (log_dir / "writer.lock.steal").unlink()
+    log.begin(0)  # now reclaims cleanly
+    log.commit(0)
+
+    # (b) foreign-lineage pending record: loud refusal, zero deletion
+    meta = tmp_path / "metadata"
+    meta.write_text(_json.dumps({"id": "run-B"}))
+    (store / "committed-by-B.parquet").write_text("x")
+    foreign = {
+        "batch_id": 0,
+        "snapshot": {"s": []},  # foreign snapshot knows none of B's files
+        "run_id": "run-A",
+    }
+    scoped = BatchCommitLog(
+        str(log_dir), {"s": str(store)}, run_id_file=str(meta)
+    )
+    scoped._write_atomic(scoped._pending_path(0), foreign)
+    with pytest.raises(RuntimeError, match="lineage"):
+        scoped.recover()
+    assert (store / "committed-by-B.parquet").exists()  # nothing deleted
+
+
 def test_commit_log_prune_retention(tmp_path):
     """Markers older than (latest - KEEP) are pruned at commit time;
     everything inside the retention window stays committed — including

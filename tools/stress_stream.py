@@ -133,6 +133,7 @@ def main() -> int:
         return real_parquet(self, path, *args, **kwargs)
 
     DataFrameWriter.parquet = flaky_parquet
+    fired = False
     try:
         for i, chunk in enumerate(chunks):
             t1 = time.time()
@@ -149,6 +150,7 @@ def main() -> int:
                     "injected crash did not fire — sweep is not "
                     "exercising the partial-commit window"
                 )
+                fired = True
                 armed["on"] = False
                 print(
                     f"tick {i}: CRASHED mid-batch as injected "
@@ -162,6 +164,12 @@ def main() -> int:
                 f"tick {i} timed out"
             )
             print(f"tick {i}: {time.time() - t1:.1f}s", flush=True)
+        # a crash_tick outside [0, ticks) would silently run a
+        # crash-free sweep while claiming injection — refuse.
+        assert crash_tick < 0 or fired, (
+            f"crash_tick={crash_tick} never fired over {ticks} ticks; "
+            f"pass -1 to run the crash-free sweep explicitly"
+        )
     finally:
         DataFrameWriter.parquet = real_parquet
     stream_ids = {
