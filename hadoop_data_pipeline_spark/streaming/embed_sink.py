@@ -1,0 +1,259 @@
+"""Continuous EMBEDDING ingest with semantic dedup on admission — the
+vector-space counterpart of the text sinks, closing the similarity
+half of the streaming story: every micro-batch of (id, embedding)
+rows is enriched with its retrieval geometry (staged L2 norm, 256-way
+random-hyperplane LSH bucket, IVF cell from the PINNED coarse
+quantizer), semantically deduplicated against everything already
+ADMITTED, and appended to one growing vector store that ANN queries
+probe directly. This is the SemDeDup-style ingest shape of a training
+pipeline at 100 TB: drop near-duplicate embeddings BEFORE they ever
+reach storage, paying cosine only inside LSH buckets, never all-pairs.
+
+Admission rule per micro-batch (deterministic, mirrored exactly by
+the iterative batch reference in the tests):
+
+1. a batch vector whose cosine >= ``threshold`` to ANY stored vector
+   in the same LSH bucket is dropped (it duplicates the admitted
+   corpus);
+2. the remaining batch vectors run within-batch semantic dedup —
+   bucket-blocked cosine pairs -> connected components -> min-id
+   canonical survivor per cluster (`curation.semantic_dedup`
+   semantics, bucket-blocked);
+3. survivors append to the store with norm/bucket/cell attached, so
+   later probes and ANN queries reuse the geometry instead of
+   recomputing it.
+
+Like incremental MinHash dedup, cross-batch transitivity is by design
+AGAINST the admitted set (a chain a~b~c arriving in different batches
+keeps a, drops b, then drops c only if c matches a surviving vector)
+— the same first-writer-wins contract the text sinks document.
+
+Per-batch work at scale: the batch side is broadcast into the
+bucket-equi-join against the store scan (the store never shuffles);
+within-batch pairs are bucket-blocked (bounded blocks, the
+`embedding_near_dup_pairs` guard applies); the one staged write is
+digest-narrow. Exactly-once across crashes via the same manifest-last
+:class:`~hadoop_data_pipeline_spark.streaming.commitlog.BatchCommitLog`
+the text sinks use (single store here, but the engine's replay of an
+uncommitted batch would still double-append without it).
+
+Reference analogue: the reference has no vector surface; this extends
+its incremental-ingest discipline (`jobs/finance_itsc_pipeline.py:32-56`)
+to the embedding modality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadoop_data_pipeline_spark.functions import dual
+from hadoop_data_pipeline_spark.operators import dedup
+from hadoop_data_pipeline_spark.operators import similarity as sim
+from hadoop_data_pipeline_spark.streaming.commitlog import BatchCommitLog
+
+
+class StreamingEmbeddingSink:
+    """File-source stream of (id, embedding) -> semantically
+    deduplicated vector store with retrieval geometry attached."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        schema: T.StructType | str,
+        store_dir: str,
+        checkpoint: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.95,
+        centroids: list[list[float]] | None = None,
+    ):
+        """``centroids`` injects the pinned IVF coarse quantizer
+        (:func:`similarity.fit_coarse_quantizer` — the versioned
+        ~kilobyte artifact); when omitted the ``cell`` column is
+        skipped (bucket-only geometry)."""
+        self.spark = spark
+        self.source_dir = source_dir.rstrip("/")
+        self.schema = schema
+        self.store_dir = store_dir.rstrip("/")
+        self.checkpoint = checkpoint.rstrip("/")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.centroids = (
+            [[float(x) for x in c] for c in centroids] if centroids else None
+        )
+        self.commit_log = BatchCommitLog(
+            f"{self.checkpoint}/commitlog",
+            {"store": self.store_dir},
+            run_id_file=f"{self.checkpoint}/metadata",
+        )
+
+    # -- geometry ---------------------------------------------------------
+
+    def enrich(self, df: DataFrame) -> DataFrame:
+        """Attach the retrieval geometry: staged norm, LSH bucket,
+        and (with a quantizer) the IVF cell — one codegen'd
+        projection, computed ONCE at ingest and reused by every later
+        probe/query instead of per-read."""
+        out = df.withColumn(
+            "norm", F.expr(dual.norm(self.vec_col, dual.SPARK))
+        ).withColumn(
+            "bucket", F.expr(dual.ann_bucket(self.vec_col, dual.SPARK))
+        )
+        if self.centroids is not None:
+            cents_lit = "array(%s)" % ", ".join(
+                "array(%s)" % ", ".join(f"{float(v)!r}D" for v in c)
+                for c in self.centroids
+            )
+            d2 = (
+                f"transform({cents_lit}, c -> "
+                f"aggregate(zip_with({self.vec_col}, c, "
+                "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+                "cast(0.0 as double), (a, v) -> a + v))"
+            )
+            out = out.withColumn(
+                "cell",
+                F.expr(
+                    f"cast(array_position({d2}, array_min({d2})) - 1 as int)"
+                ),
+            )
+        return out
+
+    # -- persisted state --------------------------------------------------
+
+    def _id_ddl(self) -> str:
+        from hadoop_data_pipeline_spark.streaming.dedup_sink import field_ddl
+
+        return field_ddl(self.schema, self.id_col)
+
+    def store(self) -> DataFrame:
+        """The admitted vector store (empty-safe, typed)."""
+        from hadoop_data_pipeline_spark.streaming.dedup_sink import has_parquet
+
+        if has_parquet(self.store_dir):
+            return self.spark.read.parquet(self.store_dir)
+        base = (
+            f"{self.id_col} {self._id_ddl()}, "
+            f"{self.vec_col} array<float>, norm double, bucket int"
+        )
+        if self.centroids is not None:
+            base += ", cell int"
+        return self.spark.createDataFrame([], base)
+
+    # -- admission --------------------------------------------------------
+
+    def admit(self, batch_enriched: DataFrame, stored: DataFrame) -> DataFrame:
+        """Survivor ids for one batch under the admission rule (module
+        doc). Pure function of (batch, store) — the batch reference in
+        the tests calls exactly this against in-memory state."""
+        cos = dual.cosine_staged("bv", "sv", "bn", "sn", dual.SPARK)
+        b = batch_enriched.selectExpr(
+            f"{self.id_col} AS bid",
+            f"{self.vec_col} AS bv",
+            "norm AS bn",
+            "bucket",
+        )
+        s = stored.selectExpr(
+            f"{self.vec_col} AS sv", "norm AS sn", "bucket"
+        )
+        dup_vs_store = (
+            F.broadcast(b)
+            .join(s, "bucket")
+            .where(F.expr(cos) >= self.threshold)
+            .select(F.col("bid").alias(self.id_col))
+            .distinct()
+        )
+        fresh = batch_enriched.join(dup_vs_store, self.id_col, "left_anti")
+        pairs = sim.embedding_near_dup_pairs(
+            fresh,
+            threshold=self.threshold,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            block_col="bucket",
+        ).select("id_a", "id_b")
+        comps = dedup.connected_components(
+            pairs, fresh.select(self.id_col), id_col=self.id_col
+        )
+        return comps.where(
+            F.col(self.id_col) == F.col("cluster_id")
+        ).select(self.id_col)
+
+    # -- streaming --------------------------------------------------------
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from hadoop_data_pipeline_spark.streaming.dedup_sink import (
+            stage_and_release,
+        )
+
+        if self.commit_log.is_committed(batch_id):
+            return  # replay of a marker-committed batch: no-op
+        enriched = self.enrich(batch_df)
+        survivor_ids = self.admit(enriched, self.store())
+        # Decide survivors EXACTLY ONCE: the admit plan reads the
+        # store directory the append below mutates.
+        survivors, release = stage_and_release(
+            enriched.join(survivor_ids, self.id_col),
+            f"{self.checkpoint}/staging-{batch_id}",
+        )
+        try:
+            self.commit_log.begin(batch_id)
+            survivors.write.mode("append").parquet(self.store_dir)
+            self.commit_log.commit(batch_id)
+        finally:
+            release()
+
+    def run_available_now(self, timeout_sec: int = 120) -> bool:
+        """Drain everything currently in ``source_dir``, then stop —
+        one cron tick of continuous vector ingest."""
+        self.commit_log.recover()
+        stream = (
+            self.spark.readStream.schema(self.schema)
+            .parquet(self.source_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = query.awaitTermination(timeout_sec)
+        if query.exception() is not None:
+            raise query.exception()
+        return done
+
+    # -- queries over the accumulated store -------------------------------
+
+    def ann_topk(self, query_ids, k: int = 5) -> DataFrame:
+        """Bucket-blocked approximate top-k over the ADMITTED store,
+        reusing the geometry persisted at ingest (no recomputation):
+        probe rows broadcast into the bucket equi-join."""
+        st = self.store()
+        cos = dual.cosine_staged("qv", "cv", "qn", "cn", dual.SPARK)
+        q = st.where(F.col(self.id_col).isin(*list(query_ids))).selectExpr(
+            f"{self.id_col} AS query_id",
+            f"{self.vec_col} AS qv",
+            "norm AS qn",
+            "bucket",
+        )
+        c = st.selectExpr(
+            f"{self.id_col} AS cand_id",
+            f"{self.vec_col} AS cv",
+            "norm AS cn",
+            "bucket",
+        )
+        from hadoop_data_pipeline_spark.operators.queries import (
+            top_k_per_group,
+        )
+
+        scored = (
+            F.broadcast(q)
+            .join(c, "bucket")
+            .where(F.col("query_id") != F.col("cand_id"))
+            .selectExpr("query_id", "cand_id", f"{cos} AS cosine")
+        )
+        return top_k_per_group(
+            scored, ["query_id"], "cosine", k=k, tie_breakers=["cand_id"]
+        )

@@ -1,0 +1,136 @@
+"""StreamingEmbeddingSink contract tests: multi-tick ingest equality
+against an iterative batch reference (same ``admit`` kernel, none of
+the streaming plumbing — so equality isolates the file-source
+checkpoint, commit log and store persistence as the thing under
+test), exactly-once across an injected crash, and restart-with-a-new-
+instance continuation."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pytest
+
+from hadoop_data_pipeline_spark.functions.ivf_centroids import SF001_CENTROIDS
+from hadoop_data_pipeline_spark.sources.readers import load_table
+from hadoop_data_pipeline_spark.streaming.embed_sink import (
+    StreamingEmbeddingSink,
+)
+
+SCHEMA = "vec_id bigint, embedding array<float>"
+THRESHOLD = 0.3  # the fixture plants near-dup structure at this level
+
+
+def _chunks(spark, n=3):
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+    )
+    rows = emb.collect()
+    size = (len(rows) + n - 1) // n
+    return [rows[i * size : (i + 1) * size] for i in range(n)], emb.schema
+
+
+def _feed(spark, src, name, rows, schema):
+    stage = f"{src}_stage/{name}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = glob.glob(f"{stage}/*.parquet")[0]
+    shutil.copy(part, f"{src}/{name}.parquet")
+
+
+def _mk_sink(spark, tmp_path):
+    return StreamingEmbeddingSink(
+        spark,
+        str(tmp_path / "src"),
+        SCHEMA,
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        threshold=THRESHOLD,
+        centroids=SF001_CENTROIDS,
+    )
+
+
+def _reference_ids(spark, sink, chunks, schema):
+    """Iterative batch reference: same enrich+admit kernel, in-memory
+    accumulated state, zero streaming machinery."""
+    admitted = None
+    for rows in chunks:
+        batch = sink.enrich(spark.createDataFrame(rows, schema))
+        stored = (
+            admitted
+            if admitted is not None
+            else batch.limit(0)  # empty, same enriched schema
+        )
+        surv = batch.join(
+            sink.admit(batch, stored), "vec_id"
+        ).localCheckpoint(eager=True)
+        admitted = (
+            surv if admitted is None else admitted.unionByName(surv)
+        ).localCheckpoint(eager=True)
+    return {r.vec_id for r in admitted.select("vec_id").collect()}
+
+
+def test_embed_sink_multi_tick_equals_batch_reference(spark, tmp_path):
+    chunks, schema = _chunks(spark, n=3)
+    (tmp_path / "src").mkdir()
+    sink = _mk_sink(spark, tmp_path)
+    for i, rows in enumerate(chunks[:2]):
+        _feed(spark, str(tmp_path / "src"), f"b{i}", rows, schema)
+        assert sink.run_available_now()
+    # restart path: a FRESH instance continues the same store/checkpoint
+    sink2 = _mk_sink(spark, tmp_path)
+    _feed(spark, str(tmp_path / "src"), "b2", chunks[2], schema)
+    assert sink2.run_available_now()
+
+    store = sink2.store()
+    got = {r.vec_id for r in store.select("vec_id").collect()}
+    want = _reference_ids(spark, sink, chunks, schema)
+    assert got == want
+    # something was actually dropped AND actually admitted
+    n_total = sum(len(c) for c in chunks)
+    assert 0 < len(got) < n_total
+    # geometry persisted at ingest
+    assert {"norm", "bucket", "cell"} <= set(store.columns)
+    # the store is queryable: bucket-blocked ANN over admitted vectors
+    qids = sorted(got)[:3]
+    topk = sink2.ann_topk(qids, k=2).collect()
+    assert {r.query_id for r in topk} <= set(qids)
+    assert all(r.cand_id in got for r in topk)
+
+
+def test_embed_sink_crash_replay_exactly_once(spark, tmp_path, monkeypatch):
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    chunks, schema = _chunks(spark, n=2)
+    (tmp_path / "src").mkdir()
+    sink = _mk_sink(spark, tmp_path)
+    store_dir = str(tmp_path / "store")
+
+    _feed(spark, str(tmp_path / "src"), "b0", chunks[0], schema)
+    assert sink.run_available_now()
+    n_first = sink.store().count()
+    assert n_first > 0
+
+    real_parquet = DataFrameWriter.parquet
+    armed = {"on": True}
+
+    def flaky(self, path, *args, **kwargs):
+        if armed["on"] and path == store_dir:
+            raise RuntimeError("injected crash before store append")
+        return real_parquet(self, path, *args, **kwargs)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", flaky)
+    _feed(spark, str(tmp_path / "src"), "b1", chunks[1], schema)
+    with pytest.raises(Exception, match="injected crash"):
+        sink.run_available_now()
+    armed["on"] = False
+    assert sink.run_available_now()
+
+    ids = [r.vec_id for r in sink.store().select("vec_id").collect()]
+    assert len(ids) == len(set(ids)), "replay duplicated store rows"
+    want = _reference_ids(spark, sink, chunks, schema)
+    assert set(ids) == want
