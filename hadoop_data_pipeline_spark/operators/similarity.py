@@ -192,6 +192,36 @@ def fit_coarse_quantizer(
     ]
 
 
+#: argmin over a staged __d2 column — ALWAYS stage the distance array
+#: with :func:`centroid_d2_expr` first; inlining the d2 expression
+#: here would duplicate the centroid literal tree per consumer (that
+#: form measurably doubled cold-plan time).
+CELL_FROM_D2 = "cast(array_position(__d2, array_min(__d2)) - 1 as int)"
+
+
+def centroid_d2_expr(
+    cents: Sequence[Sequence[float]], vec_col: str
+) -> str:
+    """Squared distance of ``vec_col`` to every centroid as ONE
+    transform over a nested centroid-literal array — a single compact
+    expression the analyzer/codegen handles once, instead of
+    n_centroids separate aggregate() expressions duplicated per
+    consumer. The 'D' suffix makes each literal a DOUBLE node
+    directly — a bare 1.234 parses as DECIMAL and would need a Cast
+    node each, doubling the literal tree the analyzer re-walks per
+    transform. SHARED by the batch IVF query and the streaming
+    embedding sink so cell assignment can never diverge between them."""
+    cents_lit = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(f"{float(v)!r}D" for v in c) for c in cents
+    )
+    return (
+        f"transform({cents_lit}, c -> "
+        f"aggregate(zip_with({vec_col}, c, "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (a, v) -> a + v))"
+    )
+
+
 def ann_topk_ivf(
     df: DataFrame,
     query_ids: Sequence[int],
@@ -236,31 +266,9 @@ def ann_topk_ivf(
         cents = fit_coarse_quantizer(
             df, n_centroids, id_col=id_col, vec_col=vec_col
         )
-    # Distance of every vector to every centroid as ONE transform over
-    # a nested centroid-literal array — a single compact expression
-    # the analyzer/codegen handles once, instead of n_centroids
-    # separate aggregate() expressions duplicated per consumer (that
-    # form doubled the query's cold-plan time). Computed once into
-    # __d2; assignment is its argmin, the query side probes the
-    # n_probe smallest.
-    # The 'D' suffix makes each literal a DOUBLE node directly — a
-    # bare 1.234 parses as DECIMAL and would need a Cast node each,
-    # doubling the literal tree the analyzer re-walks per transform.
-    cents_lit = "array(%s)" % ", ".join(
-        "array(%s)" % ", ".join(f"{float(v)!r}D" for v in c) for c in cents
-    )
-    d2_arr = (
-        f"transform({cents_lit}, c -> "
-        f"aggregate(zip_with({vec_col}, c, "
-        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
-        "cast(0.0 as double), (a, v) -> a + v))"
-    )
     assigned = (
-        df.withColumn("__d2", F.expr(d2_arr))
-        .withColumn(
-            "cell",
-            F.expr("cast(array_position(__d2, array_min(__d2)) - 1 as int)"),
-        )
+        df.withColumn("__d2", F.expr(centroid_d2_expr(cents, vec_col)))
+        .withColumn("cell", F.expr(CELL_FROM_D2))
         .persist()
     )
     probes = (

@@ -192,14 +192,48 @@ class BatchCommitLog:
         Only the marker winner removes the lock, and only after
         re-reading it to confirm it is STILL the dead holder it saw."""
         steal = path + ".steal"
+        me = {"pid": os.getpid(), "host": socket.gethostname()}
         try:
             fd = os.open(steal, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            try:
+                os.write(fd, json.dumps(me).encode("utf-8"))
+            finally:
+                os.close(fd)
         except FileExistsError:
-            raise ConcurrentWriterError(
-                f"another writer is concurrently reclaiming {path} "
-                f"({steal} exists); retry after it finishes"
-            )
+            # the marker itself is pid-stamped and self-healing: a
+            # reclaimer that died mid-steal must not wedge recovery
+            # forever (crash-recovery code a crash can disable is no
+            # recovery code). A marker held by a live same-host
+            # process is a genuinely concurrent reclaim — fail fast.
+            stale_marker = False
+            try:
+                with open(steal, encoding="utf-8") as fh:
+                    thief = json.load(fh)
+            except (FileNotFoundError, json.JSONDecodeError, OSError):
+                thief = None  # gone or torn; re-read next loop pass
+            if thief and thief.get("host") == me["host"]:
+                tp = thief.get("pid")
+                if tp == me["pid"]:
+                    stale_marker = True  # our own crashed attempt
+                else:
+                    try:
+                        os.kill(int(tp), 0)
+                    except (ProcessLookupError, ValueError, TypeError):
+                        stale_marker = True
+                    except PermissionError:
+                        pass
+            if not stale_marker:
+                raise ConcurrentWriterError(
+                    f"another writer is concurrently reclaiming {path} "
+                    f"({steal} exists, holder {thief}); retry after it "
+                    f"finishes — or remove {steal} manually if its "
+                    f"holder is a dead remote process"
+                )
+            try:
+                os.remove(steal)
+            except FileNotFoundError:
+                pass
+            return  # loop re-reads the lock and retries the reclaim
         try:
             try:
                 with open(path, encoding="utf-8") as fh:

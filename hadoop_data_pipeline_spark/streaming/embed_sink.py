@@ -104,21 +104,20 @@ class StreamingEmbeddingSink:
             "bucket", F.expr(dual.ann_bucket(self.vec_col, dual.SPARK))
         )
         if self.centroids is not None:
-            cents_lit = "array(%s)" % ", ".join(
-                "array(%s)" % ", ".join(f"{float(v)!r}D" for v in c)
-                for c in self.centroids
-            )
-            d2 = (
-                f"transform({cents_lit}, c -> "
-                f"aggregate(zip_with({self.vec_col}, c, "
-                "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
-                "cast(0.0 as double), (a, v) -> a + v))"
-            )
-            out = out.withColumn(
-                "cell",
-                F.expr(
-                    f"cast(array_position({d2}, array_min({d2})) - 1 as int)"
-                ),
+            # SHARED assignment expressions (similarity.centroid_d2_expr
+            # + CELL_FROM_D2): the sink's cells can never diverge from
+            # ann_topk_ivf's, and the centroid literal tree is staged
+            # ONCE into __d2 instead of inlined per consumer (the
+            # inlined form measurably doubled cold-plan time).
+            out = (
+                out.withColumn(
+                    "__d2",
+                    F.expr(
+                        sim.centroid_d2_expr(self.centroids, self.vec_col)
+                    ),
+                )
+                .withColumn("cell", F.expr(sim.CELL_FROM_D2))
+                .drop("__d2")
             )
         return out
 
@@ -133,11 +132,14 @@ class StreamingEmbeddingSink:
         """The admitted vector store (empty-safe, typed)."""
         from hadoop_data_pipeline_spark.streaming.dedup_sink import has_parquet
 
+        from hadoop_data_pipeline_spark.streaming.dedup_sink import field_ddl
+
         if has_parquet(self.store_dir):
             return self.spark.read.parquet(self.store_dir)
         base = (
             f"{self.id_col} {self._id_ddl()}, "
-            f"{self.vec_col} array<float>, norm double, bucket int"
+            f"{self.vec_col} {field_ddl(self.schema, self.vec_col)}, "
+            f"norm double, bucket int"
         )
         if self.centroids is not None:
             base += ", cell int"
@@ -211,6 +213,10 @@ class StreamingEmbeddingSink:
         self.commit_log.recover()
         stream = (
             self.spark.readStream.schema(self.schema)
+            # data files only: a sidecar/.tmp file in source_dir must
+            # not become a permanently re-failing tick (same filter
+            # all the text sinks set)
+            .option("pathGlobFilter", "*.parquet")
             .parquet(self.source_dir)
         )
         query = (
@@ -222,6 +228,16 @@ class StreamingEmbeddingSink:
         done = query.awaitTermination(timeout_sec)
         if query.exception() is not None:
             raise query.exception()
+        if not done:
+            # TIMEOUT: the query is still RUNNING. Returning without
+            # stopping it would let a retrying caller race a live
+            # batch — the retry's recover() (same commit-log instance,
+            # lease already held by the in-flight begin) would roll
+            # back that batch's appends mid-write. stop() terminates
+            # the query, aborting any in-flight batch — exactly the
+            # crash shape the commit log already recovers from — so
+            # no live writer survives this return.
+            query.stop()
         return done
 
     # -- queries over the accumulated store -------------------------------

@@ -221,4 +221,14 @@ class StreamingPrepSink:
         # green tick with partial state.
         if query.exception() is not None:
             raise query.exception()
+        if not done:
+            # TIMEOUT: the query is still RUNNING. Returning without
+            # stopping it would let a retrying caller race a live
+            # batch — the retry's recover() (same commit-log instance,
+            # lease already held by the in-flight begin) would roll
+            # back that batch's appends mid-write. stop() terminates
+            # the query, aborting any in-flight batch — exactly the
+            # crash shape the commit log already recovers from — so
+            # no live writer survives this return.
+            query.stop()
         return done

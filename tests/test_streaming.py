@@ -835,12 +835,17 @@ def test_commit_log_reclaim_is_serialized_and_foreign_pending_refused(
             dead += 1
     lock = log_dir / "writer.lock"
     lock.write_text(_json.dumps({"pid": dead, "host": _os.uname().nodename}))
-    (log_dir / "writer.lock.steal").touch()
+    steal = log_dir / "writer.lock.steal"
+    steal.write_text(_json.dumps({"pid": 1, "host": _os.uname().nodename}))
     with pytest.raises(ConcurrentWriterError, match="reclaiming"):
         log.begin(0)
-    (log_dir / "writer.lock.steal").unlink()
-    log.begin(0)  # now reclaims cleanly
+    # a steal marker whose holder DIED mid-steal must self-heal, not
+    # wedge recovery forever (crash-recovery code a crash can disable
+    # is no recovery code)
+    steal.write_text(_json.dumps({"pid": dead, "host": _os.uname().nodename}))
+    log.begin(0)  # reclaims the stale marker, then the stale lock
     log.commit(0)
+    assert not steal.exists()
 
     # (b) foreign-lineage pending record: loud refusal, zero deletion
     meta = tmp_path / "metadata"
