@@ -5246,6 +5246,25 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental/CDC/graph entries. Rotated-out queries remain
 # oracle-checked every commit by tools/oracle_check.py --strict and
 # tests/test_catalog_oracle.py (140/140).
+#
+# ROUND-10 ROTATION CANDIDATES — the 32 queries no driver round has
+# ever hash-checked (everything else is covered by r1-r8 + this
+# window): within_doc_dedup, large_quantity_orders,
+# disjunctive_brand_revenue, idle_rich_customers,
+# nation_pair_trade_volume, approx_distinct_users_per_type (bound),
+# approx_percentile_value_by_type (bound), user_event_gap_stats,
+# forecast_revenue_change, top_returning_customers,
+# supplier_count_by_part_attrs, monthly_revenue_moving_avg,
+# unigram_logprob_quality, corpus_mix_sample, per_source_corpus_stats,
+# segment_dedup_docs, latest_event_agg_form, part_revenue_concentration,
+# sole_failing_supplier, domain_cap_per_source, fuzzy_name_pairs_part,
+# customer_spend_decile_by_nation, weighted_sample_per_lang,
+# purchases_without_prior_click, incremental_distinct_users_hll (bound),
+# keyword_search_bm25, rolling_1h_user_event_stats,
+# supplier_balance_percentile, user_first_last_events,
+# profile_lineitem_columns, bpe_tokenize_docs (rows-only),
+# incremental_near_dup_new_docs. 29 have exact oracles — next round's
+# window: those 29 + any r9 reds + high-value re-proofs.
 
 _DRIVER_WINDOW = [
     # r7 HUGEINT-cast oracles, never driver-hashed until now
