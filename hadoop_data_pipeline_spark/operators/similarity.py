@@ -312,6 +312,79 @@ def ann_topk_ivf(
     )
 
 
+def kmeans_refine_stats(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE distributed Lloyd iteration over the FULL corpus, returning
+    per-cluster convergence stats: assign every vector to its nearest
+    pinned centroid, recompute each cluster's mean, and report
+    ``(cell, n_vecs, sse_before, sse_after)`` where *before/after* are
+    the within-cluster squared-error sums against the old and updated
+    centroid (Lloyd's lemma: with assignment fixed, the mean minimizes
+    SSE, so ``sse_after <= sse_before`` per cell — pinned by test).
+
+    This is the scale half of k-means that :func:`_lloyd_fit`'s
+    capped-sample trainer deliberately skips: when the QUANTIZER is
+    the product (SemDeDup-style cluster-then-dedup, corpus
+    bucketing), refinement must see every vector. Design per
+    iteration at 100 TB: one column-pruned scan into a PERSISTED
+    assignment frame (MEMORY_AND_DISK, the contract iterative
+    fitting always uses — the argmin over the centroid-literal tree
+    is the iteration's expensive projection and both consumers below
+    need it, so spilling beats recomputing; same precedent as
+    :func:`ann_topk_ivf`), one partial-agg'd shuffle of at most
+    ``n_cells x n_dims`` running means (posexplode feeds map-side
+    combine, so the x64 row fan-out collapses to 1k-group partials
+    per partition), and a broadcast of the kilobyte-sized updated
+    centroids back onto the corpus — no driver-side loop over rows
+    anywhere. Iterating = re-invoking with the returned means
+    (:func:`fit_coarse_quantizer` stays the cheap way to BOOTSTRAP
+    centroids; this is the way to POLISH them on everything)."""
+    d2 = centroid_d2_expr(centroids, vec_col)
+    asg = (
+        df.selectExpr(id_col, vec_col, f"{d2} AS __d2")
+        .selectExpr(
+            id_col,
+            vec_col,
+            f"{CELL_FROM_D2} AS cell",
+            "array_min(__d2) AS d2_old",
+        )
+        .persist()
+    )
+    newc = (
+        asg.select("cell", F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, mu))),"
+                " s -> s.mu)"
+            ).alias("newcent")
+        )
+    )
+    diff2 = (
+        f"zip_with({vec_col}, newcent, (x, y) ->"
+        " (cast(x as double) - y) * (cast(x as double) - y))"
+    )
+    d2_new = dual.fold(
+        diff2, "cast(0.0 as double)", "(acc, v) -> acc + v", dual.SPARK
+    )
+    return (
+        asg.join(F.broadcast(newc), "cell")
+        .selectExpr("cell", "d2_old", f"{d2_new} AS d2_new")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("d2_old"), 3).alias("sse_before"),
+            F.round(F.sum("d2_new"), 3).alias("sse_after"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -2077,6 +2077,89 @@ def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "cosine")
 
 
+def _duck_kmeans_refine_sql() -> str:
+    """Exact oracle for one distributed Lloyd iteration over the
+    pinned quantizer: assignment uses the same fold order as the
+    Spark side (bit-identical d2, so cells can never disagree); the
+    per-dim means and the before/after SSE sums accumulate in
+    engine-specific order, which the round(3) absorbs (discrepancy
+    ~1e-12 on O(100) sums)."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+
+    cents = "[%s]" % ", ".join(
+        "[%s]" % ", ".join(_duck_double_lit(v) for v in c)
+        for c in SF001_CENTROIDS
+    )
+    diff2 = dual.transform(
+        "list_zip(embedding, c)",
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])",
+        D,
+    )
+    d2 = dual.transform(
+        cents,
+        f"c -> {dual.fold(diff2, 'CAST(0.0 AS DOUBLE)', '(acc, v) -> acc + v', D)}",
+        D,
+    )
+    newdiff2 = dual.transform(
+        "list_zip(a.embedding, c.newcent)",
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])",
+        D,
+    )
+    d2_new = dual.fold(
+        newdiff2, "CAST(0.0 AS DOUBLE)", "(acc, v) -> acc + v", D
+    )
+    return f"""
+    WITH asg AS (
+        SELECT vec_id, embedding, list_min(d2) AS d2_old,
+               CAST(list_position(d2, list_min(d2)) - 1 AS INT) AS cell
+        FROM (SELECT vec_id, embedding, {d2} AS d2 FROM embeddings)
+    ),
+    dims AS (
+        SELECT cell, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS x
+        FROM asg
+    ),
+    mu AS (
+        SELECT cell, dim, avg(CAST(x AS DOUBLE)) AS mu
+        FROM dims GROUP BY cell, dim
+    ),
+    newc AS (SELECT cell, list(mu ORDER BY dim) AS newcent FROM mu GROUP BY cell),
+    j AS (
+        SELECT a.cell, a.d2_old, {d2_new} AS d2_new
+        FROM asg a JOIN newc c ON a.cell = c.cell
+    )
+    SELECT cell, count(*) AS n_vecs,
+           round(sum(d2_old), 3) AS sse_before,
+           round(sum(d2_new), 3) AS sse_after
+    FROM j GROUP BY cell
+    """
+
+
+@register("kmeans_refine_cluster_stats", oracle=_duck_kmeans_refine_sql())
+def kmeans_refine_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means: ONE full-corpus Lloyd refinement of the
+    pinned coarse quantizer (functions/ivf_centroids.py) with
+    per-cluster convergence stats — the SemDeDup-style
+    cluster-then-curate pre-stage, and the scale half of k-means that
+    the capped-sample trainer skips (`operators/similarity.py::
+    kmeans_refine_stats`). Lloyd's descent lemma (sse_after <=
+    sse_before with assignment fixed) is pinned per cell by
+    tests/test_extensions.py.
+
+    Scale: per iteration, two column-pruned scans, one shuffle of at
+    most n_cells x n_dims partial means (map-side combine collapses
+    the posexplode fan-out), and a kilobyte broadcast of updated
+    centroids — never a cached corpus-sized frame or a driver loop."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kmeans_refine_stats(emb, SF001_CENTROIDS)
+
+
 @register(
     "small_quantity_part_revenue",
     oracle="""
@@ -5141,6 +5224,7 @@ def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     from hadoop_data_pipeline_spark.sources.readers import (
         read_jsonl,
         read_orc,
+        read_xml,
         write_format,
     )
 
@@ -5150,6 +5234,8 @@ def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
     if fmt == "orc":
         back = read_orc(spark, path)
+    elif fmt == "xml":
+        back = read_xml(spark, path, schema)
     else:
         back = read_jsonl(spark, path, schema)
     return _docs_checksum(back)
@@ -5168,6 +5254,27 @@ def orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     source key; at 100 TB the same reduce verifies a format
     migration without ever collecting rows."""
     return _roundtrip_docs(spark, sf_dir, "orc")
+
+
+@register("xml_roundtrip_docs", oracle=_DUCK_DOC_CHECKSUM)
+def xml_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write -> read fidelity (`sources/readers.py::read_xml`,
+    Spark 4's built-in ``xml`` source, schema-first): documents
+    written as ``<row>`` elements, re-read, reduced to the same
+    order-insensitive per-source md5 checksum as
+    `orc_roundtrip_docs`. XML is the one legacy-feed format the
+    reference's Hadoop-era inputs still carry that no other
+    roundtrip covers; entity-escaping of ``<``/``&``/quotes is the
+    hostile-content hazard the checksum proves lossless. Documented
+    format limits (not reader bugs): XML 1.0 cannot represent
+    control characters below 0x20 (except tab/newline/CR), and
+    typed timestamps stay in parquet/ORC, same as the CSV caveat.
+
+    Scale: identical to the other roundtrips — the checksum is one
+    partial-agg'd groupBy on the tiny source key; Spark splits XML
+    files on ``rowTag``, so even a single multi-GB legacy export
+    scans in parallel."""
+    return _roundtrip_docs(spark, sf_dir, "xml")
 
 
 @register("jsonl_roundtrip_docs", oracle=_DUCK_DOC_CHECKSUM)

@@ -158,18 +158,42 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    row_tag: str = "row",
+    **options: str,
+) -> DataFrame:
+    """XML scan (Spark 4 built-in ``xml`` source) with a MANDATORY
+    schema and explicit ``rowTag`` — the same schema-first discipline
+    as :func:`read_jsonl`. Legacy Hadoop feeds (the reference era's
+    ``hadoop-streaming`` inputs) are frequently XML exports; Spark's
+    reader splits large files on the row tag, so a single multi-GB
+    export still scans in parallel. XML 1.0 cannot carry control
+    characters (< 0x20 except tab/newline/CR) — like CSV's timestamp
+    caveat, that is a documented format limit, not a reader bug."""
+    reader = spark.read.schema(schema).option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format("xml").load(path)
+
+
 def write_format(
     df: DataFrame, path: str, fmt: str, **options: str
 ) -> None:
     """Overwrite-write ``df`` at ``path`` in ``fmt`` (parquet / orc /
-    json / csv). One deliberate non-default: CSV writes quote-escape
-    embedded quotes and always emit a header, so a CSV written here
-    reads back losslessly through :func:`read_csv` with the same
-    schema (the fidelity contract the roundtrip catalog queries
-    pin)."""
+    json / csv / xml). Two deliberate non-defaults: CSV writes
+    quote-escape embedded quotes and always emit a header, so a CSV
+    written here reads back losslessly through :func:`read_csv` with
+    the same schema (the fidelity contract the roundtrip catalog
+    queries pin); XML writes pin ``rowTag`` so :func:`read_xml` can
+    split files on the same tag."""
     writer = df.write.mode("overwrite")
     if fmt == "csv":
         writer = writer.option("header", "true").option("escape", '"')
+    elif fmt == "xml":
+        writer = writer.option("rootTag", "rows").option("rowTag", "row")
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.format(fmt).save(path)

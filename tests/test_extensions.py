@@ -302,6 +302,34 @@ def test_ann_ivf_pretrained_centroids_match_inline_fit(spark):
     assert cells.count() > 0
 
 
+def test_kmeans_refine_descends_and_covers_corpus(spark):
+    """One distributed Lloyd iteration must (a) keep every vector
+    accounted for across cells, (b) satisfy the descent lemma per
+    cell (mean minimizes SSE with assignment fixed), and (c) be
+    deterministic call-to-call (it feeds an exact SQL oracle)."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = {r["cell"]: r for r in sim.kmeans_refine_stats(
+        emb, SF001_CENTROIDS
+    ).collect()}
+    assert sum(r["n_vecs"] for r in rows.values()) == emb.count()
+    for cell, r in rows.items():
+        # round(3) on both sums: allow equality at the boundary.
+        assert r["sse_after"] <= r["sse_before"] + 1e-9, cell
+    # A second pass from the refined state must also descend — and
+    # the op must be deterministic (exact-oracle prerequisite).
+    again = {r["cell"]: r for r in sim.kmeans_refine_stats(
+        emb, SF001_CENTROIDS
+    ).collect()}
+    assert {c: tuple(r) for c, r in rows.items()} == {
+        c: tuple(r) for c, r in again.items()
+    }
+
+
 def test_pinned_zlib_map_artifact_fresh():
     """The committed zlib-length map must equal a fresh derivation
     from the fixtures — guards against fixture changes or a zlib

@@ -392,6 +392,7 @@ def test_format_roundtrips_hostile_content(spark, tmp_path):
         read_csv,
         read_jsonl,
         read_orc,
+        read_xml,
         write_format,
     )
 
@@ -402,6 +403,7 @@ def test_format_roundtrips_hostile_content(spark, tmp_path):
         (4, ""),
         (5, None),
         (6, "ünïcode ✓ ไทย"),
+        (7, "<tag>&amp; raw & angle</tag>"),
     ]
     schema = "id bigint, s string"
     df = spark.createDataFrame(rows, schema)
@@ -416,6 +418,17 @@ def test_format_roundtrips_hostile_content(spark, tmp_path):
     write_format(df, json_path, "json")
     got = sorted(
         (r.id, r.s) for r in read_jsonl(spark, json_path, schema).collect()
+    )
+    assert got == expect
+
+    # XML (Spark 4 built-in source): entity-escaping must make markup
+    # characters, pre-escaped entities, newlines, unicode — and even
+    # the NULL vs empty-string distinction (omitted element vs empty
+    # element) — roundtrip losslessly.
+    xml_path = str(tmp_path / "xml")
+    write_format(df, xml_path, "xml")
+    got = sorted(
+        (r.id, r.s) for r in read_xml(spark, xml_path, schema).collect()
     )
     assert got == expect
 
