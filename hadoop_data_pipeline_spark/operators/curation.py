@@ -293,6 +293,60 @@ def unigram_logprob_score(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per language by TF-IDF — the classic
+    what-distinguishes-this-slice corpus report (:func:`token_vocab`
+    ranks by raw frequency, which surfaces the same stopword head for
+    every slice; the IDF weight is what pushes slice-SPECIFIC terms
+    up). tf counts occurrences within the slice; idf is the smoothed
+    corpus-wide ``ln((N + 1) / (df + 1))`` with df in DOCUMENTS —
+    cross-slice, so a term common everywhere is discounted everywhere.
+
+    Ranking uses the ROUNDED score (round 6) with a token tie-break:
+    the unrounded double differs across engines in the last ulp, and
+    ranking on it would make top-k boundary rows engine-dependent —
+    the oracle ranks on the identical rounded value.
+
+    Scale: postings explode once and feed both aggregates (token df
+    is a digest-width shuffle; per-slice tf partial-aggs the zipf
+    head map-side); N is a 1-row aggregate broadcast by cross join;
+    top-k per slice is one window over slice partitions, never a
+    global sort."""
+    toks = df.selectExpr(
+        lang_col, id_col, f"explode({dual.tokens(col, dual.SPARK)}) AS token"
+    )
+    dfc = toks.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__N"))
+    scored = (
+        toks.groupBy(lang_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dfc, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.expr("ln((__N + 1.0) / (df + 1.0))"), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(lang_col, "token", "tf", "df", "tfidf")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark contamination
 # ---------------------------------------------------------------------------

@@ -211,3 +211,36 @@ def user_gap_stats_window(events: DataFrame) -> DataFrame:
         F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+def debounce_flags(
+    df: DataFrame,
+    keys: Sequence[str],
+    gap_seconds: int,
+    ts_col: str = "ts",
+    tie_breakers: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Retransmission/debounce dedup flags: mark a row KEPT when no
+    earlier row with the same ``keys`` occurred within ``gap_seconds``
+    of it — i.e. drop bursts (click storms, double-sends, at-least-
+    once replays) down to their first occurrence per quiet period.
+    Keeping rows whose gap-from-previous exceeds the window is
+    EXACTLY keep-first-per-session under session-gap semantics, so
+    one ``lag`` window expresses it — no iterative chain logic.
+
+    This is the batch twin of Structured Streaming's
+    ``dropDuplicatesWithinWatermark`` (same bounded-memory idea: only
+    the previous occurrence per key matters, never the full history).
+
+    Scale: one hash exchange on ``keys`` for the lag window; the gap
+    compares ``unix_micros`` (exact integer microseconds — never
+    float seconds, which would jitter at the boundary). Hot keys ride
+    the same skew path as every per-user window in the catalog
+    (validated by the 8x hot-key sweep)."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tie_breakers)
+    prev = F.lag(ts_col).over(w)
+    kept = prev.isNull() | (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+        > gap_seconds * 1_000_000
+    )
+    return df.withColumn("kept", kept)

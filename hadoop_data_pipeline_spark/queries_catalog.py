@@ -1243,6 +1243,62 @@ def session_window_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_stats(load_table(spark, sf_dir, "events"))
 
 
+_DEBOUNCE_ID = "cast(event_id as string)"
+
+
+@register(
+    "debounce_dedup_events",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_id, event_type, ts,
+               lag(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events
+    ),
+    f AS (
+        SELECT event_id, event_type,
+               (prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000) AS kept
+        FROM seq
+    )
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept
+                         THEN {dual.md5_int(_DEBOUNCE_ID, dual.DUCK)}
+                         ELSE 0 END) AS BIGINT) AS kept_checksum
+    FROM f GROUP BY event_type
+    """,
+)
+def debounce_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce dedup (`operators/queries.py::
+    debounce_flags`): a (user_id, event_type) occurrence within 6h of
+    the previous one is a retransmission/burst duplicate — keep the
+    first of each quiet period, summarize per event_type with a
+    checksum over the kept ids so the driver hash pins the SURVIVOR
+    SET, not just counts. The batch twin of streaming's
+    dropDuplicatesWithinWatermark; gap compares exact integer
+    microseconds (float seconds would jitter at the boundary).
+
+    Scale: one hash exchange on the dedup key for the lag window,
+    then a partial-agg'd summary — no self-join against history, no
+    state beyond one previous row per key."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = Q.debounce_flags(
+        ev, ["user_id", "event_type"], gap_seconds=6 * 3600
+    )
+    return flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("kept"),
+                F.expr(dual.md5_int(_DEBOUNCE_ID, dual.SPARK)),
+            ).otherwise(F.lit(0))
+        ).alias("kept_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 5 — widened relational coverage: set ops, cube, exact
 # percentiles, semi/outer-join TPC-H shapes (SURVEY.md §2.5 natural
@@ -2509,6 +2565,39 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-probability per document, model trained on the corpus itself
     (the KenLM-filter shape with the LM swapped for a vocab frame)."""
     return cur.unigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_top_terms_per_lang",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, doc_id, unnest({dual.tokens('text', 'duck')}) AS token
+        FROM documents
+    ),
+    dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+    tot AS (SELECT count(*) AS n_docs FROM documents),
+    tfc AS (SELECT lang, token, count(*) AS tf FROM t GROUP BY lang, token),
+    s AS (
+        SELECT lang, tfc.token AS token, tf, df,
+               round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM tfc JOIN dfc ON tfc.token = dfc.token CROSS JOIN tot
+    )
+    SELECT lang, token, tf, df, tfidf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY tfidf DESC, token
+        ) AS rn FROM s
+    ) WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per language by TF-IDF
+    (`operators/curation.py::tfidf_top_terms`): raw-frequency vocab
+    reports (token_vocab_top50) surface the same zipf head for every
+    slice; the corpus-wide IDF discount is what makes a slice's
+    DISTINCTIVE vocabulary visible. Ranks on the rounded score both
+    sides so the top-k boundary can never be decided by a last-ulp
+    ln() difference between engines."""
+    return cur.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
 
 
 def _duck_contamination(threshold: float) -> str:

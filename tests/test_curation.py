@@ -329,3 +329,28 @@ def test_weighted_sample_prefers_heavy_weights(spark):
     df = spark.createDataFrame(rows, "doc_id long, w long")
     top = cur.weighted_sample(df, k=1, weight_expr="w").collect()
     assert [r.doc_id for r in top] == [99]
+
+
+def test_tfidf_discounts_ubiquitous_terms(spark):
+    # 'the' appears in every doc -> idf = ln(4/4) = 0 -> score 0,
+    # outranked by slice-specific terms despite the highest raw tf.
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat cat", "en"),
+            (2, "the dog", "en"),
+            (3, "the hund", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = cur.tfidf_top_terms(df, k=5).collect()
+    en = [(r.token, r.tf, r.df, r.tfidf) for r in rows if r.lang == "en"]
+    ln2 = math.log((3 + 1) / (1 + 1))
+    assert en == [
+        ("cat", 2, 1, round(2 * ln2, 6)),
+        ("dog", 1, 1, round(ln2, 6)),
+        ("the", 2, 3, 0.0),  # tf is per-slice (en only); df is corpus-wide
+    ]
+    de = [(r.token, r.tfidf) for r in rows if r.lang == "de"]
+    assert de == [("hund", round(ln2, 6)), ("the", 0.0)]

@@ -474,3 +474,34 @@ def test_read_parquet_evolved_unifies_schema_versions(spark, tmp_path):
     # difference so the reader choice stays deliberate.
     plain = spark.read.parquet(str(tmp_path / "t" / "v1"))
     assert "score" not in plain.columns
+
+
+def test_debounce_flags_gap_semantics(spark):
+    # Strict-> boundary: a row exactly gap_seconds after its
+    # predecessor is still a duplicate; the comparison is against the
+    # PREVIOUS ROW (kept or not), which equals keep-first-per-session.
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+
+    def at(s):
+        return datetime.fromtimestamp(t0.timestamp() + s)
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "click", at(0)),      # kept (first)
+            (2, 10, "click", at(100)),    # dup: 100s after
+            (3, 10, "click", at(3700)),   # dup: exactly 3600s after #2
+            (4, 10, "click", at(7500)),   # kept: 3800s after #3
+            (5, 10, "view", at(50)),      # kept (different key)
+            (6, 11, "click", at(60)),     # kept (different key)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r.event_id: r.kept
+        for r in Q.debounce_flags(
+            df, ["user_id", "event_type"], gap_seconds=3600
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: True, 6: True}
