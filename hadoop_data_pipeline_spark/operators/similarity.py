@@ -385,6 +385,162 @@ def kmeans_refine_stats(
     )
 
 
+def fit_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split the vector into
+    ``m`` contiguous subvectors and fit an independent ``k``-codeword
+    quantizer per subvector (same deterministic capped hash-sample +
+    seeded Lloyd as :func:`fit_coarse_quantizer`). Returns
+    ``codebooks[s][j]`` = codeword ``j`` of subvector ``s`` — a
+    ~kilobyte versioned artifact, exactly like the IVF centroids.
+
+    PQ is the MEMORY side of ANN at 100 TB: with m=8, k=16 a
+    64-dim float32 vector (256 B) compresses to eight 4-bit codes
+    (4 B, 64x) while distances stay computable from the codes alone
+    (:func:`pq_topk`), so a candidate scan touches 4 B/vector
+    instead of the raw embedding column."""
+    import numpy as np
+
+    train_cap = max(200 * k, 1000)
+    train = (
+        df.select(
+            id_col, vec_col, F.crc32(F.col(id_col).cast("string")).alias("__r")
+        )
+        .orderBy("__r", id_col)
+        .limit(train_cap)
+        .select(vec_col)
+        .toPandas()
+    )
+    sample = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in train[vec_col]]
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    sub = sample.reshape(len(sample), m, d_sub)
+    return [
+        [
+            [float(x) for x in cw]
+            for cw in _lloyd_fit(
+                np.ascontiguousarray(sub[:, s, :]), k, seed=seed, max_iter=10
+            )
+        ]
+        for s in range(m)
+    ]
+
+
+def _pq_cb_lit(codebooks: Sequence[Sequence[Sequence[float]]]) -> str:
+    return "array(%s)" % ", ".join(
+        "array(%s)"
+        % ", ".join(
+            "array(%s)" % ", ".join(f"{float(v)!r}D" for v in cw)
+            for cw in cb
+        )
+        for cb in codebooks
+    )
+
+
+def pq_d2_expr(
+    codebooks: Sequence[Sequence[Sequence[float]]], vec_col: str
+) -> str:
+    """Per-subvector squared distances to every codeword as ONE nested
+    expression -> ``array<array<double>>``. Stage it as ``__pqd2``
+    before taking the argmin (same staging rule as
+    :func:`centroid_d2_expr`)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    return (
+        f"zip_with({_pq_cb_lit(codebooks)}, sequence(0, {m - 1}),"
+        f" (cb, s) -> transform(cb, c -> aggregate("
+        f"zip_with(slice({vec_col}, s * {d} + 1, {d}), c,"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0.0 as double), (a, v) -> a + v)))"
+    )
+
+
+#: argmin per subvector over a staged __pqd2 column -> array<int> codes.
+PQ_CODE_FROM_D2 = (
+    "transform(__pqd2, ds ->"
+    " cast(array_position(ds, array_min(ds)) - 1 as int))"
+)
+
+
+def pq_reconstruct_expr(
+    codebooks: Sequence[Sequence[Sequence[float]]], code_col: str
+) -> str:
+    """Decode a PQ code array back to its codeword concatenation — the
+    reconstruction ADC distances are computed against."""
+    return (
+        f"flatten(zip_with({_pq_cb_lit(codebooks)}, {code_col},"
+        " (cb, c) -> element_at(cb, c + 1)))"
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN: encode every candidate to ``m`` small
+    codes (one codegen'd projection), then rank candidates per query
+    by ASYMMETRIC distance — full-precision query against the
+    candidate's codeword reconstruction (ADC: ``||q - recon(c)||^2 =
+    sum_s ||q_s - cb_s[c_s]||^2``). Exact per-query top-k over the
+    approximate distance, so with the codebooks CONSTANT the whole
+    query is relational algebra with an exact SQL oracle (the IVF
+    precedent, `queries_catalog.py::embedding_ann_ivf_topk`).
+
+    Scale: the candidate side scans CODES (m bytes/vector, 64x
+    smaller than the raw embedding column at m=8/k=16 on dim-64
+    float32) — at 100 TB the codes are materialized once at ingest
+    and the raw vectors never travel; the bounded query set
+    broadcasts; top-k is a per-query-partition window
+    (TakeOrdered-shaped, never a global sort). Recall loss is the
+    quantization error — measured against brute force in
+    tests/test_extensions.py; IVF composes with PQ (cell-filter then
+    ADC) when both artifacts exist."""
+    cands = (
+        df.selectExpr(id_col, f"{pq_d2_expr(codebooks, vec_col)} AS __pqd2")
+        .selectExpr(f"{id_col} AS cand_id", f"{PQ_CODE_FROM_D2} AS code")
+        .selectExpr(
+            "cand_id", f"{pq_reconstruct_expr(codebooks, 'code')} AS rvec"
+        )
+    )
+    queries = df.where(F.col(id_col).isin(*query_ids)).selectExpr(
+        f"{id_col} AS query_id", f"{vec_col} AS qvec"
+    )
+    adc = dual.fold(
+        "zip_with(qvec, rvec, (x, y) ->"
+        " (cast(x as double) - y) * (cast(x as double) - y))",
+        "cast(0.0 as double)",
+        "(a, v) -> a + v",
+        dual.SPARK,
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .where(F.col("query_id") != F.col("cand_id"))
+        .selectExpr("query_id", "cand_id", f"{adc} AS adc_dist2")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        "adc_dist2",
+        k=k,
+        ascending=True,
+        tie_breakers=["cand_id"],
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -2133,6 +2133,94 @@ def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "cosine")
 
 
+def _duck_pq_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    """Exact oracle for PQ ANN over the PINNED codebooks
+    (functions/pq_codebooks.py): encode (per-subvector argmin),
+    reconstruct (codeword concatenation) and ADC score are pure
+    relational algebra over constant codebooks — same fold order as
+    the Spark side, so distances are bit-identical (the IVF oracle's
+    contract)."""
+    from hadoop_data_pipeline_spark.functions.pq_codebooks import (
+        SF001_CODEBOOKS,
+    )
+
+    m = len(SF001_CODEBOOKS)
+    d = len(SF001_CODEBOOKS[0][0])
+    cb3 = "[%s]" % ", ".join(
+        "[%s]"
+        % ", ".join(
+            "[%s]" % ", ".join(_duck_double_lit(v) for v in cw) for cw in cb
+        )
+        for cb in SF001_CODEBOOKS
+    )
+    subdiff2 = dual.transform(
+        f"list_zip(embedding[p[2] * {d} + 1 : p[2] * {d} + {d}], c)",
+        "w -> (CAST(w[1] AS DOUBLE) - w[2]) * (CAST(w[1] AS DOUBLE) - w[2])",
+        D,
+    )
+    subd2 = dual.fold(
+        subdiff2, "CAST(0.0 AS DOUBLE)", "(acc, v) -> acc + v", D
+    )
+    pqd2 = dual.transform(
+        f"list_zip({cb3}, range(0, {m}))",
+        f"p -> {dual.transform('p[1]', f'c -> {subd2}', D)}",
+        D,
+    )
+    code = dual.transform(
+        "pqd2", "ds -> CAST(list_position(ds, list_min(ds)) - 1 AS INT)", D
+    )
+    recon = (
+        f"flatten({dual.transform(f'list_zip({cb3}, code)', 'p -> p[1][p[2] + 1]', D)})"
+    )
+    adcdiff2 = dual.transform(
+        "list_zip(q.embedding, c.rvec)",
+        "w -> (CAST(w[1] AS DOUBLE) - w[2]) * (CAST(w[1] AS DOUBLE) - w[2])",
+        D,
+    )
+    adc = dual.fold(adcdiff2, "CAST(0.0 AS DOUBLE)", "(acc, v) -> acc + v", D)
+    return f"""
+    WITH enc AS (
+        SELECT vec_id, {code} AS code
+        FROM (SELECT vec_id, {pqd2} AS pqd2 FROM embeddings)
+    ),
+    rec AS (SELECT vec_id, {recon} AS rvec FROM enc),
+    s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {adc} AS adc_dist2
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {n_queries}) q
+        CROSS JOIN rec c
+        WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, cand_id, adc_dist2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist2 ASC, cand_id ASC
+        ) AS rn FROM s
+    ) WHERE rn <= {k}
+    """
+
+
+@register("embedding_pq_topk", oracle=_duck_pq_topk_sql())
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`operators/similarity.py::pq_topk`):
+    candidates encoded to eight 4-bit codes by the PINNED codebooks
+    (functions/pq_codebooks.py, fitted once by
+    tools/fit_pq_codebooks.py — 64x smaller than the raw vectors, the
+    MEMORY side of ANN at 100 TB), ranked per query by asymmetric
+    distance against the codeword reconstruction. Constant codebooks
+    make encode/reconstruct/score pure relational algebra, so the
+    driver hash-checks it exactly; recall vs brute force is
+    separately pinned in tests/test_extensions.py."""
+    from hadoop_data_pipeline_spark.functions.pq_codebooks import (
+        SF001_CODEBOOKS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_topk(
+        emb, query_ids=list(range(10)), codebooks=SF001_CODEBOOKS, k=5
+    )
+
+
 def _duck_kmeans_refine_sql() -> str:
     """Exact oracle for one distributed Lloyd iteration over the
     pinned quantizer: assignment uses the same fold order as the

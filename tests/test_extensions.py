@@ -360,6 +360,76 @@ def test_pinned_sf001_centroids_artifact_fresh(spark):
     assert sim.fit_coarse_quantizer(emb, n_centroids=16) == SF001_CENTROIDS
 
 
+def test_pinned_pq_codebooks_artifact_fresh(spark):
+    """The committed PQ codebooks must equal a fresh fit on the sf0.01
+    fixture — guards against the fixture or the fit changing without
+    `tools/fit_pq_codebooks.py` being re-run (the DuckDB oracle
+    embeds these codebooks as literals)."""
+    from hadoop_data_pipeline_spark.functions.pq_codebooks import (
+        SF001_CODEBOOKS,
+    )
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    assert sim.fit_pq_codebooks(emb, m=8, k=16) == SF001_CODEBOOKS
+
+
+def test_pq_encode_adc_and_recall(spark):
+    """PQ invariants: codes bounded by k, the ADC distance equals the
+    numpy distance to the codeword reconstruction EXACTLY (it feeds a
+    bit-identical SQL oracle), the op is deterministic, and recall vs
+    brute force stays above the floor measured for 64x-compressed
+    random-structure data (exact-oracle correctness is the driver's
+    job; this pins approximation QUALITY so a codebook regression
+    can't hide behind a still-matching oracle)."""
+    import numpy as np
+
+    from hadoop_data_pipeline_spark.functions.pq_codebooks import (
+        SF001_CODEBOOKS,
+    )
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = list(range(10))
+    got = sim.pq_topk(emb, qids, SF001_CODEBOOKS, k=5).collect()
+    assert len(got) == 50 and all(r.adc_dist2 >= 0 for r in got)
+    again = sim.pq_topk(emb, qids, SF001_CODEBOOKS, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    pdf = emb.toPandas()
+    X = np.asarray([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    cb = np.asarray(SF001_CODEBOOKS)  # (m, k, d_sub)
+    m, k_cw, d_sub = cb.shape
+    sub = X.reshape(len(X), m, d_sub)
+    codes = np.argmin(
+        ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1), axis=2
+    )
+    assert codes.min() >= 0 and codes.max() < k_cw
+    recon = {
+        int(i): np.concatenate([cb[s, codes[j, s]] for s in range(m)])
+        for j, i in enumerate(ids)
+    }
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    brute_hits = 0
+    for q in qids:
+        qv = X[np.where(ids == q)[0][0]]
+        # exact ADC parity on the top row (fold order matches numpy's
+        # left-to-right sum over 64 dims)
+        top = min(by_q[q], key=lambda r: (r.adc_dist2, r.cand_id))
+        want = 0.0  # strict left-to-right sum — np.sum's pairwise
+        for a, b in zip(qv, recon[top.cand_id]):  # order would differ
+            want += (a - b) * (a - b)
+        assert top.adc_dist2 == want
+        d = ((X - qv) ** 2).sum(1)
+        d[np.where(ids == q)[0][0]] = np.inf
+        top20 = {int(ids[j]) for j in np.argsort(d)[:20]}
+        brute_hits += sum(1 for r in by_q[q] if r.cand_id in top20)
+    assert brute_hits / 50 >= 0.3, f"PQ recall floor broken: {brute_hits/50}"
+
+
 def test_dedup_within_doc(spark):
     df = spark.createDataFrame(
         [
