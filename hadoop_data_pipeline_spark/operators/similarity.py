@@ -541,6 +541,90 @@ def pq_topk(
     )
 
 
+def ann_topk_ivfpq(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the two pinned artifacts composed the way a production
+    vector index composes them — the coarse quantizer prunes WHICH
+    candidates each query scores (~n_probe/n_centroids of the
+    corpus), PQ codes shrink WHAT the scan reads per candidate
+    (m bytes instead of the raw vector). Candidates are ranked by the
+    same asymmetric distance as :func:`pq_topk`, restricted to the
+    query's probed cells.
+
+    One honest simplification vs a FAISS-style IVFPQ: codes quantize
+    the RAW vectors, not the per-cell residuals (x - centroid), so
+    the two artifacts stay independently versioned and the query
+    remains exact relational algebra over both constants; residual
+    encoding is the accuracy refinement a dependent-artifact pipeline
+    would add.
+
+    Scale: cell assignment and PQ encode are one codegen'd projection
+    at ingest; the probe join hash-partitions on the cell with the
+    kilobyte query side broadcast; top-k per query is window-pushed
+    (WindowGroupLimit). The raw embedding column is read ONCE (at
+    encode) and never travels through the join."""
+    cents = [[float(x) for x in c] for c in centroids]
+    n_centroids = len(cents)
+    assigned = (
+        df.withColumn("__d2", F.expr(centroid_d2_expr(cents, vec_col)))
+        .withColumn("cell", F.expr(CELL_FROM_D2))
+        .persist()
+    )
+    cands = (
+        assigned.selectExpr(
+            f"{id_col} AS cand_id",
+            "cell",
+            f"{pq_d2_expr(codebooks, vec_col)} AS __pqd2",
+        )
+        .selectExpr("cand_id", "cell", f"{PQ_CODE_FROM_D2} AS code")
+        .selectExpr(
+            "cand_id", "cell", f"{pq_reconstruct_expr(codebooks, 'code')} AS rvec"
+        )
+    )
+    probes = (
+        assigned.where(F.col(id_col).isin(*query_ids))
+        .selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qvec", "__d2")
+        .selectExpr(
+            "query_id",
+            "qvec",
+            f"""transform(
+                slice(array_sort(zip_with(__d2, sequence(0, {n_centroids - 1}),
+                      (d, i) -> struct(d AS d, i AS i))), 1, {n_probe}),
+                s -> s.i) AS probe_cells""",
+        )
+        .select("query_id", "qvec", F.explode("probe_cells").alias("cell"))
+    )
+    adc = dual.fold(
+        "zip_with(qvec, rvec, (x, y) ->"
+        " (cast(x as double) - y) * (cast(x as double) - y))",
+        "cast(0.0 as double)",
+        "(a, v) -> a + v",
+        dual.SPARK,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cands, "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .selectExpr("query_id", "cand_id", f"{adc} AS adc_dist2")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        "adc_dist2",
+        k=k,
+        ascending=True,
+        tie_breakers=["cand_id"],
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

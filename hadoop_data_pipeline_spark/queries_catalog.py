@@ -2221,6 +2221,134 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_ivfpq_topk_sql(
+    k: int = 5, n_probe: int = 2, n_queries: int = 10
+) -> str:
+    """Exact oracle for IVF-PQ over BOTH pinned artifacts: the IVF
+    oracle's assignment/probe CTEs composed with the PQ oracle's
+    encode/reconstruct CTEs, ADC-scored within probed cells — every
+    stage pure relational algebra over the two constants, same fold
+    orders as the Spark side."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.functions.pq_codebooks import (
+        SF001_CODEBOOKS,
+    )
+
+    n = len(SF001_CENTROIDS)
+    cents = "[%s]" % ", ".join(
+        "[%s]" % ", ".join(_duck_double_lit(v) for v in c)
+        for c in SF001_CENTROIDS
+    )
+    diff2 = dual.transform(
+        "list_zip(embedding, c)",
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])",
+        D,
+    )
+    d2 = dual.transform(
+        cents,
+        f"c -> {dual.fold(diff2, 'CAST(0.0 AS DOUBLE)', '(acc, v) -> acc + v', D)}",
+        D,
+    )
+    m = len(SF001_CODEBOOKS)
+    d_sub = len(SF001_CODEBOOKS[0][0])
+    cb3 = "[%s]" % ", ".join(
+        "[%s]"
+        % ", ".join(
+            "[%s]" % ", ".join(_duck_double_lit(v) for v in cw) for cw in cb
+        )
+        for cb in SF001_CODEBOOKS
+    )
+    subdiff2 = dual.transform(
+        f"list_zip(embedding[p[2] * {d_sub} + 1 : p[2] * {d_sub} + {d_sub}], c)",
+        "w -> (CAST(w[1] AS DOUBLE) - w[2]) * (CAST(w[1] AS DOUBLE) - w[2])",
+        D,
+    )
+    subd2 = dual.fold(
+        subdiff2, "CAST(0.0 AS DOUBLE)", "(acc, v) -> acc + v", D
+    )
+    pqd2 = dual.transform(
+        f"list_zip({cb3}, range(0, {m}))",
+        f"p -> {dual.transform('p[1]', f'c -> {subd2}', D)}",
+        D,
+    )
+    code = dual.transform(
+        "pqd2", "ds -> CAST(list_position(ds, list_min(ds)) - 1 AS INT)", D
+    )
+    recon = (
+        f"flatten({dual.transform(f'list_zip({cb3}, code)', 'p -> p[1][p[2] + 1]', D)})"
+    )
+    adcdiff2 = dual.transform(
+        "list_zip(q.embedding, c.rvec)",
+        "w -> (CAST(w[1] AS DOUBLE) - w[2]) * (CAST(w[1] AS DOUBLE) - w[2])",
+        D,
+    )
+    adc = dual.fold(adcdiff2, "CAST(0.0 AS DOUBLE)", "(acc, v) -> acc + v", D)
+    return f"""
+    WITH asg AS (
+        SELECT vec_id, embedding, d2,
+               CAST(list_position(d2, list_min(d2)) - 1 AS INT) AS cell
+        FROM (SELECT vec_id, embedding, {d2} AS d2 FROM embeddings)
+    ),
+    ud AS (
+        SELECT vec_id, unnest(d2) AS d, unnest(range(0, {n})) AS cell
+        FROM asg WHERE vec_id < {n_queries}
+    ),
+    probe AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM ud
+        ) WHERE rn <= {n_probe}
+    ),
+    enc AS (
+        SELECT vec_id, cell, {code} AS code
+        FROM (SELECT vec_id, cell, {pqd2} AS pqd2 FROM asg)
+    ),
+    rec AS (SELECT vec_id, cell, {recon} AS rvec FROM enc),
+    s AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS cand_id, {adc} AS adc_dist2
+        FROM probe p
+        JOIN embeddings q ON q.vec_id = p.vec_id
+        JOIN rec c ON c.cell = p.cell AND c.vec_id <> p.vec_id
+    )
+    SELECT query_id, cand_id, adc_dist2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist2 ASC, cand_id ASC
+        ) AS rn FROM s
+    ) WHERE rn <= {k}
+    """
+
+
+@register("embedding_ann_ivfpq_topk", oracle=_duck_ivfpq_topk_sql())
+def embedding_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (`operators/similarity.py::ann_topk_ivfpq`): the
+    pinned coarse quantizer prunes WHICH candidates each query scores
+    (2 of 16 cells), the pinned PQ codebooks shrink WHAT the scan
+    reads per candidate (4 bytes of codes vs the 256-byte raw
+    vector) — composed exactly the way a production vector index
+    composes them. Both artifacts constant => the whole query is
+    relational algebra with an exact oracle. Codes quantize raw
+    vectors (not per-cell residuals) so the artifacts stay
+    independently versioned — documented in the operator."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.functions.pq_codebooks import (
+        SF001_CODEBOOKS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivfpq(
+        emb,
+        query_ids=list(range(10)),
+        centroids=SF001_CENTROIDS,
+        codebooks=SF001_CODEBOOKS,
+        k=5,
+    )
+
+
 def _duck_kmeans_refine_sql() -> str:
     """Exact oracle for one distributed Lloyd iteration over the
     pinned quantizer: assignment uses the same fold order as the

@@ -430,6 +430,52 @@ def test_pq_encode_adc_and_recall(spark):
     assert brute_hits / 50 >= 0.3, f"PQ recall floor broken: {brute_hits/50}"
 
 
+def test_ivfpq_consistent_with_pq_and_probes(spark):
+    """IVF-PQ is PQ restricted to probed cells: every (query, cand)
+    it returns must carry the IDENTICAL ADC distance PQ computes for
+    that pair (same codes, same reconstruction — the cell filter may
+    only PRUNE, never change a distance), every returned candidate's
+    cell must be among the query's probed cells, and the op is
+    deterministic."""
+    import numpy as np
+
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.functions.pq_codebooks import (
+        SF001_CODEBOOKS,
+    )
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = list(range(10))
+    got = sim.ann_topk_ivfpq(
+        emb, qids, SF001_CENTROIDS, SF001_CODEBOOKS, k=5
+    ).collect()
+    assert len(got) == 50
+    ivfpq = {(r.query_id, r.cand_id): r.adc_dist2 for r in got}
+    pq_all = {
+        (r.query_id, r.cand_id): r.adc_dist2
+        for r in sim.pq_topk(emb, qids, SF001_CODEBOOKS, k=499).collect()
+    }
+    assert all(ivfpq[p] == pq_all[p] for p in ivfpq)
+
+    pdf = emb.toPandas()
+    X = np.asarray([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    C = np.asarray(SF001_CENTROIDS)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cell = {int(i): int(c) for i, c in zip(ids, d2.argmin(1))}
+    probed = {int(i): set(np.argsort(d2[j])[:2]) for j, i in enumerate(ids)}
+    for q, cand in ivfpq:
+        assert cell[cand] in probed[q], (q, cand)
+
+    again = sim.ann_topk_ivfpq(
+        emb, qids, SF001_CENTROIDS, SF001_CODEBOOKS, k=5
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_dedup_within_doc(spark):
     df = spark.createDataFrame(
         [
