@@ -625,6 +625,71 @@ def ann_topk_ivfpq(
     )
 
 
+def cell_population_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots,
+    measured per quantizer cell: assign both snapshots to the PINNED
+    centroids and report each cell's Laplace-smoothed population
+    share in either snapshot plus its Population-Stability-Index
+    contribution ``(p_cur - p_base) * ln(p_cur / p_base)`` — the
+    standard monitoring statistic for "did the embedding distribution
+    move" (sum of contributions > ~0.2 conventionally flags drift).
+    Smoothing keeps cells that empty out in one snapshot finite
+    instead of blowing the index to infinity.
+
+    Scale: one codegen'd argmin projection per snapshot, a 16-row
+    aggregate each, then a cell-keyed join of two kilobyte frames —
+    the monitor costs two column-pruned scans regardless of corpus
+    size, so it can run on every snapshot publication."""
+    k = len(centroids)
+    s = float(smoothing)
+
+    def counts(df: DataFrame, n_col: str) -> DataFrame:
+        d2 = centroid_d2_expr(centroids, vec_col)
+        return (
+            df.selectExpr(f"{d2} AS __d2")
+            .selectExpr(f"{CELL_FROM_D2} AS cell")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias(n_col))
+        )
+
+    cells = F.broadcast(
+        counts(base, "n_base")
+        .join(counts(cur, "n_cur"), "cell", "full_outer")
+        .selectExpr(
+            "cell",
+            "coalesce(n_base, 0) AS n_base",
+            "coalesce(n_cur, 0) AS n_cur",
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cell",
+            "n_base",
+            "n_cur",
+            f"(n_base + {s}D) / (__tb + {s}D * {k}) AS p_base",
+            f"(n_cur + {s}D) / (__tc + {s}D * {k}) AS p_cur",
+        )
+        .selectExpr(
+            "cell",
+            "n_base",
+            "n_cur",
+            "round(p_base, 6) AS share_base",
+            "round(p_cur, 6) AS share_cur",
+            "round((p_cur - p_base) * ln(p_cur / p_base), 6) AS psi_contrib",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -2349,6 +2349,84 @@ def embedding_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_drift_psi_sql(smoothing: float = 0.5) -> str:
+    """Exact oracle for the per-cell PSI drift monitor: assignment
+    over the pinned centroids (bit-identical fold order), exact
+    counts, then the smoothed-share PSI formula — rounded both sides
+    because the share division accumulates engine-local fp."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+
+    n = len(SF001_CENTROIDS)
+    cents = "[%s]" % ", ".join(
+        "[%s]" % ", ".join(_duck_double_lit(v) for v in c)
+        for c in SF001_CENTROIDS
+    )
+    diff2 = dual.transform(
+        "list_zip(embedding, c)",
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])",
+        D,
+    )
+    d2 = dual.transform(
+        cents,
+        f"c -> {dual.fold(diff2, 'CAST(0.0 AS DOUBLE)', '(acc, v) -> acc + v', D)}",
+        D,
+    )
+    sl = _duck_double_lit(smoothing)
+    return f"""
+    WITH asg AS (
+        SELECT vec_id, CAST(list_position(d2, list_min(d2)) - 1 AS INT) AS cell
+        FROM (SELECT vec_id, embedding, {d2} AS d2 FROM embeddings)
+    ),
+    cb AS (SELECT cell, count(*) AS n_base FROM asg
+           WHERE vec_id % 2 = 0 GROUP BY cell),
+    cc AS (SELECT cell, count(*) AS n_cur FROM asg
+           WHERE vec_id % 2 = 1 GROUP BY cell),
+    cells AS (
+        SELECT coalesce(cb.cell, cc.cell) AS cell,
+               coalesce(n_base, 0) AS n_base,
+               coalesce(n_cur, 0) AS n_cur
+        FROM cb FULL OUTER JOIN cc ON cb.cell = cc.cell
+    ),
+    tot AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM cells),
+    p AS (
+        SELECT cell, n_base, n_cur,
+               (n_base + {sl}) / (tb + {sl} * {n}) AS p_base,
+               (n_cur + {sl}) / (tc + {sl} * {n}) AS p_cur
+        FROM cells CROSS JOIN tot
+    )
+    SELECT cell, CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(p_base, 6) AS share_base,
+           round(p_cur, 6) AS share_cur,
+           round((p_cur - p_base) * ln(p_cur / p_base), 6) AS psi_contrib
+    FROM p
+    """
+
+
+@register("embedding_drift_psi_by_cell", oracle=_duck_drift_psi_sql())
+def embedding_drift_psi_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor (`operators/similarity.py::
+    cell_population_drift`): per-quantizer-cell Population Stability
+    Index between two corpus snapshots — the fixture's snapshots are
+    the vec_id parity split (standing in for two date partitions of
+    the same embedding table). Runs in two column-pruned scans + a
+    16-row join regardless of corpus size, so every snapshot
+    publication can afford it; sum(psi_contrib) > ~0.2 is the
+    conventional drift alarm."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cell_population_drift(
+        emb.where(F.expr("vec_id % 2 = 0")),
+        emb.where(F.expr("vec_id % 2 = 1")),
+        SF001_CENTROIDS,
+    )
+
+
 def _duck_kmeans_refine_sql() -> str:
     """Exact oracle for one distributed Lloyd iteration over the
     pinned quantizer: assignment uses the same fold order as the

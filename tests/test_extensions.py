@@ -476,6 +476,38 @@ def test_ivfpq_consistent_with_pq_and_probes(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_cell_population_drift_null_and_planted(spark):
+    """PSI sanity: identical snapshots score exactly 0 in every cell;
+    deleting one cell's population entirely yields a strictly
+    positive total PSI with the smoothing keeping it finite."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    null_drift = sim.cell_population_drift(
+        emb, emb, SF001_CENTROIDS
+    ).collect()
+    assert len(null_drift) == 16
+    assert all(r.psi_contrib == 0.0 for r in null_drift)
+    assert all(r.n_base == r.n_cur for r in null_drift)
+
+    victim = null_drift[0].cell
+    d2e = sim.centroid_d2_expr(SF001_CENTROIDS, "embedding")
+    cur = (
+        emb.selectExpr("vec_id", "embedding", f"{d2e} AS __d2")
+        .selectExpr("vec_id", "embedding", f"{sim.CELL_FROM_D2} AS __cell")
+        .where(F.col("__cell") != victim)
+        .select("vec_id", "embedding")
+    )
+    shifted = sim.cell_population_drift(emb, cur, SF001_CENTROIDS).collect()
+    total = sum(r.psi_contrib for r in shifted)
+    assert total > 0.0
+    vrow = [r for r in shifted if r.cell == victim][0]
+    assert vrow.n_cur == 0 and vrow.psi_contrib > 0.0
+
+
 def test_dedup_within_doc(spark):
     df = spark.createDataFrame(
         [
