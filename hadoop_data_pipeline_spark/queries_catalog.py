@@ -882,6 +882,56 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lang_id(load_table(spark, sf_dir, "documents"))
 
 
+def _duck_lang_confusion() -> str:
+    return f"""
+    WITH p AS ({_duck_lang_id()}),
+    j AS (
+        SELECT d.lang, p.lang_pred
+        FROM documents d JOIN p ON d.doc_id = p.doc_id
+    ),
+    m AS (
+        SELECT lang, lang_pred, count(*) AS n_docs
+        FROM j GROUP BY lang, lang_pred
+    )
+    SELECT lang, lang_pred, n_docs,
+           round(CAST(n_docs AS DOUBLE) /
+                 CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6)
+               AS label_share
+    FROM m
+    """
+
+
+@register("lang_id_confusion", oracle=_duck_lang_confusion())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the heuristic lang-ID
+    against the fixture's labeled ``lang`` column: per (label,
+    prediction) cell, the doc count and its share of the label's row —
+    the standard first look at any filter model before it gates a
+    corpus (which languages leak through, which get over-dropped).
+
+    Scale: the prediction is a pure projection joined back on the
+    narrow (doc_id, lang) slice — at 100 TB the join is co-partitioned
+    by the same id both sides derive from one scan (Catalyst reuses
+    it); the matrix itself is |langs|^2 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.lang_id(docs)
+    counts = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return counts.withColumn(
+        "label_share",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ),
+    )
+
+
 def _duck_quality() -> str:
     return (
         f"WITH t AS (SELECT doc_id, text, {dual.tokens('text', D)} AS tk FROM documents) "
@@ -5754,7 +5804,12 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # supplier_balance_percentile, user_first_last_events,
 # profile_lineitem_columns, bpe_tokenize_docs (rows-only),
 # incremental_near_dup_new_docs. 29 have exact oracles — next round's
-# window: those 29 + any r9 reds + high-value re-proofs.
+# window: those 29 + any r9 reds + high-value re-proofs, PLUS the 8
+# queries added late in r9 (all exact-oracled, never driver-checked):
+# xml_roundtrip_docs, kmeans_refine_cluster_stats,
+# debounce_dedup_events, tfidf_top_terms_per_lang, embedding_pq_topk,
+# embedding_ann_ivfpq_topk, embedding_drift_psi_by_cell,
+# lang_id_confusion.
 
 _DRIVER_WINDOW = [
     # r7 HUGEINT-cast oracles, never driver-hashed until now

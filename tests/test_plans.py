@@ -621,3 +621,54 @@ def test_exact_dedup_measured_shuffle_is_digest_sized(spark):
     m = measure(spark, qc.QUERIES["dedup_exact_docs"], SF)
     assert m["scan_bytes"] > 0
     assert 0 < m["shuffle_bytes"] < m["scan_bytes"], m
+
+
+def test_pq_topk_plan_shape(spark):
+    """PQ ANN scale contract: the bounded query side broadcasts into
+    the ADC scan (BroadcastNestedLoopJoin — there is deliberately no
+    join key), top-k is window-pushed (partial WindowGroupLimit before
+    the exchange), and no Python stage exists anywhere (encode /
+    reconstruct / ADC are all codegen'd expressions)."""
+    plan = plan_of(spark, "embedding_pq_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert "Python" not in plan
+    # the candidate side never shuffles before scoring: the only
+    # exchange is the per-query window's.
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_ivfpq_plan_shape(spark):
+    """IVF-PQ composition contract: probes broadcast into the cell
+    join (BuildLeft — the corpus is never the build side), top-k is
+    window-pushed, the cell assignment is cached once
+    (InMemoryRelation) and reused by both join inputs, and there is
+    no Python stage."""
+    plan = plan_of(spark, "embedding_ann_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan and "BuildLeft" in plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "InMemoryRelation" in plan
+    assert "Python" not in plan
+
+
+def test_kmeans_refine_plan_shape(spark):
+    """Distributed Lloyd iteration contract: the updated centroids
+    (16 rows) BROADCAST back onto the corpus (never a shuffled join
+    of corpus vs corpus), the per-(cell, dim) means partial-aggregate
+    map-side before their exchange, and the assignment frame is
+    persisted (InMemoryRelation) for its two consumers."""
+    plan = plan_of(spark, "kmeans_refine_cluster_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_avg" in plan or "partial_average" in plan
+    assert "InMemoryRelation" in plan
+
+
+def test_debounce_single_exchange(spark):
+    """The debounce lag window costs exactly ONE hash exchange on the
+    dedup key; the per-type summary reuses partial aggregation."""
+    plan = plan_of(spark, "debounce_dedup_events")
+    # one exchange for the (user_id, event_type) window, one for the
+    # event_type groupBy — never more.
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_count" in plan or "partial_sum" in plan

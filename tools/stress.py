@@ -119,6 +119,10 @@ SKEW_HEADLINE = [
     "daily_value_resample_ffill",
     "monotonic_violations_user_value",
     "distinct_user_event_pairs",
+    # (user_id, event_type)-keyed lag window added in r9: the debounce
+    # dedup funnels the hot user's ~30% share through one lag
+    # partition — same survival contract as the windows above.
+    "debounce_dedup_events",
 ]
 
 #: Skew-sweep queries whose DUCKDB ORACLE is a range join that goes
