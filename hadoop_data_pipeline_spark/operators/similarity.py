@@ -646,21 +646,40 @@ def cell_population_drift(
     aggregate each, then a cell-keyed join of two kilobyte frames —
     the monitor costs two column-pruned scans regardless of corpus
     size, so it can run on every snapshot publication."""
-    k = len(centroids)
+    def assigned_cells(df: DataFrame) -> DataFrame:
+        d2 = centroid_d2_expr(centroids, vec_col)
+        return df.selectExpr(f"{d2} AS __d2").selectExpr(
+            f"{CELL_FROM_D2} AS cell"
+        )
+
+    return psi_from_cells(
+        assigned_cells(base),
+        assigned_cells(cur),
+        n_cells=len(centroids),
+        smoothing=smoothing,
+    )
+
+
+def psi_from_cells(
+    base_cells: DataFrame,
+    cur_cells: DataFrame,
+    n_cells: int,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI core over frames that ALREADY carry a ``cell`` column —
+    split out of :func:`cell_population_drift` so stores that persist
+    the assignment at ingest (``streaming/embed_sink.py`` keeps
+    ``cell`` on every admitted row) can monitor drift without ever
+    re-deriving it from the vectors."""
+    k = int(n_cells)
     s = float(smoothing)
 
     def counts(df: DataFrame, n_col: str) -> DataFrame:
-        d2 = centroid_d2_expr(centroids, vec_col)
-        return (
-            df.selectExpr(f"{d2} AS __d2")
-            .selectExpr(f"{CELL_FROM_D2} AS cell")
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias(n_col))
-        )
+        return df.groupBy("cell").agg(F.count(F.lit(1)).alias(n_col))
 
     cells = F.broadcast(
-        counts(base, "n_base")
-        .join(counts(cur, "n_cur"), "cell", "full_outer")
+        counts(base_cells, "n_base")
+        .join(counts(cur_cells, "n_cur"), "cell", "full_outer")
         .selectExpr(
             "cell",
             "coalesce(n_base, 0) AS n_base",

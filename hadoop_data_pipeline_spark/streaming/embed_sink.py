@@ -273,3 +273,29 @@ class StreamingEmbeddingSink:
         return top_k_per_group(
             scored, ["query_id"], "cosine", k=k, tie_breakers=["cand_id"]
         )
+
+    def drift_report(self, baseline: DataFrame, smoothing: float = 0.5) -> DataFrame:
+        """Per-cell PSI of the ADMITTED store's population against a
+        BASELINE frame (a previous store snapshot, or any frame with
+        a ``cell`` column) — continuous distribution monitoring on
+        the vector store, reusing the cell persisted at admission
+        (`operators/similarity.py::psi_from_cells`; never re-derived
+        from the vectors). Requires a quantizer-enabled sink.
+
+        The operational loop this enables at 100 TB: snapshot the
+        store's 16-row cell histogram at each publication, and alert
+        when sum(psi_contrib) vs the last accepted snapshot crosses
+        ~0.2 — two kilobyte aggregates per tick, independent of store
+        size."""
+        if self.centroids is None:
+            raise ValueError(
+                "drift_report requires a quantizer-enabled sink "
+                "(centroids=...); without cells there is no "
+                "distribution to compare"
+            )
+        return sim.psi_from_cells(
+            baseline.select("cell"),
+            self.store().select("cell"),
+            n_cells=len(self.centroids),
+            smoothing=smoothing,
+        )

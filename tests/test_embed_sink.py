@@ -134,3 +134,40 @@ def test_embed_sink_crash_replay_exactly_once(spark, tmp_path, monkeypatch):
     assert len(ids) == len(set(ids)), "replay duplicated store rows"
     want = _reference_ids(spark, sink, chunks, schema)
     assert set(ids) == want
+
+def test_embed_sink_drift_report(spark, tmp_path):
+    """The store monitors its own distribution: PSI vs itself is 0 in
+    every cell; vs a baseline missing one populated cell it is
+    strictly positive and finite — all computed from the cell column
+    persisted at admission, never re-derived from vectors."""
+    chunks, schema = _chunks(spark, n=2)
+    (tmp_path / "src").mkdir()
+    sink = _mk_sink(spark, tmp_path)
+    for i, rows in enumerate(chunks):
+        _feed(spark, str(tmp_path / "src"), f"b{i}", rows, schema)
+        assert sink.run_available_now()
+
+    store = sink.store()
+    null_drift = sink.drift_report(store).collect()
+    assert len(null_drift) > 0
+    assert all(r.psi_contrib == 0.0 for r in null_drift)
+
+    victim = max(null_drift, key=lambda r: r.n_base).cell
+    baseline = store.where(f"cell != {victim}")
+    shifted = {r.cell: r for r in sink.drift_report(baseline).collect()}
+    assert shifted[victim].n_base == 0 and shifted[victim].n_cur > 0
+    assert shifted[victim].psi_contrib > 0.0
+    assert sum(r.psi_contrib for r in shifted.values()) > 0.0
+
+    import pytest as _pytest
+
+    bare = StreamingEmbeddingSink(
+        spark,
+        str(tmp_path / "src2"),
+        SCHEMA,
+        str(tmp_path / "store2"),
+        str(tmp_path / "ckpt2"),
+        threshold=THRESHOLD,
+    )
+    with _pytest.raises(ValueError, match="quantizer"):
+        bare.drift_report(store)
