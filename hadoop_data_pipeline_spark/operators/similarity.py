@@ -625,6 +625,63 @@ def ann_topk_ivfpq(
     )
 
 
+def pq_rerank_topk(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval — the production answer to PQ's recall
+    loss: stage 1 shortlists ``shortlist`` candidates per query by
+    cheap ADC over the 4-bit codes (:func:`pq_topk`), stage 2 fetches
+    ONLY those candidates' raw vectors and re-ranks them by exact
+    distance. The expensive exact computation touches
+    ``|Q| x shortlist`` rows regardless of corpus size; the corpus-
+    wide scan stays on the 64x-compressed codes.
+
+    Recall: rerank can only fix ORDERING within the shortlist, so
+    top-k recall is bounded by the shortlist's recall — the shortlist
+    factor (default 4x over-fetch) is the knob that buys recall with
+    linear, corpus-independent cost (pinned vs brute force in
+    tests/test_extensions.py).
+
+    Scale: the stage-2 join keys on the candidate id — a broadcast of
+    the kilobyte shortlist against the id-partitioned store, never a
+    second corpus scan of raw vectors through the ANN path."""
+    short = pq_topk(
+        df, query_ids, codebooks, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "cand_id")
+    queries = df.where(F.col(id_col).isin(*query_ids)).selectExpr(
+        f"{id_col} AS query_id", f"{vec_col} AS qvec"
+    )
+    cands = df.selectExpr(f"{id_col} AS cand_id", f"{vec_col} AS cvec")
+    d2 = dual.fold(
+        "zip_with(qvec, cvec, (x, y) ->"
+        " (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double)))",
+        "cast(0.0 as double)",
+        "(a, v) -> a + v",
+        dual.SPARK,
+    )
+    exact = (
+        F.broadcast(short)
+        .join(cands, "cand_id")
+        .join(F.broadcast(queries), "query_id")
+        .selectExpr("query_id", "cand_id", f"{d2} AS dist2")
+    )
+    return top_k_per_group(
+        exact,
+        ["query_id"],
+        "dist2",
+        k=k,
+        ascending=True,
+        tie_breakers=["cand_id"],
+    )
+
+
 def cell_population_drift(
     base: DataFrame,
     cur: DataFrame,

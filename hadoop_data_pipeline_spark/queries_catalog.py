@@ -2271,6 +2271,56 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_pq_rerank_sql(
+    k: int = 5, shortlist: int = 20, n_queries: int = 10
+) -> str:
+    """Exact oracle for two-stage PQ retrieval: the PQ oracle with
+    ``k=shortlist`` as stage 1, then an exact raw-vector re-rank of
+    the shortlist (both embeddings cast to double, same fold order as
+    the Spark side)."""
+    stage1 = _duck_pq_topk_sql(k=shortlist, n_queries=n_queries)
+    diff2 = dual.transform(
+        "list_zip(q.embedding, c.embedding)",
+        "w -> (CAST(w[1] AS DOUBLE) - CAST(w[2] AS DOUBLE))"
+        " * (CAST(w[1] AS DOUBLE) - CAST(w[2] AS DOUBLE))",
+        D,
+    )
+    d2 = dual.fold(diff2, "CAST(0.0 AS DOUBLE)", "(acc, v) -> acc + v", D)
+    return f"""
+    WITH short AS ({stage1}),
+    x AS (
+        SELECT sh.query_id, sh.cand_id, {d2} AS dist2
+        FROM short sh
+        JOIN embeddings q ON q.vec_id = sh.query_id
+        JOIN embeddings c ON c.vec_id = sh.cand_id
+    )
+    SELECT query_id, cand_id, dist2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dist2 ASC, cand_id ASC
+        ) AS rn FROM x
+    ) WHERE rn <= {k}
+    """
+
+
+@register("embedding_pq_rerank_topk", oracle=_duck_pq_rerank_sql())
+def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (`operators/similarity.py::pq_rerank_topk`):
+    ADC over 4-bit codes shortlists 20 candidates per query, exact
+    raw-vector distance re-ranks to the final 5 — the production
+    answer to PQ's quantization error: the corpus-wide scan stays on
+    the 64x-compressed codes, the exact math touches |Q| x 20 rows
+    regardless of corpus size. Shortlist over-fetch (4x) is the
+    recall knob; recall vs brute force pinned in tests."""
+    from hadoop_data_pipeline_spark.functions.pq_codebooks import (
+        SF001_CODEBOOKS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_rerank_topk(
+        emb, query_ids=list(range(10)), codebooks=SF001_CODEBOOKS, k=5
+    )
+
+
 def _duck_ivfpq_topk_sql(
     k: int = 5, n_probe: int = 2, n_queries: int = 10
 ) -> str:
@@ -5809,7 +5859,7 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # xml_roundtrip_docs, kmeans_refine_cluster_stats,
 # debounce_dedup_events, tfidf_top_terms_per_lang, embedding_pq_topk,
 # embedding_ann_ivfpq_topk, embedding_drift_psi_by_cell,
-# lang_id_confusion.
+# lang_id_confusion, embedding_pq_rerank_topk.
 
 _DRIVER_WINDOW = [
     # r7 HUGEINT-cast oracles, never driver-hashed until now

@@ -430,6 +430,54 @@ def test_pq_encode_adc_and_recall(spark):
     assert brute_hits / 50 >= 0.3, f"PQ recall floor broken: {brute_hits/50}"
 
 
+def test_pq_rerank_improves_recall_and_orders_exactly(spark):
+    """Two-stage retrieval contract: stage 2 must order the stage-1
+    shortlist by EXACT distance (verified against numpy per query),
+    and the over-fetch must buy real recall — strictly above plain
+    PQ's on this fixture (measured 0.5 vs 0.2), floored at 0.35."""
+    import numpy as np
+
+    from hadoop_data_pipeline_spark.functions.pq_codebooks import (
+        SF001_CODEBOOKS,
+    )
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = list(range(10))
+    short = {}
+    for r in sim.pq_topk(emb, qids, SF001_CODEBOOKS, k=20).collect():
+        short.setdefault(r.query_id, set()).add(r.cand_id)
+    rr = {}
+    for r in sim.pq_rerank_topk(
+        emb, qids, SF001_CODEBOOKS, k=5, shortlist=20
+    ).collect():
+        rr.setdefault(r.query_id, []).append((r.dist2, r.cand_id))
+
+    pdf = emb.toPandas()
+    X = np.asarray([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    idx = {int(i): j for j, i in enumerate(ids)}
+    hits_rr = hits_pq = 0
+    pq5 = {}
+    for r in sim.pq_topk(emb, qids, SF001_CODEBOOKS, k=5).collect():
+        pq5.setdefault(r.query_id, set()).add(r.cand_id)
+    for q in qids:
+        # exact ordering of the shortlist
+        want = sorted(
+            (float(((X[idx[q]] - X[idx[c]]) ** 2).sum()), c)
+            for c in short[q]
+        )[:5]
+        got = sorted(rr[q])
+        assert [c for _, c in got] == [c for _, c in want], q
+        d = ((X - X[idx[q]]) ** 2).sum(1)
+        d[idx[q]] = np.inf
+        top5 = {int(ids[j]) for j in np.argsort(d)[:5]}
+        hits_rr += len({c for _, c in got} & top5)
+        hits_pq += len(pq5[q] & top5)
+    assert hits_rr / 50 >= 0.35
+    assert hits_rr > hits_pq  # the over-fetch must actually pay
+
+
 def test_ivfpq_consistent_with_pq_and_probes(spark):
     """IVF-PQ is PQ restricted to probed cells: every (query, cand)
     it returns must carry the IDENTICAL ADC distance PQ computes for
