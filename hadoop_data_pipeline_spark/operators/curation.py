@@ -347,6 +347,54 @@ def tfidf_top_terms(
     )
 
 
+def quality_bucket_stats(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 5,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Curriculum/difficulty stratification: bucket documents into
+    ``n_buckets`` quality tiers by their unigram-LM score
+    (:func:`unigram_logprob_score`) and report each tier's size,
+    token mass, and score range — the stats a curriculum sampler or
+    a quality-weighted mixer consumes (e.g. upsample the top tier,
+    cap the bottom).
+
+    Bucketing is by exact-percentile BOUNDARIES, not a global
+    ``ntile``: ntile needs one totally-ordered window partition — a
+    single-task sort at 100 TB — while boundaries are one partial-
+    agg'd aggregate broadcast back over the scored frame. Boundary
+    arithmetic: scores are rounded (6) upstream, boundaries are
+    rounded (6) too, and a doc lands in the lowest tier whose
+    boundary its score does not exceed — deterministic on both
+    engines because comparisons only ever see the rounded doubles."""
+    scored = unigram_logprob_score(df, col=col, id_col=id_col, smoothing=smoothing)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = scored.agg(
+        *[
+            F.round(F.expr(f"percentile(avg_logp, {q!r})"), 6).alias(
+                f"__b{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    bucket = "1"
+    for i in range(len(qs)):
+        bucket += f" + (CASE WHEN avg_logp > __b{i} THEN 1 ELSE 0 END)"
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .selectExpr("n_tokens", "avg_logp", f"CAST({bucket} AS INT) AS bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.min("avg_logp"), 6).alias("min_logp"),
+            F.round(F.max("avg_logp"), 6).alias("max_logp"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark contamination
 # ---------------------------------------------------------------------------

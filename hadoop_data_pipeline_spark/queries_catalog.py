@@ -2953,6 +2953,92 @@ def _duck_unigram_logprob(s: float) -> str:
     """
 
 
+def _duck_zorder_locality() -> str:
+    from hadoop_data_pipeline_spark.operators import layout
+
+    z = layout.zvalue_expr("x", "y", bits=8, dialect=dual.DUCK)
+    return f"""
+    WITH pts AS (
+        SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+               CAST(dayofyear(o_orderdate) % 256 AS BIGINT) AS y
+        FROM orders
+    ),
+    zed AS (SELECT x, y, ({z}) // 256 AS zbucket FROM pts)
+    SELECT zbucket, count(*) AS n_orders,
+           CAST(max(x) - min(x) AS BIGINT) AS x_span,
+           CAST(max(y) - min(y) AS BIGINT) AS y_span
+    FROM zed GROUP BY zbucket
+    """
+
+
+@register("zorder_bucket_locality", oracle=_duck_zorder_locality())
+def zorder_bucket_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout locality audit (`operators/layout.py`): orders
+    mapped onto the Morton curve of (customer bucket, order
+    day-of-year), grouped by the curve's 256-way prefix buckets, each
+    reporting its (x, y) spans — every bucket is a ≤16x16 rectangle,
+    the property that makes zone-map pruning work on BOTH columns
+    after a `zorder_write`. The layout itself (range-shuffled sorted
+    parquet, per-file min-max narrowness) is pinned by
+    tests/test_extensions.py; this query is the pure-arithmetic core
+    the oracle can hash-check."""
+    orders = load_table(spark, sf_dir, "orders")
+    from hadoop_data_pipeline_spark.operators import layout
+
+    z = layout.zvalue_expr("x", "y", bits=8, dialect=dual.SPARK)
+    return (
+        orders.selectExpr(
+            "CAST(o_custkey % 256 AS BIGINT) AS x",
+            "CAST(dayofyear(o_orderdate) % 256 AS BIGINT) AS y",
+        )
+        .selectExpr("x", "y", f"({z}) div 256 AS zbucket")
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.max("x") - F.min("x")).cast("bigint").alias("x_span"),
+            (F.max("y") - F.min("y")).cast("bigint").alias("y_span"),
+        )
+    )
+
+
+def _duck_quality_buckets(n_buckets: int = 5) -> str:
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bsel = ", ".join(
+        f"round(quantile_cont(avg_logp, {q!r}), 6) AS __b{i}"
+        for i, q in enumerate(qs)
+    )
+    bucket = "1" + "".join(
+        f" + (CASE WHEN avg_logp > __b{i} THEN 1 ELSE 0 END)"
+        for i in range(len(qs))
+    )
+    return f"""
+    WITH scored AS ({_duck_unigram_logprob(0.5)}),
+    b AS (SELECT {bsel} FROM scored),
+    x AS (
+        SELECT n_tokens, avg_logp, CAST({bucket} AS INT) AS bucket
+        FROM scored CROSS JOIN b
+    )
+    SELECT bucket, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           round(min(avg_logp), 6) AS min_logp,
+           round(max(avg_logp), 6) AS max_logp
+    FROM x GROUP BY bucket
+    """
+
+
+@register("curriculum_quality_buckets", oracle=_duck_quality_buckets())
+def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum stratification (`operators/curation.py::
+    quality_bucket_stats`): documents bucketed into 5 quality tiers by
+    exact unigram-LM score percentiles, per-tier doc/token mass and
+    score range — what a quality-weighted mixer or curriculum sampler
+    consumes. Boundaries come from ONE partial-agg'd percentile
+    aggregate broadcast back over the scored frame (never a global
+    ntile, which would funnel 100 TB through a single sorted window
+    partition)."""
+    return cur.quality_bucket_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("unigram_logprob_quality", oracle=_duck_unigram_logprob(0.5))
 def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM pseudo-perplexity quality signal: mean smoothed token
@@ -5859,7 +5945,8 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # xml_roundtrip_docs, kmeans_refine_cluster_stats,
 # debounce_dedup_events, tfidf_top_terms_per_lang, embedding_pq_topk,
 # embedding_ann_ivfpq_topk, embedding_drift_psi_by_cell,
-# lang_id_confusion, embedding_pq_rerank_topk.
+# lang_id_confusion, embedding_pq_rerank_topk,
+# curriculum_quality_buckets, zorder_bucket_locality.
 
 _DRIVER_WINDOW = [
     # r7 HUGEINT-cast oracles, never driver-hashed until now

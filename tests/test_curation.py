@@ -354,3 +354,21 @@ def test_tfidf_discounts_ubiquitous_terms(spark):
     ]
     de = [(r.token, r.tfidf) for r in rows if r.lang == "de"]
     assert de == [("hund", round(ln2, 6)), ("the", 0.0)]
+
+
+def test_quality_buckets_balanced_and_ordered(spark):
+    # Percentile boundaries must yield near-equal tiers on the
+    # fixture, tiers must be contiguous in score (max of tier i <=
+    # min of tier i+1 — rounded boundaries may touch), and every doc
+    # lands exactly once.
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = {r.bucket: r for r in cur.quality_bucket_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    n = docs.count()
+    assert sum(r.n_docs for r in rows.values()) == n
+    for b, r in rows.items():
+        assert abs(r.n_docs - n / 5) <= 0.2 * n / 5, (b, r.n_docs)
+    for b in range(1, 5):
+        assert rows[b].max_logp <= rows[b + 1].min_logp + 1e-9, b

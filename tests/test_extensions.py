@@ -556,6 +556,50 @@ def test_cell_population_drift_null_and_planted(spark):
     assert vrow.n_cur == 0 and vrow.psi_contrib > 0.0
 
 
+def test_zorder_interleave_and_file_locality(spark, tmp_path):
+    """Morton interleave unit cases, then the layout property that
+    justifies it: after zorder_write, every parquet file's (x, y)
+    min-max rectangle is a small fraction of the domain — the
+    zone-map pruning surface for predicates on EITHER column. A
+    single-column sort gives this on one axis only."""
+    import glob
+
+    from hadoop_data_pipeline_spark.functions import dual as dl
+    from hadoop_data_pipeline_spark.operators import layout
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    # unit cases: x=3 (bits 0,1 -> 1+4), y=5 (bits 0,2 -> 2+32)
+    got = spark.sql(
+        f"SELECT {layout.zvalue_expr('3', '5', 8, dl.SPARK)} AS z,"
+        f" {layout.zvalue_expr('1', '0', 8, dl.SPARK)} AS z10,"
+        f" {layout.zvalue_expr('0', '1', 8, dl.SPARK)} AS z01,"
+        f" {layout.zvalue_expr('259', '1', 8, dl.SPARK)} AS zmask"
+    ).first()
+    assert (got.z, got.z10, got.z01) == (39, 1, 2)
+    assert got.zmask == 7  # 259 masks to 3: z(3,1) = (1+4) + 2
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").selectExpr(
+        "o_orderkey",
+        "CAST(o_custkey % 256 AS BIGINT) AS x",
+        "CAST(dayofyear(o_orderdate) % 256 AS BIGINT) AS y",
+    )
+    path = str(tmp_path / "zorders")
+    layout.zorder_write(orders, path, "x", "y", bits=8, n_files=8)
+
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) >= 4
+    total = 0
+    domain = 256 * 256
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        total += len(pdf)
+        if len(pdf) < 10:  # boundary slivers prove nothing
+            continue
+        area = (pdf.x.max() - pdf.x.min() + 1) * (pdf.y.max() - pdf.y.min() + 1)
+        assert area <= 0.35 * domain, (f, area)
+    assert total == orders.count()
+
+
 def test_dedup_within_doc(spark):
     df = spark.createDataFrame(
         [
