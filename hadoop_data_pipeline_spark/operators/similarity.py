@@ -199,6 +199,18 @@ def fit_coarse_quantizer(
 CELL_FROM_D2 = "cast(array_position(__d2, array_min(__d2)) - 1 as int)"
 
 
+def probe_cells_expr(n_centroids: int, n_probe: int) -> str:
+    """The ``n_probe`` nearest cells from a staged ``__d2`` column —
+    the query-side half of every IVF family member (shared so the
+    probe order, incl. the tie-break on cell index, can never diverge
+    between variants)."""
+    return (
+        f"transform(slice(array_sort(zip_with(__d2,"
+        f" sequence(0, {n_centroids - 1}), (d, i) -> struct(d AS d, i AS i)"
+        f")), 1, {n_probe}), s -> s.i) AS probe_cells"
+    )
+
+
 def centroid_d2_expr(
     cents: Sequence[Sequence[float]], vec_col: str
 ) -> str:
@@ -211,14 +223,29 @@ def centroid_d2_expr(
     node each, doubling the literal tree the analyzer re-walks per
     transform. SHARED by the batch IVF query and the streaming
     embedding sink so cell assignment can never diverge between them."""
-    cents_lit = "array(%s)" % ", ".join(
-        "array(%s)" % ", ".join(f"{float(v)!r}D" for v in c) for c in cents
-    )
     return (
-        f"transform({cents_lit}, c -> "
+        f"transform({centroid_array_lit(cents)}, c -> "
         f"aggregate(zip_with({vec_col}, c, "
         "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
         "cast(0.0 as double), (a, v) -> a + v))"
+    )
+
+
+def centroid_array_lit(cents: Sequence[Sequence[float]]) -> str:
+    """The pinned centroids as one nested DOUBLE-literal array."""
+    return "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(f"{float(v)!r}D" for v in c) for c in cents
+    )
+
+
+def residual_expr(
+    cents: Sequence[Sequence[float]], vec_col: str, cell_col: str
+) -> str:
+    """``vec - centroid[cell]`` as doubles — the quantity residual
+    PQ encodes (and the query side subtracts before ADC)."""
+    return (
+        f"zip_with({vec_col}, element_at({centroid_array_lit(cents)},"
+        f" {cell_col} + 1), (x, y) -> cast(x as double) - y)"
     )
 
 
@@ -283,10 +310,7 @@ def ann_topk_ivf(
             "query_id",
             "qvec",
             "qn",
-            f"""transform(
-                slice(array_sort(zip_with(__d2, sequence(0, {n_centroids - 1}),
-                      (d, i) -> struct(d AS d, i AS i))), 1, {n_probe}),
-                s -> s.i) AS probe_cells""",
+            probe_cells_expr(n_centroids, n_probe),
         )
         .select(
             "query_id", "qvec", "qn",
@@ -595,10 +619,7 @@ def ann_topk_ivfpq(
         .selectExpr(
             "query_id",
             "qvec",
-            f"""transform(
-                slice(array_sort(zip_with(__d2, sequence(0, {n_centroids - 1}),
-                      (d, i) -> struct(d AS d, i AS i))), 1, {n_probe}),
-                s -> s.i) AS probe_cells""",
+            probe_cells_expr(n_centroids, n_probe),
         )
         .select("query_id", "qvec", F.explode("probe_cells").alias("cell"))
     )
@@ -676,6 +697,112 @@ def pq_rerank_topk(
         exact,
         ["query_id"],
         "dist2",
+        k=k,
+        ascending=True,
+        tie_breakers=["cand_id"],
+    )
+
+
+def fit_residual_codebooks(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks on RESIDUALS (``x - centroid[cell(x)]``)
+    instead of raw vectors — the FAISS-style IVF-PQ refinement: after
+    the coarse quantizer explains the between-cell variance, the
+    residual distribution is tighter than the raw one, so the same
+    code budget quantizes it with less error. The artifact DEPENDS on
+    the centroids (retrain when they change) — the coupling
+    :func:`fit_pq_codebooks` avoids and this accepts for accuracy."""
+    d2 = centroid_d2_expr(centroids, vec_col)
+    staged = df.selectExpr(
+        id_col, vec_col, f"{d2} AS __d2"
+    ).selectExpr(id_col, vec_col, f"{CELL_FROM_D2} AS cell")
+    res = staged.selectExpr(
+        id_col, f"{residual_expr(centroids, vec_col, 'cell')} AS residual"
+    )
+    return fit_pq_codebooks(
+        res, m=m, k=k, id_col=id_col, vec_col="residual", seed=seed
+    )
+
+
+def ann_topk_ivfpq_residual(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    centroids: Sequence[Sequence[float]],
+    residual_codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the accuracy refinement
+    :func:`ann_topk_ivfpq` documents: candidates store codes of
+    ``x - centroid[cell]``, and each query subtracts the PROBED
+    cell's centroid before ADC, so
+    ``||q - (centroid + recon)||^2 == ||qres - recon||^2`` per cell.
+    Same plan shape as the raw-code variant (persisted assignment,
+    kilobyte probe broadcast, window-pushed top-k, zero Python); the
+    extra cost is one centroid lookup per probe row. The codebooks
+    artifact is centroid-DEPENDENT (see
+    :func:`fit_residual_codebooks`)."""
+    cents = [[float(x) for x in c] for c in centroids]
+    n_centroids = len(cents)
+    assigned = (
+        df.withColumn("__d2", F.expr(centroid_d2_expr(cents, vec_col)))
+        .withColumn("cell", F.expr(CELL_FROM_D2))
+        .persist()
+    )
+    cands = (
+        assigned.selectExpr(
+            f"{id_col} AS cand_id",
+            "cell",
+            f"{residual_expr(cents, vec_col, 'cell')} AS __res",
+        )
+        .selectExpr(
+            "cand_id",
+            "cell",
+            f"{pq_d2_expr(residual_codebooks, '__res')} AS __pqd2",
+        )
+        .selectExpr("cand_id", "cell", f"{PQ_CODE_FROM_D2} AS code")
+        .selectExpr(
+            "cand_id",
+            "cell",
+            f"{pq_reconstruct_expr(residual_codebooks, 'code')} AS rres",
+        )
+    )
+    probes = (
+        assigned.where(F.col(id_col).isin(*query_ids))
+        .selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qvec", "__d2")
+        .selectExpr("query_id", "qvec", probe_cells_expr(n_centroids, n_probe))
+        .select("query_id", "qvec", F.explode("probe_cells").alias("cell"))
+        .selectExpr(
+            "query_id",
+            "cell",
+            f"{residual_expr(cents, 'qvec', 'cell')} AS qres",
+        )
+    )
+    adc = dual.fold(
+        "zip_with(qres, rres, (x, y) -> (x - y) * (x - y))",
+        "cast(0.0 as double)",
+        "(a, v) -> a + v",
+        dual.SPARK,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cands, "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .selectExpr("query_id", "cand_id", f"{adc} AS adc_dist2")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        "adc_dist2",
         k=k,
         ascending=True,
         tie_breakers=["cand_id"],

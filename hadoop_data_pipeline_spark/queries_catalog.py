@@ -2527,6 +2527,154 @@ def embedding_drift_psi_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_ivfpq_residual_sql(
+    k: int = 5, n_probe: int = 2, n_queries: int = 10
+) -> str:
+    """Exact oracle for RESIDUAL IVF-PQ: the IVF assignment/probe CTEs,
+    residual subtraction against the centroid literal (dynamic
+    ``cents[cell + 1]`` indexing), PQ encode/reconstruct over the
+    residual codebooks, ADC between the query's per-probe residual
+    and the candidate's reconstruction — all constants, same fold
+    orders as Spark."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.functions.pq_residual_codebooks import (
+        SF001_RESIDUAL_CODEBOOKS,
+    )
+
+    n = len(SF001_CENTROIDS)
+    cents = "[%s]" % ", ".join(
+        "[%s]" % ", ".join(_duck_double_lit(v) for v in c)
+        for c in SF001_CENTROIDS
+    )
+    diff2 = dual.transform(
+        "list_zip(embedding, c)",
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])",
+        D,
+    )
+    d2 = dual.transform(
+        cents,
+        f"c -> {dual.fold(diff2, 'CAST(0.0 AS DOUBLE)', '(acc, v) -> acc + v', D)}",
+        D,
+    )
+
+    def resid(vec: str, cell: str) -> str:
+        return dual.transform(
+            f"list_zip({vec}, ({cents})[{cell} + 1])",
+            "p -> CAST(p[1] AS DOUBLE) - p[2]",
+            D,
+        )
+
+    m = len(SF001_RESIDUAL_CODEBOOKS)
+    d_sub = len(SF001_RESIDUAL_CODEBOOKS[0][0])
+    cb3 = "[%s]" % ", ".join(
+        "[%s]"
+        % ", ".join(
+            "[%s]" % ", ".join(_duck_double_lit(v) for v in cw) for cw in cb
+        )
+        for cb in SF001_RESIDUAL_CODEBOOKS
+    )
+    subdiff2 = dual.transform(
+        f"list_zip(resid[p[2] * {d_sub} + 1 : p[2] * {d_sub} + {d_sub}], c)",
+        "w -> (w[1] - w[2]) * (w[1] - w[2])",
+        D,
+    )
+    subd2 = dual.fold(
+        subdiff2, "CAST(0.0 AS DOUBLE)", "(acc, v) -> acc + v", D
+    )
+    pqd2 = dual.transform(
+        f"list_zip({cb3}, range(0, {m}))",
+        f"p -> {dual.transform('p[1]', f'c -> {subd2}', D)}",
+        D,
+    )
+    code = dual.transform(
+        "pqd2", "ds -> CAST(list_position(ds, list_min(ds)) - 1 AS INT)", D
+    )
+    recon = (
+        f"flatten({dual.transform(f'list_zip({cb3}, code)', 'p -> p[1][p[2] + 1]', D)})"
+    )
+    adcdiff2 = dual.transform(
+        "list_zip(qr.qres, c.rres)",
+        "w -> (w[1] - w[2]) * (w[1] - w[2])",
+        D,
+    )
+    adc = dual.fold(adcdiff2, "CAST(0.0 AS DOUBLE)", "(acc, v) -> acc + v", D)
+    return f"""
+    WITH asg AS (
+        SELECT vec_id, embedding, d2,
+               CAST(list_position(d2, list_min(d2)) - 1 AS INT) AS cell
+        FROM (SELECT vec_id, embedding, {d2} AS d2 FROM embeddings)
+    ),
+    ud AS (
+        SELECT vec_id, unnest(d2) AS d, unnest(range(0, {n})) AS cell
+        FROM asg WHERE vec_id < {n_queries}
+    ),
+    probe AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM ud
+        ) WHERE rn <= {n_probe}
+    ),
+    res AS (
+        SELECT vec_id, cell, {resid('embedding', 'cell')} AS resid FROM asg
+    ),
+    enc AS (
+        SELECT vec_id, cell, {code} AS code
+        FROM (SELECT vec_id, cell, {pqd2} AS pqd2 FROM res)
+    ),
+    rec AS (SELECT vec_id, cell, {recon} AS rres FROM enc),
+    qres AS (
+        SELECT p.vec_id, p.cell,
+               {resid('q.embedding', 'p.cell')} AS qres
+        FROM probe p JOIN embeddings q ON q.vec_id = p.vec_id
+    ),
+    s AS (
+        SELECT qr.vec_id AS query_id, c.vec_id AS cand_id, {adc} AS adc_dist2
+        FROM qres qr
+        JOIN rec c ON c.cell = qr.cell AND c.vec_id <> qr.vec_id
+    )
+    SELECT query_id, cand_id, adc_dist2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist2 ASC, cand_id ASC
+        ) AS rn FROM s
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "embedding_ann_ivfpq_residual_topk", oracle=_duck_ivfpq_residual_sql()
+)
+def embedding_ann_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual-encoded IVF-PQ (`operators/similarity.py::
+    ann_topk_ivfpq_residual`): candidates store 4-bit codes of
+    ``x - centroid[cell]`` (functions/pq_residual_codebooks.py, a
+    centroid-DEPENDENT artifact regenerated alongside the quantizer),
+    each query subtracts the probed cell's centroid before ADC — the
+    accuracy refinement over `embedding_ann_ivfpq_topk`'s independent
+    artifacts, completing the production IVF-PQ shape. Quantization
+    error vs the raw-code variant is compared in
+    tests/test_extensions.py."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.functions.pq_residual_codebooks import (
+        SF001_RESIDUAL_CODEBOOKS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivfpq_residual(
+        emb,
+        query_ids=list(range(10)),
+        centroids=SF001_CENTROIDS,
+        residual_codebooks=SF001_RESIDUAL_CODEBOOKS,
+        k=5,
+    )
+
+
 def _duck_kmeans_refine_sql() -> str:
     """Exact oracle for one distributed Lloyd iteration over the
     pinned quantizer: assignment uses the same fold order as the
@@ -5946,7 +6094,8 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # debounce_dedup_events, tfidf_top_terms_per_lang, embedding_pq_topk,
 # embedding_ann_ivfpq_topk, embedding_drift_psi_by_cell,
 # lang_id_confusion, embedding_pq_rerank_topk,
-# curriculum_quality_buckets, zorder_bucket_locality.
+# curriculum_quality_buckets, zorder_bucket_locality,
+# embedding_ann_ivfpq_residual_topk.
 
 _DRIVER_WINDOW = [
     # r7 HUGEINT-cast oracles, never driver-hashed until now

@@ -524,6 +524,66 @@ def test_ivfpq_consistent_with_pq_and_probes(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_ivfpq_residual_artifact_and_error_reduction(spark):
+    """Residual IVF-PQ contract: the pinned residual codebooks equal a
+    fresh fit (they are centroid-dependent — a stale artifact after a
+    quantizer refit must fail here), residual encoding strictly
+    reduces mean quantization error vs the raw-vector codebooks on
+    this fixture (0.596 vs 0.624 measured — the refinement's entire
+    point), and the query is deterministic."""
+    import numpy as np
+
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.functions.pq_codebooks import (
+        SF001_CODEBOOKS,
+    )
+    from hadoop_data_pipeline_spark.functions.pq_residual_codebooks import (
+        SF001_RESIDUAL_CODEBOOKS,
+    )
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb01 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    assert (
+        sim.fit_residual_codebooks(emb01, SF001_CENTROIDS, m=8, k=16)
+        == SF001_RESIDUAL_CODEBOOKS
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pdf = emb.toPandas()
+    X = np.asarray([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    C = np.asarray(SF001_CENTROIDS)
+    cell = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+
+    def mean_qerr(vals, cb):
+        cb = np.asarray(cb)
+        m, _, d = cb.shape
+        sub = vals.reshape(len(vals), m, d)
+        codes = ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1).argmin(2)
+        rec = np.stack(
+            [
+                np.concatenate([cb[s, codes[j, s]] for s in range(m)])
+                for j in range(len(vals))
+            ]
+        )
+        return float(((vals - rec) ** 2).sum(1).mean())
+
+    raw_err = mean_qerr(X, SF001_CODEBOOKS)
+    res_err = mean_qerr(X - C[cell], SF001_RESIDUAL_CODEBOOKS)
+    assert res_err < raw_err, (res_err, raw_err)
+
+    qids = list(range(10))
+    got = sim.ann_topk_ivfpq_residual(
+        emb, qids, SF001_CENTROIDS, SF001_RESIDUAL_CODEBOOKS, k=5
+    ).collect()
+    assert len(got) == 50 and all(r.adc_dist2 >= 0 for r in got)
+    again = sim.ann_topk_ivfpq_residual(
+        emb, qids, SF001_CENTROIDS, SF001_RESIDUAL_CODEBOOKS, k=5
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_cell_population_drift_null_and_planted(spark):
     """PSI sanity: identical snapshots score exactly 0 in every cell;
     deleting one cell's population entirely yields a strictly
