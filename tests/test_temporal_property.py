@@ -130,3 +130,72 @@ def test_scd2_history_matches_brute_force(spark, rows):
         key=_row_key,
     )
     assert got == _brute_scd2(data)
+
+def _brute_debounce(rows, gap_s):
+    """Python reference for debounce_flags: per (user, type) in
+    (ts, event_id) order, kept iff first or gap from the PREVIOUS ROW
+    (kept or not) exceeds gap_s — microsecond-exact."""
+    out = {}
+    by_key = {}
+    for eid, uid, typ, ts in rows:
+        by_key.setdefault((uid, typ), []).append((ts, eid))
+    for seq in by_key.values():
+        seq.sort()
+        prev = None
+        for ts, eid in seq:
+            out[eid] = prev is None or (ts - prev) > gap_s * 1_000_000
+            prev = ts
+    return out
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),      # user
+            st.integers(0, 1),      # type
+            st.integers(0, 8),      # coarse ts slot -> collisions
+            st.integers(0, 1),      # sub-slot: exactly-gap boundaries
+        ),
+        max_size=14,
+    )
+)
+def test_debounce_flags_match_brute_force(spark, rows):
+    """Debounce vs the python reference over adversarial streams:
+    duplicate timestamps inside a key (ordering falls to event_id)
+    and gaps landing EXACTLY on the boundary (strict > contract)."""
+    from hadoop_data_pipeline_spark.operators import queries as Q
+
+    gap_s = 10
+    data = []
+    for eid, (u, t, slot, sub) in enumerate(rows):
+        # slots are exactly one gap apart; sub shifts half a gap so
+        # consecutive rows produce gaps of 0, gap/2, gap and 3*gap/2.
+        ts_us = (slot * gap_s + sub * gap_s // 2) * 1_000_000
+        data.append((eid, u, f"t{t}", ts_us))
+    if not data:
+        data = [(0, 0, "t0", 0)]
+    df = spark.createDataFrame(
+        [
+            (eid, u, t, __import__("datetime").datetime.utcfromtimestamp(
+                us / 1_000_000
+            ))
+            for eid, u, t, us in data
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r.event_id: r.kept
+        for r in Q.debounce_flags(
+            df, ["user_id", "event_type"], gap_seconds=gap_s
+        ).collect()
+    }
+    want = _brute_debounce(
+        [(eid, u, t, us) for eid, u, t, us in data], gap_s
+    )
+    assert got == want
