@@ -1,40 +1,185 @@
-"""Multi-dimensional data layout: Z-order (Morton-curve) clustering.
+"""Data-layout operators: clustering for scan pruning.
 
-A single sort key gives range-pruning on one column only; interleaving
-the bits of TWO bucketized keys into a Z-value makes files/row-groups
-simultaneously narrow in BOTH dimensions, so min-max (zone-map) stats
-prune scans for predicates on either column — the lakehouse layout
-trick (Delta/Iceberg ``OPTIMIZE ZORDER BY``) expressed as plain
-Catalyst arithmetic + ``repartitionByRange``.
+At 100 TB the cheapest query is the one that never reads the data:
+parquet stores per-row-group min/max statistics, and a scan with a
+pushed-down predicate skips every row group whose range excludes the
+value. That only pays off if the data is CLUSTERED on the filter
+column — random layout makes every row group's range span the whole
+domain, so nothing is ever skipped.
 
-Everything here is pure integer arithmetic with Python-precomputed
-powers of two — no bit-shift builtins — so the SAME formula runs on
-Spark and DuckDB (the catalog query's oracle) and stays inside
-whole-stage codegen.
+``cluster_for_scan`` is the write-side half of that contract:
+range-partition on the cluster columns (each output file covers a
+disjoint value range) and sort within partitions (row groups inside a
+file cover disjoint sub-ranges). A point or range predicate on the
+cluster columns then touches one file and a handful of row groups,
+regardless of table size. This is the single-dimension version of
+what Z-ordering/Liquid clustering do for multi-column predicates;
+for one dominant filter column (tenant id, date, user id) it is
+optimal and needs no engine extension.
 
-Scale: computing z is a projection; laying data out is ONE range
-shuffle on z (the same cost as any sorted write) and buys every later
-scan two-dimensional pruning. At 100 TB this is an ingest-time or
-compaction-time job, never a query-time one.
+Cost model: one range exchange (sampling pass picks the bounds, AQE
+balances skew) + per-partition sort — the same price as any global
+sort, paid ONCE at write time, repaid on every subsequent scan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+from collections.abc import Sequence
 
-from hadoop_data_pipeline_spark.functions import dual
+from pyspark.sql import DataFrame
+
+
+def cluster_for_scan(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partition + in-partition sort on ``cols`` so a subsequent
+    parquet write produces files with pairwise-disjoint value ranges
+    and internally sorted row groups (max min/max pruning for filters
+    on ``cols``). Pass the result straight to ``.write.parquet``.
+
+    ``n_partitions`` defaults to Spark's shuffle partition count; set
+    it to target a file size (total_bytes / desired_file_bytes) — at
+    scale, files of 128-1024 MB keep both the footer count and the
+    task count sane.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cluster_for_scan needs at least one column")
+    if n_partitions is not None:
+        rp = df.repartitionByRange(n_partitions, *cols)
+    else:
+        rp = df.repartitionByRange(*cols)
+    return rp.sortWithinPartitions(*cols)
+
+
+def z_order_key(col_a: str, col_b: str, bits: int = 16):
+    """Z-order (Morton) key for two non-negative integer columns: bit
+    i of each input maps to bits 2i / 2i+1 of the key, so sorting by
+    the key interleaves locality across BOTH dimensions — range
+    clustering on the z-key gives every written file a bounded
+    rectangle in (a, b) space, and parquet min/max pruning works for
+    predicates on EITHER column (a linear sort only prunes its first
+    column). The two-column form generalizes by chaining.
+
+    Inputs are clamped to ``bits`` bits (values beyond 2^bits-1
+    saturate, preserving ordering at the top end). Pure JVM bit
+    arithmetic — codegen'd, zero shuffle to compute.
+    """
+    from pyspark.sql import functions as F
+
+    def clamped(c: str):
+        return F.least(
+            F.greatest(F.col(c).cast("long"), F.lit(0)),
+            F.lit((1 << bits) - 1),
+        )
+
+    a, b = clamped(col_a), clamped(col_b)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        bbit = F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        key = key.bitwiseOR(abit).bitwiseOR(bbit)
+    return key
+
+
+def z_order_cluster(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_partitions: int | None = None,
+    bits: int = 16,
+) -> DataFrame:
+    """Cluster for two-dimensional scan pruning: range-partition +
+    sort on the Morton key of (col_a, col_b). Files end up covering
+    bounded rectangles in both dimensions, so filters on either
+    column prune. The ``__zkey`` column is dropped before write."""
+    keyed = df.withColumn("__zkey", z_order_key(col_a, col_b, bits))
+    clustered = cluster_for_scan(keyed, ["__zkey"], n_partitions)
+    return clustered.drop("__zkey")
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files. The small-files
+    problem is a silent scale killer — a 100 TB table written by
+    10k-task jobs accumulates millions of KB-sized files, and every
+    subsequent scan pays a per-file open/footer cost that dwarfs the
+    data read; NameNode/listing pressure grows the same way.
+
+    Returns the new file count. Uses coalesce (no shuffle — partitions
+    are merged, not redistributed); the rewrite goes through a temp
+    directory + atomic-ish swap so readers never see a half state.
+    At production scale run this per-partition (year=.../day=...), not
+    on the whole table at once.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: Sequence[str],
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with BLOOM FILTERS on ``bloom_cols`` — the point-
+    lookup complement to :func:`cluster_for_scan`: min/max pruning
+    needs the data clustered on the filter column, but a table can
+    only be clustered one way; bloom filters give probabilistic row-
+    group skipping for equality predicates on any OTHER high-
+    cardinality column (id lookups on a time-clustered table being
+    the canonical case) at a few bits per distinct value.
+
+    ``expected_ndv`` sizes the filter (per column, per row group);
+    undersizing inflates the false-positive rate toward "never skips".
+    Caveat: parquet-mr silently DROPS the bloom filter for columns
+    whose pages are all dictionary-encoded (the dictionary already
+    gives exact pruning) — blooms only materialize once cardinality
+    defeats the dictionary, which is exactly when you need them.
+    """
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    w.parquet(path)
 
 
 def zvalue_expr(
-    xcol: str, ycol: str, bits: int = 8, dialect: str = dual.SPARK
+    xcol: str, ycol: str, bits: int = 8, dialect: str = "spark"
 ) -> str:
-    """Morton interleave of two non-negative ints bucketized to
-    ``bits`` bits each: bit ``i`` of x lands at position ``2i``, bit
-    ``i`` of y at ``2i + 1``. Inputs are masked to ``bits`` via
-    modulo, so callers can pass raw keys. Dialect-portable: integer
-    div/mod with precomputed constants only."""
-    dv = "div" if dialect == dual.SPARK else "//"
+    """:func:`z_order_key` as a dialect-portable SQL STRING — the form
+    the oracle-checked catalog query (`zorder_bucket_locality`) needs:
+    pure integer div/mod with Python-precomputed powers of two, no
+    bit-shift builtins, so the identical formula runs on Spark and
+    DuckDB. Inputs are masked to ``bits`` via modulo (the Column
+    variant above clamps instead — saturating preserves top-end
+    ordering for clustering, masking keeps the expression exactly
+    mirrorable in SQL; for in-range values the two agree bit-for-bit,
+    which tests/test_extensions.py pins)."""
+    dv = "div" if dialect == "spark" else "//"
     mask = 2**bits
     terms = []
     for i in range(bits):
@@ -42,29 +187,3 @@ def zvalue_expr(
         terms.append(f"((({xcol} % {mask}) {dv} {p}) % 2) * {4**i}")
         terms.append(f"((({ycol} % {mask}) {dv} {p}) % 2) * {2 * 4**i}")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
-
-
-def zorder_write(
-    df: DataFrame,
-    path: str,
-    xcol: str,
-    ycol: str,
-    bits: int = 8,
-    n_files: int = 8,
-) -> None:
-    """Write ``df`` as parquet clustered on the Z-curve of
-    ``(xcol, ycol)``: one range shuffle on the z-value, sorted within
-    partitions, so each output file covers a narrow z-range — and
-    therefore a narrow rectangle in (x, y) — giving zone-map pruning
-    on BOTH columns. The ``__z`` column is dropped before writing
-    (layout metadata, not data)."""
-    with_z = df.withColumn(
-        "__z", F.expr(zvalue_expr(xcol, ycol, bits, dual.SPARK))
-    )
-    (
-        with_z.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )

@@ -3126,7 +3126,7 @@ def zorder_bucket_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-of-year), grouped by the curve's 256-way prefix buckets, each
     reporting its (x, y) spans — every bucket is a ≤16x16 rectangle,
     the property that makes zone-map pruning work on BOTH columns
-    after a `zorder_write`. The layout itself (range-shuffled sorted
+    after a `z_order_cluster` write. The layout itself (range-shuffled sorted
     parquet, per-file min-max narrowness) is pinned by
     tests/test_extensions.py; this query is the pure-arithmetic core
     the oracle can hash-check."""

@@ -618,7 +618,7 @@ def test_cell_population_drift_null_and_planted(spark):
 
 def test_zorder_interleave_and_file_locality(spark, tmp_path):
     """Morton interleave unit cases, then the layout property that
-    justifies it: after zorder_write, every parquet file's (x, y)
+    justifies it: after a z_order_cluster write, every parquet file's (x, y)
     min-max rectangle is a small fraction of the domain — the
     zone-map pruning surface for predicates on EITHER column. A
     single-column sort gives this on one axis only."""
@@ -643,8 +643,21 @@ def test_zorder_interleave_and_file_locality(spark, tmp_path):
         "CAST(o_custkey % 256 AS BIGINT) AS x",
         "CAST(dayofyear(o_orderdate) % 256 AS BIGINT) AS y",
     )
+    # the SQL-string form (oracle-able) and the Column form (write
+    # path, z_order_key) must agree bit-for-bit on in-range values
+    mism = (
+        orders.withColumn("zk", layout.z_order_key("x", "y", bits=8))
+        .where(
+            F.expr(layout.zvalue_expr("x", "y", 8, dl.SPARK))
+            != F.col("zk")
+        )
+        .count()
+    )
+    assert mism == 0
     path = str(tmp_path / "zorders")
-    layout.zorder_write(orders, path, "x", "y", bits=8, n_files=8)
+    layout.z_order_cluster(orders, "x", "y", n_partitions=8, bits=8).write.parquet(
+        path
+    )
 
     files = sorted(glob.glob(f"{path}/*.parquet"))
     assert len(files) >= 4
