@@ -440,3 +440,52 @@ def profile_table(
         "(column, n_rows, n_nulls, n_distinct, "
         "min_num, max_num, min_str, max_str)"
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Privacy-risk audit before a dataset leaves the curated zone:
+    group rows into equivalence classes on the quasi-identifier
+    columns and report, per class-size bucket, how many classes and
+    rows sit there plus the bucket's worst l-DIVERSITY (minimum
+    distinct ``sensitive_col`` values in any class). A row in a class
+    smaller than ``k`` is re-identifiable by joining public data on
+    the quasi-identifiers; a class with l = 1 leaks its sensitive
+    value even when k is satisfied (everyone in the class shares it).
+    ``at_risk`` marks buckets below the k threshold, so
+    ``sum(n_rows) WHERE at_risk`` is the number a release gate would
+    block on.
+
+    Buckets are the class size clamped into {1..9, 10+} — a bounded
+    output regardless of table size. Scale: one shuffle on the
+    quasi-identifier key with map-side partial aggregation (the same
+    shape as any groupBy), then a bounded re-aggregation; no
+    per-class rows ever reach the driver."""
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__size"),
+        F.countDistinct(sensitive_col).alias("__l"),
+    )
+    return (
+        classes.selectExpr(
+            f"CASE WHEN __size >= {k} THEN {k} ELSE __size END AS size_bucket",
+            "__size",
+            "__l",
+        )
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("__size").alias("n_rows"),
+            F.min("__l").alias("min_l_diversity"),
+        )
+        .selectExpr(
+            "size_bucket",
+            "n_classes",
+            "n_rows",
+            "min_l_diversity",
+            f"size_bucket < {k} AS at_risk",
+        )
+    )

@@ -3149,6 +3149,51 @@ def zorder_bucket_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "k_anonymity_customers",
+    oracle="""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS sz,
+               count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+                                   WHEN c_acctbal < 5000 THEN 'mid'
+                                   ELSE 'high' END) AS l
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT size_bucket,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(min(l) AS BIGINT) AS min_l_diversity,
+           size_bucket < 10 AS at_risk
+    FROM (SELECT CASE WHEN sz >= 10 THEN 10 ELSE sz END AS size_bucket,
+                 sz, l FROM cls)
+    GROUP BY size_bucket
+    """,
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate (`quality.py::k_anonymity_audit`):
+    k-anonymity / l-diversity audit of customers under the
+    (nation, market segment) quasi-identifiers with the account-
+    balance band as the sensitive attribute — the governance
+    companion to the GDPR purge audit (`tombstone_delete_users`) and
+    the PII scan: rows in sub-k classes are re-identifiable by a join
+    on public attributes, l=1 classes leak the sensitive band
+    outright. Bounded output (class-size buckets clamped at 10+);
+    one quasi-identifier shuffle at any table size."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.expr(
+            "CASE WHEN c_acctbal < 0 THEN 'debt'"
+            " WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END"
+        ),
+    )
+    from hadoop_data_pipeline_spark import quality as qy
+
+    return qy.k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", k=10
+    )
+
+
 def _duck_quality_buckets(n_buckets: int = 5) -> str:
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bsel = ", ".join(
@@ -6095,7 +6140,7 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_ann_ivfpq_topk, embedding_drift_psi_by_cell,
 # lang_id_confusion, embedding_pq_rerank_topk,
 # curriculum_quality_buckets, zorder_bucket_locality,
-# embedding_ann_ivfpq_residual_topk.
+# embedding_ann_ivfpq_residual_topk, k_anonymity_customers.
 
 _DRIVER_WINDOW = [
     # r7 HUGEINT-cast oracles, never driver-hashed until now

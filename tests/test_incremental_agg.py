@@ -113,3 +113,30 @@ def test_emit_changelog_roundtrip(spark):
     got = {(r.k, r.price, r.status) for r in applied.collect()}
     want = {(r.k, r.price, r.status) for r in b.collect()}
     assert got == want
+
+
+def test_k_anonymity_audit_planted(spark):
+    # Classes: (A,x) size 3 l=2; (A,y) size 1 l=1 (singleton, worst
+    # case); (B,x) size 12 l=1 (k-safe but zero-diversity).
+    from hadoop_data_pipeline_spark.quality import k_anonymity_audit
+
+    rows = (
+        [("A", "x", "s1"), ("A", "x", "s1"), ("A", "x", "s2")]
+        + [("A", "y", "s1")]
+        + [("B", "x", "s9")] * 12
+    )
+    df = spark.createDataFrame(rows, "qa string, qb string, sens string")
+    got = {
+        r.size_bucket: r
+        for r in k_anonymity_audit(df, ["qa", "qb"], "sens", k=10).collect()
+    }
+    assert set(got) == {1, 3, 10}
+    assert got[1].n_classes == 1 and got[1].n_rows == 1 and got[1].at_risk
+    assert got[1].min_l_diversity == 1
+    assert got[3].n_classes == 1 and got[3].n_rows == 3 and got[3].at_risk
+    assert got[3].min_l_diversity == 2
+    # the 12-row class is k-safe (bucket 10+) but l=1 still surfaces
+    assert got[10].n_rows == 12 and not got[10].at_risk
+    assert got[10].min_l_diversity == 1
+    # release-gate number: rows in sub-k classes
+    assert sum(r.n_rows for r in got.values() if r.at_risk) == 4
