@@ -336,6 +336,58 @@ def ann_topk_ivf(
     )
 
 
+def hard_negative_pairs(
+    df: DataFrame,
+    lo: float = 0.15,
+    hi: float = 0.3,
+    per_anchor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: per ANCHOR vector,
+    the ``per_anchor`` most-similar candidates in the cosine band
+    ``[lo, hi)`` — similar enough to be informative negatives, below
+    the near-duplicate threshold so they are not false negatives
+    (pairs >= ``hi`` belong to :func:`embedding_near_dup_pairs` /
+    dedup, not to the negatives file). The standard mining step for
+    embedding-model training data.
+
+    Scale: the same blocked equi-join as the near-dup pair generator
+    (candidates only meet inside a block — pass ``block_col=None``
+    upstream conventions for LSH buckets), band-filtered on the
+    ROUNDED cosine so the boundary is engine-stable, then a
+    per-anchor window top-k — output bounded at ``per_anchor`` rows
+    per vector regardless of block density."""
+    nrm = dual.norm(vec_col, dual.SPARK)
+    a = df.selectExpr(
+        f"{id_col} AS anchor_id",
+        f"{vec_col} AS va",
+        f"{nrm} AS na_",
+        f"{block_col} AS blk",
+    )
+    b = df.selectExpr(
+        f"{id_col} AS cand_id",
+        f"{vec_col} AS vb",
+        f"{nrm} AS nb_",
+        f"{block_col} AS __blk_b",
+    )
+    cos = dual.cosine_staged("va", "vb", "na_", "nb_", dual.SPARK)
+    band = (
+        a.join(b, F.col("blk") == F.col("__blk_b"))
+        .where(F.col("anchor_id") != F.col("cand_id"))
+        .selectExpr("anchor_id", "cand_id", "blk", f"{cos} AS cosine")
+        .where((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    )
+    return top_k_per_group(
+        band,
+        ["anchor_id"],
+        "cosine",
+        k=per_anchor,
+        tie_breakers=["cand_id"],
+    )
+
+
 def kmeans_refine_stats(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],

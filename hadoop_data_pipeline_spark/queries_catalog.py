@@ -1191,6 +1191,43 @@ def _duck_near_dup_emb_sql(threshold: float) -> str:
     """
 
 
+def _duck_hard_negatives(lo: float, hi: float, per_anchor: int) -> str:
+    cos = dual.cosine("a.embedding", "b.embedding", D)
+    return f"""
+    WITH s AS (
+        SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+               a.label AS blk, {cos} AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT anchor_id, cand_id, blk, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cosine DESC, cand_id ASC
+        ) AS rn
+        FROM s WHERE cosine >= {lo} AND cosine < {hi}
+    ) WHERE rn <= {per_anchor}
+    """
+
+
+@register(
+    "hard_negative_pairs_embeddings",
+    oracle=_duck_hard_negatives(0.15, 0.3, 3),
+)
+def hard_negative_pairs_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive-training hard-negative mining
+    (`operators/similarity.py::hard_negative_pairs`): per anchor, the
+    3 most-similar same-label candidates in the cosine band
+    [0.15, 0.3) — informative negatives strictly below the corpus's
+    near-dup threshold (0.3, `embedding_near_dup_pairs`), so the
+    negatives file can never contain a pair dedup would call a
+    duplicate. Band-filters on the rounded cosine; output bounded at
+    3 rows/vector regardless of block density."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.hard_negative_pairs(emb, lo=0.15, hi=0.3, per_anchor=3)
+
+
 @register("embedding_near_dup_pairs", oracle=_duck_near_dup_emb_sql(0.3))
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked by label (cos >= 0.3)."""
@@ -6140,7 +6177,8 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_ann_ivfpq_topk, embedding_drift_psi_by_cell,
 # lang_id_confusion, embedding_pq_rerank_topk,
 # curriculum_quality_buckets, zorder_bucket_locality,
-# embedding_ann_ivfpq_residual_topk, k_anonymity_customers.
+# embedding_ann_ivfpq_residual_topk, k_anonymity_customers,
+# hard_negative_pairs_embeddings.
 
 _DRIVER_WINDOW = [
     # r7 HUGEINT-cast oracles, never driver-hashed until now

@@ -950,3 +950,32 @@ def test_ngram_jaccard_presieve_equals_default(docs):
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         ), f"cap={cap}"
+
+
+def test_hard_negative_pairs_band_and_disjoint_from_dups(vecs):
+    """Hard negatives must sit strictly inside the cosine band, cap at
+    per_anchor rows per anchor, stay inside the label block, and be
+    DISJOINT from the near-dup pair set at the band's upper edge —
+    the contract that keeps false negatives out of a contrastive
+    training file."""
+    got = sim.hard_negative_pairs(
+        vecs, lo=-1.0, hi=0.9, per_anchor=2
+    ).collect()
+    assert got, "planted fixture must yield in-band pairs"
+    per_anchor = {}
+    for r in got:
+        assert -1.0 <= r.cosine < 0.9
+        per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
+    assert max(per_anchor.values()) <= 2
+    dups = {
+        frozenset((r.id_a, r.id_b))
+        for r in sim.embedding_near_dup_pairs(
+            vecs, threshold=0.9, block_col="label"
+        ).collect()
+    }
+    negs = {frozenset((r.anchor_id, r.cand_id)) for r in got}
+    assert not (dups & negs)
+    # block discipline: anchors only meet same-label candidates
+    labels = {r.vec_id: r.label for r in vecs.collect()}
+    for r in got:
+        assert labels[r.anchor_id] == labels[r.cand_id]
