@@ -932,6 +932,61 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_fertility() -> str:
+    ex = tx.token_stats_exprs("text", "tk", D)
+    return f"""
+    WITH t AS (
+        SELECT lang, text, {dual.tokens('text', D)} AS tk FROM documents
+    ),
+    d AS (
+        SELECT lang, {ex['n_tokens']} AS n_tok,
+               {ex['n_subtokens']} AS n_sub,
+               length(replace(text, ' ', '')) AS n_chars
+        FROM t
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+           round(CAST(sum(n_sub) AS DOUBLE) / sum(n_tok), 6) AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 6)
+               AS avg_token_len
+    FROM d GROUP BY lang
+    """
+
+
+@register("tokenizer_fertility_by_lang", oracle=_duck_fertility())
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fairness diagnostic: per language, the FERTILITY
+    (subtokens emitted per whitespace word — the standard measure of
+    how much a tokenizer inflates a language's sequence lengths and
+    therefore its effective training/inference cost) plus average
+    word length. Corpus-level ratios (sum/sum, not avg-of-ratios) so
+    long documents weigh by their token mass. Pure staged projection
+    + one tiny groupBy; the same shape at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.selectExpr(
+        "lang", "text", f"{dual.tokens('text', dual.SPARK)} AS __toks"
+    )
+    ex = tx.token_stats_exprs("text", "__toks", dual.SPARK)
+    per_doc = staged.selectExpr(
+        "lang",
+        f"{ex['n_tokens']} AS n_tok",
+        f"{ex['n_subtokens']} AS n_sub",
+        "length(replace(text, ' ', '')) AS n_chars",
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_sub").alias("n_subtokens"),
+        F.round(
+            F.sum("n_sub").cast("double") / F.sum("n_tok"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tok"), 6
+        ).alias("avg_token_len"),
+    )
+
+
 def _duck_quality() -> str:
     return (
         f"WITH t AS (SELECT doc_id, text, {dual.tokens('text', D)} AS tk FROM documents) "
@@ -6178,7 +6233,7 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lang_id_confusion, embedding_pq_rerank_topk,
 # curriculum_quality_buckets, zorder_bucket_locality,
 # embedding_ann_ivfpq_residual_topk, k_anonymity_customers,
-# hard_negative_pairs_embeddings.
+# hard_negative_pairs_embeddings, tokenizer_fertility_by_lang.
 
 _DRIVER_WINDOW = [
     # r7 HUGEINT-cast oracles, never driver-hashed until now

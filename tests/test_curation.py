@@ -372,3 +372,32 @@ def test_quality_buckets_balanced_and_ordered(spark):
         assert abs(r.n_docs - n / 5) <= 0.2 * n / 5, (b, r.n_docs)
     for b in range(1, 5):
         assert rows[b].max_logp <= rows[b + 1].min_logp + 1e-9, b
+
+
+def test_tokenizer_fertility_hand_values(spark):
+    # "ab cd" -> 2 words, 2 subtokens, 4 chars; "a-b x!" -> 2 words
+    # but 5 subtokens (a, -, b, x, !): fertility exposes the
+    # punctuation-splitting cost per language.
+    # The catalog form (tokenizer_fertility_by_lang) is oracle-checked
+    # on the fixtures; this pins the shared expressions' hand values
+    # on a planted frame.
+    from hadoop_data_pipeline_spark.functions import dual
+    from hadoop_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [("en", "ab cd"), ("xx", "a-b x!")], "lang string, text string"
+    )
+    staged = df.selectExpr(
+        "lang", "text", f"{dual.tokens('text', dual.SPARK)} AS __toks"
+    )
+    ex = tx.token_stats_exprs("text", "__toks", dual.SPARK)
+    got = {
+        r.lang: r
+        for r in staged.selectExpr(
+            "lang",
+            f"{ex['n_tokens']} AS n_tok",
+            f"{ex['n_subtokens']} AS n_sub",
+        ).collect()
+    }
+    assert (got["en"].n_tok, got["en"].n_sub) == (2, 2)   # fertility 1.0
+    assert (got["xx"].n_tok, got["xx"].n_sub) == (2, 5)   # fertility 2.5
