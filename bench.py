@@ -131,7 +131,15 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
-    for name, fn in queries_catalog.QUERIES.items():
+    # Fixed ALPHABETICAL execution order, independent of the driver
+    # correctness window: _apply_driver_window() reorders QUERIES each
+    # round, and r9 showed that whatever lands in the early slots
+    # absorbs residual session warmup (position artifacts polluted
+    # cross-round deltas for pack_token_shards / jsonl_roundtrip_docs).
+    # A stable order makes BENCH_r{N} per-query timings comparable
+    # across window rotations.
+    for name in sorted(queries_catalog.QUERIES):
+        fn = queries_catalog.QUERIES[name]
         # Isolate queries from each other: drop any persisted frames a
         # prior query left behind (the dedup/similarity pipelines cache
         # staged arrays whose lifetime is the lazy result — a later

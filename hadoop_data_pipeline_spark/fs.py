@@ -57,6 +57,26 @@ class FS:
             out.append(it.next().getPath().toString())
         return out
 
+    def list_file_sizes(
+        self, p: str, recursive: bool = True
+    ) -> list[tuple[str, int]]:
+        """Recursive listing with byte sizes — the scheme-agnostic way
+        to size a table directory (``glob``/``os.path.getsize`` only
+        work on the local FS; this uses the same ``LocatedFileStatus``
+        stream as :meth:`list_files`, so it works on ``hdfs://``,
+        ``s3a://`` etc. with one RPC batch per listing page). Missing
+        path -> []."""
+        fs = self._fs(p)
+        path = self._path(p)
+        if not fs.exists(path):
+            return []
+        out: list[tuple[str, int]] = []
+        it = fs.listFiles(path, recursive)
+        while it.hasNext():
+            st = it.next()
+            out.append((st.getPath().toString(), int(st.getLen())))
+        return out
+
     def touch(self, p: str) -> None:
         """Create an empty marker file (K5)."""
         self._fs(p).create(self._path(p)).close()

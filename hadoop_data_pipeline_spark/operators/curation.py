@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from hadoop_data_pipeline_spark.functions import dual
 from hadoop_data_pipeline_spark.operators import dedup as dd
 from hadoop_data_pipeline_spark.operators import similarity as sim
+from hadoop_data_pipeline_spark.operators.queries import _with_cached_deps
 
 # ---------------------------------------------------------------------------
 # PII patterns — dialect-portable regexes: no backslash classes (\d, \b)
@@ -313,14 +314,20 @@ def tfidf_top_terms(
     ranking on it would make top-k boundary rows engine-dependent —
     the oracle ranks on the identical rounded value.
 
-    Scale: postings explode once and feed both aggregates (token df
-    is a digest-width shuffle; per-slice tf partial-aggs the zipf
-    head map-side); N is a 1-row aggregate broadcast by cross join;
-    top-k per slice is one window over slice partitions, never a
-    global sort."""
+    Scale: the exploded postings frame is PERSISTED so the scan +
+    explode runs once and feeds both aggregates (token df is a
+    digest-width shuffle; per-slice tf partial-aggs the zipf head
+    map-side) — without the persist, the two differently-keyed
+    aggregations would each re-run the scan and explode. The cache
+    must outlive the returned lazy plan, so callers that loop this
+    operator should release it with
+    :func:`~hadoop_data_pipeline_spark.operators.queries.unpersist_deps`
+    after materializing. N is a 1-row aggregate broadcast by cross
+    join; top-k per slice is one window over slice partitions, never
+    a global sort."""
     toks = df.selectExpr(
         lang_col, id_col, f"explode({dual.tokens(col, dual.SPARK)}) AS token"
-    )
+    ).persist()
     dfc = toks.groupBy("token").agg(
         F.countDistinct(id_col).alias("df")
     )
@@ -340,11 +347,12 @@ def tfidf_top_terms(
     w = Window.partitionBy(lang_col).orderBy(
         F.col("tfidf").desc(), F.col("token")
     )
-    return (
+    out = (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .select(lang_col, "token", "tf", "df", "tfidf")
     )
+    return _with_cached_deps(out, toks)
 
 
 def quality_bucket_stats(

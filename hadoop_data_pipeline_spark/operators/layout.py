@@ -116,25 +116,50 @@ def compact_small_files(
 
     Returns the new file count. Uses coalesce (no shuffle — partitions
     are merged, not redistributed); the rewrite goes through a temp
-    directory + atomic-ish swap so readers never see a half state.
-    At production scale run this per-partition (year=.../day=...), not
-    on the whole table at once.
-    """
-    import glob
-    import os
-    import shutil
+    directory + the same rename-swap as ``atomic_write_partition``, so
+    readers never see a half state and a crash mid-swap is recoverable
+    from the ``_old`` backup. At production scale run this
+    per-partition (year=.../day=...), not on the whole table at once.
 
-    files = glob.glob(os.path.join(path, "*.parquet"))
-    total = sum(os.path.getsize(f) for f in files)
+    Remote-FS-safe by construction: sizing goes through the Hadoop
+    ``FileSystem`` resolved from the path's own scheme (``hdfs://``,
+    ``s3a://``, ``file://`` — never ``glob``/``os``), and an empty or
+    missing directory RAISES instead of silently computing ``n_out=1``
+    (which would otherwise launch a coalesce(1) rewrite of whatever a
+    mis-typed path globs to).
+    """
+    from hadoop_data_pipeline_spark.atomic import swap_directory
+    from hadoop_data_pipeline_spark.fs import FS
+
+    fs = FS(spark)
+    sizes = [
+        (p, n)
+        for p, n in fs.list_file_sizes(path, recursive=False)
+        if p.endswith(".parquet")
+    ]
+    if not sizes:
+        raise FileNotFoundError(
+            f"compact_small_files: no parquet files under {path!r} — "
+            "refusing to compact (a remote path typo must not trigger "
+            "a full-table coalesce(1) rewrite)"
+        )
+    total = sum(n for _, n in sizes)
     n_out = max(1, -(-total // target_bytes))
+    if n_out >= len(sizes):
+        return len(sizes)  # already at/below target: nothing to do
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact_tmp__"
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".__compact_old__"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    try:
+        swap_directory(fs, tmp, path.rstrip("/"))
+    except Exception:
+        fs.delete(tmp)  # never leave a stray tmp behind
+        raise
+    return sum(
+        1
+        for p, _ in fs.list_file_sizes(path, recursive=False)
+        if p.endswith(".parquet")
+    )
 
 
 def write_with_bloom(

@@ -92,6 +92,29 @@ def latest_per_group_agg(
     )
 
 
+def _with_cached_deps(out: DataFrame, *deps: DataFrame) -> DataFrame:
+    """Tag ``out`` with the persisted intermediate frames its lazy plan
+    depends on, so callers can release them via :func:`unpersist_deps`
+    once the result is materialized."""
+    out._cached_deps = list(deps)  # type: ignore[attr-defined]
+    return out
+
+
+def unpersist_deps(df: DataFrame) -> None:
+    """Release the persisted intermediate frames backing a lazy result
+    from an operator that persist()s a shared stage (the IVF / PQ /
+    k-means family in :mod:`similarity`, :func:`curation.tfidf_top_terms`).
+    Those operators persist a corpus-sized frame that both branches of
+    their plan consume; it must stay cached until the returned LAZY
+    plan is materialized, so they cannot unpersist it themselves.
+    One-shot callers can ignore this (the cache dies with the session,
+    and the bench harness clearCache()s between queries); ITERATIVE
+    callers must call this after materializing each iteration's result,
+    or they accumulate one cached corpus-wide frame per iteration."""
+    for dep in getattr(df, "_cached_deps", []):
+        dep.unpersist()
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: Sequence[str],

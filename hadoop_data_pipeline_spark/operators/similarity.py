@@ -28,11 +28,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_data_pipeline_spark.functions import dual
-from hadoop_data_pipeline_spark.operators.queries import top_k_per_group
+from hadoop_data_pipeline_spark.operators.queries import (
+    _with_cached_deps,
+    top_k_per_group,
+    unpersist_deps,  # noqa: F401 - re-exported; callers pair it with the
+    # persist()ing operators below (see its docstring)
+)
 
 
 def with_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("bucket", F.expr(dual.ann_bucket(vec_col, dual.SPARK)))
+
+
+def _guard_block_sizes(
+    df: DataFrame,
+    block_col: str,
+    max_block_size: int | None,
+    op_name: str,
+) -> None:
+    """Shared oversized-block guard for the blocked all-pairs joins
+    (:func:`embedding_near_dup_pairs`, :func:`hard_negative_pairs`):
+    one column-pruned aggregate scan counts the blocks up front and
+    raises if any exceeds ``max_block_size`` — a 10M-row block is 50
+    trillion pairs; failing loudly beats planning it. ``None``
+    disables the guard for callers that pre-validated their blocks."""
+    if max_block_size is None:
+        return
+    oversized = (
+        df.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_block_size)
+        .limit(3)
+        .collect()
+    )
+    if oversized:
+        worst = ", ".join(f"{r[block_col]}={r['__n']}" for r in oversized)
+        raise ValueError(
+            f"{op_name}: block(s) exceed max_block_size="
+            f"{max_block_size} ({worst}); use a finer block key (e.g. "
+            f"block_col=None for LSH buckets) or raise the bound "
+            f"explicitly"
+        )
 
 
 def cosine_topk(
@@ -331,9 +367,10 @@ def ann_topk_ivf(
         .selectExpr("query_id", "cand_id", f"{cos} AS cosine")
         .distinct()  # a candidate may appear via multiple probed cells
     )
-    return top_k_per_group(
+    out = top_k_per_group(
         scored, ["query_id"], "cosine", k=k, tie_breakers=["cand_id"]
     )
+    return _with_cached_deps(out, assigned)
 
 
 def hard_negative_pairs(
@@ -343,7 +380,8 @@ def hard_negative_pairs(
     per_anchor: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str = "label",
+    block_col: str | None = "label",
+    max_block_size: int | None = 100_000,
 ) -> DataFrame:
     """Contrastive-training hard-negative mining: per ANCHOR vector,
     the ``per_anchor`` most-similar candidates in the cosine band
@@ -353,12 +391,18 @@ def hard_negative_pairs(
     dedup, not to the negatives file). The standard mining step for
     embedding-model training data.
 
-    Scale: the same blocked equi-join as the near-dup pair generator
-    (candidates only meet inside a block — pass ``block_col=None``
-    upstream conventions for LSH buckets), band-filtered on the
-    ROUNDED cosine so the boundary is engine-stable, then a
-    per-anchor window top-k — output bounded at ``per_anchor`` rows
-    per vector regardless of block density."""
+    Scale: the same blocked equi-join as
+    :func:`embedding_near_dup_pairs`, with the same two safeguards —
+    ``block_col=None`` falls back to the 256-way sign-LSH bucket, and
+    any block larger than ``max_block_size`` RAISES up front instead
+    of silently planning an O(n^2) within-block join. Candidates only
+    meet inside a block; the band filter then bounds what the
+    per-anchor window top-k sorts, so output is at most
+    ``per_anchor`` rows per vector regardless of block density."""
+    if block_col is None:
+        df = with_bucket(df, vec_col)
+        block_col = "bucket"
+    _guard_block_sizes(df, block_col, max_block_size, "hard_negative_pairs")
     nrm = dual.norm(vec_col, dual.SPARK)
     a = df.selectExpr(
         f"{id_col} AS anchor_id",
@@ -449,7 +493,7 @@ def kmeans_refine_stats(
     d2_new = dual.fold(
         diff2, "cast(0.0 as double)", "(acc, v) -> acc + v", dual.SPARK
     )
-    return (
+    out = (
         asg.join(F.broadcast(newc), "cell")
         .selectExpr("cell", "d2_old", f"{d2_new} AS d2_new")
         .groupBy("cell")
@@ -459,6 +503,7 @@ def kmeans_refine_stats(
             F.round(F.sum("d2_new"), 3).alias("sse_after"),
         )
     )
+    return _with_cached_deps(out, asg)
 
 
 def fit_pq_codebooks(
@@ -688,7 +733,7 @@ def ann_topk_ivfpq(
         .where(F.col("query_id") != F.col("cand_id"))
         .selectExpr("query_id", "cand_id", f"{adc} AS adc_dist2")
     )
-    return top_k_per_group(
+    out = top_k_per_group(
         scored,
         ["query_id"],
         "adc_dist2",
@@ -696,6 +741,7 @@ def ann_topk_ivfpq(
         ascending=True,
         tie_breakers=["cand_id"],
     )
+    return _with_cached_deps(out, assigned)
 
 
 def pq_rerank_topk(
@@ -851,7 +897,7 @@ def ann_topk_ivfpq_residual(
         .where(F.col("query_id") != F.col("cand_id"))
         .selectExpr("query_id", "cand_id", f"{adc} AS adc_dist2")
     )
-    return top_k_per_group(
+    out = top_k_per_group(
         scored,
         ["query_id"],
         "adc_dist2",
@@ -859,6 +905,7 @@ def ann_topk_ivfpq_residual(
         ascending=True,
         tie_breakers=["cand_id"],
     )
+    return _with_cached_deps(out, assigned)
 
 
 def cell_population_drift(
@@ -968,24 +1015,9 @@ def embedding_near_dup_pairs(
     if block_col is None:
         df = with_bucket(df, vec_col)
         block_col = "bucket"
-    if max_block_size is not None:
-        oversized = (
-            df.groupBy(block_col)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > max_block_size)
-            .limit(3)
-            .collect()
-        )
-        if oversized:
-            worst = ", ".join(
-                f"{r[block_col]}={r['__n']}" for r in oversized
-            )
-            raise ValueError(
-                f"embedding_near_dup_pairs: block(s) exceed "
-                f"max_block_size={max_block_size} ({worst}); use a finer "
-                f"block key (e.g. block_col=None for LSH buckets) or "
-                f"raise the bound explicitly"
-            )
+    _guard_block_sizes(
+        df, block_col, max_block_size, "embedding_near_dup_pairs"
+    )
     nrm = dual.norm(vec_col, dual.SPARK)
     a = df.selectExpr(
         f"{id_col} AS id_a", f"{vec_col} AS va", f"{nrm} AS na_", f"{block_col} AS blk"

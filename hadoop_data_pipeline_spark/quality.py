@@ -464,10 +464,20 @@ def k_anonymity_audit(
     output regardless of table size. Scale: one shuffle on the
     quasi-identifier key with map-side partial aggregation (the same
     shape as any groupBy), then a bounded re-aggregation; no
-    per-class rows ever reach the driver."""
+    per-class rows ever reach the driver.
+
+    NULL sensitive values count as their own category: they are
+    coalesced to a sentinel before the distinct count, so an all-NULL
+    class reports l = 1 (everyone shares the same — unknown — value:
+    exactly the leak l-diversity measures), never the ambiguous l = 0
+    that plain ``count(DISTINCT ...)``'s NULL-skipping would produce,
+    and a {value, NULL} class reports l = 2."""
+    sens = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit("\x00__null__")
+    )
     classes = df.groupBy(*quasi_cols).agg(
         F.count(F.lit(1)).alias("__size"),
-        F.countDistinct(sensitive_col).alias("__l"),
+        F.countDistinct(sens).alias("__l"),
     )
     return (
         classes.selectExpr(

@@ -6196,102 +6196,84 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # The round driver oracle-checks the FIRST 50 registered queries, so
-# registration order is part of the contract. ROTATION (round 9): the
-# previous window (rounds 6-8) covered every SURVEY.md §2 operator ID
-# and went fully green in CORRECTNESS_r08.json; this round rotates in
-# 50 queries the driver has NEVER hash-checked — prioritizing the 17
-# integer-dtype-sensitive oracles that got CAST-to-BIGINT fixes in r7
-# (proving those fixes in the driver's own hash, not just the local
-# strict mirror), the newly oracle-ized embedding_ann_ivf_topk, and a
-# family-diverse spread of TPC-H-shaped, temporal/as-of, curation, and
-# incremental/CDC/graph entries. Rotated-out queries remain
-# oracle-checked every commit by tools/oracle_check.py --strict and
-# tests/test_catalog_oracle.py (140/140).
-#
-# ROUND-10 ROTATION CANDIDATES — the 32 queries no driver round has
-# ever hash-checked (everything else is covered by r1-r8 + this
-# window): within_doc_dedup, large_quantity_orders,
-# disjunctive_brand_revenue, idle_rich_customers,
-# nation_pair_trade_volume, approx_distinct_users_per_type (bound),
-# approx_percentile_value_by_type (bound), user_event_gap_stats,
-# forecast_revenue_change, top_returning_customers,
-# supplier_count_by_part_attrs, monthly_revenue_moving_avg,
-# unigram_logprob_quality, corpus_mix_sample, per_source_corpus_stats,
-# segment_dedup_docs, latest_event_agg_form, part_revenue_concentration,
-# sole_failing_supplier, domain_cap_per_source, fuzzy_name_pairs_part,
-# customer_spend_decile_by_nation, weighted_sample_per_lang,
-# purchases_without_prior_click, incremental_distinct_users_hll (bound),
-# keyword_search_bm25, rolling_1h_user_event_stats,
-# supplier_balance_percentile, user_first_last_events,
-# profile_lineitem_columns, bpe_tokenize_docs (rows-only),
-# incremental_near_dup_new_docs. 29 have exact oracles — next round's
-# window: those 29 + any r9 reds + high-value re-proofs, PLUS the 8
-# queries added late in r9 (all exact-oracled, never driver-checked):
-# xml_roundtrip_docs, kmeans_refine_cluster_stats,
-# debounce_dedup_events, tfidf_top_terms_per_lang, embedding_pq_topk,
-# embedding_ann_ivfpq_topk, embedding_drift_psi_by_cell,
-# lang_id_confusion, embedding_pq_rerank_topk,
-# curriculum_quality_buckets, zorder_bucket_locality,
-# embedding_ann_ivfpq_residual_topk, k_anonymity_customers,
-# hard_negative_pairs_embeddings, tokenizer_fertility_by_lang.
+# registration order is part of the contract. ROTATION (round 10): the
+# r9 window (the r7 HUGEINT-cast backlog + TPC-H/temporal/curation/CDC
+# spread) went fully green in CORRECTNESS_r09.json, bringing cumulative
+# driver coverage to 108/155. This round rotates in the FINAL 47
+# queries no driver round has ever hash-checked — the 32 older entries
+# pinned as rotation candidates in r9 plus the 15 r9-new operators
+# (PQ/IVF-PQ ANN family, k-anonymity, curriculum buckets, z-order,
+# debounce, TF-IDF, lang-ID confusion, tokenizer fertility, k-means
+# refine, drift PSI, hard negatives, XML roundtrip) — padded to 50 with
+# 3 heavy previously-green re-proofs. A green CORRECTNESS_r10.json
+# completes cumulative driver coverage: 155/155 catalog queries
+# hash-proven by the external driver at least once. Of the 47, 43 have
+# exact oracles; approx_distinct_users_per_type,
+# approx_percentile_value_by_type and incremental_distinct_users_hll
+# are bound-oracle sketches (driver records rows-only; the 3-sigma
+# bound is enforced locally by tools/oracle_check.py), and
+# bpe_tokenize_docs is the one rows-only entry (no SQL form).
+# Rotated-out queries remain oracle-checked every commit by
+# tools/oracle_check.py --strict and tests/test_catalog_oracle.py.
 
 _DRIVER_WINDOW = [
-    # r7 HUGEINT-cast oracles, never driver-hashed until now
-    "pack_token_shards",
-    "jsonl_roundtrip_docs",
-    "csv_roundtrip_events_props",
-    "pagerank_part_supplier",
-    "event_funnel_conversion",
-    "media_feature_extract",
-    "ship_latency_priority_counts",
-    "daily_revenue_anomalies",
-    "cumulative_distinct_users_daily",
-    "tombstone_delete_users",
-    "salted_event_type_stats",
-    "grouping_sets_revenue",
-    "variant_json_prop_stats",
-    "dominant_supplier_share",
-    "media_frame_digests",
-    "event_value_histogram",
-    "quantity_price_correlation",
-    # newly oracle-ized this round (pinned IVF quantizer)
-    "embedding_ann_ivf_topk",
-    # TPC-H-shaped analytics
-    "order_priority_counts",
-    "customer_order_histogram",
-    "top_supplier_revenue",
-    "promo_revenue_share",
-    "nation_market_share",
-    "min_cost_supplier_per_part",
-    "profit_by_nation_year",
-    "small_quantity_part_revenue",
-    # temporal / as-of
-    "asof_last_purchase_per_click",
-    "clicks_before_purchase",
-    "daily_value_resample_ffill",
-    "rolling_7d_user_value",
-    "event_type_transitions",
-    "weekly_cohort_retention",
-    # curation / text quality
-    "json_prop_stats",
-    "repetition_quality_stats",
-    "pii_redaction_stats",
-    "train_val_test_split",
-    "token_vocab_top50",
-    "benchmark_contamination",
-    "compression_ratio_quality",
-    "semantic_dedup_embeddings",
-    "chunk_documents_overlap",
-    "dup_ngram_fraction",
-    # incremental / CDC / graph
-    "incremental_dedup_new_docs",
-    "user_state_history_scd2",
-    "incremental_daily_agg_merge",
-    "table_diff_orders_drift",
-    "cdc_upsert_orders",
-    "cdc_emit_changelog_orders",
-    "bom_rollup_recursive",
-    "user_journey_paths",
+    # r9-new: production ANN ladder (pinned quantizer artifacts)
+    "embedding_pq_topk",
+    "embedding_ann_ivfpq_topk",
+    "embedding_ann_ivfpq_residual_topk",
+    "embedding_pq_rerank_topk",
+    "embedding_drift_psi_by_cell",
+    "hard_negative_pairs_embeddings",
+    "kmeans_refine_cluster_stats",
+    # r9-new: governance / curation / layout
+    "k_anonymity_customers",
+    "curriculum_quality_buckets",
+    "zorder_bucket_locality",
+    "debounce_dedup_events",
+    "tfidf_top_terms_per_lang",
+    "lang_id_confusion",
+    "tokenizer_fertility_by_lang",
+    "xml_roundtrip_docs",
+    # older never-checked: dedup / similarity / incremental
+    "within_doc_dedup",
+    "segment_dedup_docs",
+    "incremental_near_dup_new_docs",
+    "fuzzy_name_pairs_part",
+    "keyword_search_bm25",
+    "incremental_distinct_users_hll",
+    # older never-checked: corpus / text quality
+    "unigram_logprob_quality",
+    "corpus_mix_sample",
+    "per_source_corpus_stats",
+    "domain_cap_per_source",
+    "weighted_sample_per_lang",
+    "bpe_tokenize_docs",
+    # older never-checked: TPC-H-shaped analytics
+    "large_quantity_orders",
+    "disjunctive_brand_revenue",
+    "idle_rich_customers",
+    "nation_pair_trade_volume",
+    "top_returning_customers",
+    "supplier_count_by_part_attrs",
+    "part_revenue_concentration",
+    "sole_failing_supplier",
+    "customer_spend_decile_by_nation",
+    "supplier_balance_percentile",
+    "profile_lineitem_columns",
+    # older never-checked: temporal / windowed / sketches
+    "user_event_gap_stats",
+    "forecast_revenue_change",
+    "monthly_revenue_moving_avg",
+    "latest_event_agg_form",
+    "purchases_without_prior_click",
+    "rolling_1h_user_event_stats",
+    "user_first_last_events",
+    "approx_distinct_users_per_type",
+    "approx_percentile_value_by_type",
+    # heavy previously-green re-proofs (pad to 50)
+    "prepare_training_shards",
+    "substring_scrub_docs",
+    "dedup_clusters_minhash",
 ]
 
 

@@ -979,3 +979,115 @@ def test_hard_negative_pairs_band_and_disjoint_from_dups(vecs):
     labels = {r.vec_id: r.label for r in vecs.collect()}
     for r in got:
         assert labels[r.anchor_id] == labels[r.cand_id]
+
+
+def test_hard_negative_pairs_lsh_fallback_and_guard(spark, vecs):
+    # block_col=None must fall back to the sign-LSH bucket (mirroring
+    # embedding_near_dup_pairs), not interpolate 'None' into SQL.
+    got = sim.hard_negative_pairs(
+        vecs, lo=-1.0, hi=0.9, per_anchor=2, block_col=None
+    ).collect()
+    buckets = {r.vec_id: r.bucket for r in sim.with_bucket(vecs).collect()}
+    for r in got:
+        assert buckets[r.anchor_id] == buckets[r.cand_id]
+    # same oversized-block guard as the near-dup sibling
+    one_block = vecs.withColumn("label", F.lit(0))
+    with pytest.raises(ValueError, match="max_block_size"):
+        sim.hard_negative_pairs(one_block, max_block_size=3)
+    # guard off -> lazy plan builds
+    sim.hard_negative_pairs(one_block, max_block_size=None)
+
+
+@pytest.mark.parametrize("seed", [0, 7, 123])
+def test_pq_encode_adc_property_random_vectors(spark, seed):
+    """Property check of the PQ encode -> reconstruct -> ADC path on
+    RANDOM vectors, not the shipped fixture (VERDICT r9 item 6): for
+    arbitrary data the Spark-side code assignment must equal the numpy
+    argmin per subvector, the ADC distance must equal the numpy
+    distance to the codeword reconstruction within fp tolerance, and
+    two-stage rerank recall@k must be >= plain-PQ recall on every
+    seed (stage 2 re-ranks a superset exactly, so it can never do
+    worse)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n, dim, m, kcw = 80, 16, 4, 8
+    X = rng.randn(n, dim).round(4)  # round: exact float32<->float64
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    cbs = sim.fit_pq_codebooks(df, m=m, k=kcw)
+    B = np.asarray(cbs, dtype=np.float64)  # (m, kcw, dim/m)
+    sub = dim // m
+    Xs = X.reshape(n, m, sub)
+    # numpy reference: per-subvector argmin codes + reconstruction
+    codes = np.stack(
+        [
+            ((Xs[:, s, None, :] - B[s][None, :, :]) ** 2)
+            .sum(-1)
+            .argmin(1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    recon = np.stack(
+        [B[s][codes[:, s]] for s in range(m)], axis=1
+    ).reshape(n, dim)
+
+    # Spark-side codes must match the numpy argmin exactly
+    from pyspark.sql import functions as F
+
+    got_codes = {
+        r.vec_id: list(r.code)
+        for r in df.selectExpr(
+            "vec_id", f"{sim.pq_d2_expr(cbs, 'embedding')} AS __pqd2"
+        )
+        .selectExpr("vec_id", f"{sim.PQ_CODE_FROM_D2} AS code")
+        .collect()
+    }
+    for i in range(n):
+        assert got_codes[i] == list(codes[i]), f"codes differ at vec {i}"
+
+    # ADC distance equality vs numpy within fp tolerance
+    qids = list(range(8))
+    got = sim.pq_topk(df, qids, cbs, k=5).collect()
+    for r in got:
+        want = float(((X[r.query_id] - recon[r.cand_id]) ** 2).sum())
+        assert abs(r.adc_dist2 - want) < 1e-6 * max(1.0, want)
+
+    # recall vs brute force: rerank >= plain PQ, on every seed
+    def recall(rows):
+        byq = {}
+        for r in rows:
+            byq.setdefault(r.query_id, set()).add(r.cand_id)
+        hits = tot = 0
+        for q, cset in byq.items():
+            d2 = ((X - X[q]) ** 2).sum(1)
+            d2[q] = np.inf
+            true = set(np.argsort(d2, kind="stable")[:5])
+            hits += len(cset & true)
+            tot += 5
+        return hits / tot
+
+    r_plain = recall(got)
+    r_rerank = recall(
+        sim.pq_rerank_topk(df, qids, cbs, k=5, shortlist=20).collect()
+    )
+    assert r_rerank >= r_plain, (seed, r_rerank, r_plain)
+
+
+def test_unpersist_deps_releases_cache(spark, vecs):
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = sim.kmeans_refine_stats(vecs, cents)
+    out.collect()
+    deps = getattr(out, "_cached_deps", [])
+    assert deps and all(d.is_cached for d in deps)
+    sim.unpersist_deps(out)
+    assert all(not d.is_cached for d in deps)
+    # the IVF family tags its persisted assignment frame the same way
+    out2 = sim.ann_topk_ivf(vecs, query_ids=[0], k=2, centroids=cents)
+    out2.collect()
+    assert getattr(out2, "_cached_deps", [])
+    sim.unpersist_deps(out2)
+    assert all(not d.is_cached for d in out2._cached_deps)

@@ -140,3 +140,33 @@ def test_k_anonymity_audit_planted(spark):
     assert got[10].min_l_diversity == 1
     # release-gate number: rows in sub-k classes
     assert sum(r.n_rows for r in got.values() if r.at_risk) == 4
+
+
+def test_k_anonymity_audit_null_sensitive(spark):
+    # NULLs in the sensitive column are a CATEGORY, not skipped
+    # (countDistinct alone would report l=0 for an all-NULL class and
+    # l=1 ambiguously for {value, NULL}): an all-NULL class is l=1 —
+    # everyone shares the same unknown value — and {s1, NULL} is l=2.
+    from hadoop_data_pipeline_spark.quality import k_anonymity_audit
+
+    rows = (
+        [("A", "x", None), ("A", "x", None)]  # all-NULL class, size 2
+        + [("B", "x", "s1"), ("B", "x", None)]  # mixed class, size 2
+    )
+    df = spark.createDataFrame(rows, "qa string, qb string, sens string")
+    got = {
+        (r.qa_class if hasattr(r, "qa_class") else r.size_bucket): r
+        for r in k_anonymity_audit(df, ["qa", "qb"], "sens", k=10).collect()
+    }
+    # both classes land in size_bucket 2; min l across them must be 1
+    # (the all-NULL class), never 0
+    assert set(got) == {2}
+    assert got[2].n_classes == 2 and got[2].n_rows == 4
+    assert got[2].min_l_diversity == 1
+    # a lone mixed class: l=2 (value + NULL category)
+    df2 = spark.createDataFrame(
+        [("B", "x", "s1"), ("B", "x", None)],
+        "qa string, qb string, sens string",
+    )
+    (row,) = k_anonymity_audit(df2, ["qa", "qb"], "sens", k=10).collect()
+    assert row.min_l_diversity == 2

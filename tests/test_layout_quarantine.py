@@ -146,6 +146,56 @@ def test_compact_small_files(spark, tmp_path):
     assert spark.read.parquet(out).count() == n_rows
 
 
+def test_compact_small_files_scheme_path(spark, tmp_path):
+    # Regression (r9 verdict "What's wrong #1"): the old glob/os.rename
+    # implementation, handed a scheme'd path (the remote-FS shape —
+    # file:// here stands in for hdfs:///s3a://), globbed nothing ->
+    # total=0 -> n_out=1 -> a full-table coalesce(1) rewrite before
+    # os.rename finally raised. The FS-backed version must size and
+    # swap through the Hadoop FileSystem and produce the RIGHT file
+    # count, not 1.
+    out = str(tmp_path / "frag_scheme")
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    ev.repartition(20).write.parquet(out)
+    n_rows = spark.read.parquet(out).count()
+    per_file = os.path.getsize(glob.glob(os.path.join(out, "*.parquet"))[0])
+    # target ~5 files worth of bytes -> n_out must be >1 and <20
+    after = layout.compact_small_files(
+        spark, "file://" + out, target_bytes=per_file * 5
+    )
+    assert 1 < after < 20
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) == after
+    assert spark.read.parquet(out).count() == n_rows
+    # no stray tmp/old dirs left behind
+    assert not glob.glob(str(tmp_path / "frag_scheme.__compact_tmp__*"))
+    assert not glob.glob(str(tmp_path / "frag_scheme_old*"))
+
+
+def test_compact_small_files_empty_dir_raises(spark, tmp_path):
+    # An empty/missing directory must RAISE, never compute n_out=1:
+    # this is the guard that makes the coalesce(1) runaway impossible.
+    empty = str(tmp_path / "empty_dir")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        layout.compact_small_files(spark, empty)
+    with pytest.raises(FileNotFoundError):
+        layout.compact_small_files(spark, "file://" + str(tmp_path / "nope"))
+
+
+def test_compact_small_files_noop_when_already_compact(spark, tmp_path):
+    # Files already at/below the target count: return the existing
+    # count without rewriting (mtime of the parquet files unchanged).
+    out = str(tmp_path / "already")
+    load_table(spark, SF, "events").select("event_id").repartition(
+        2
+    ).write.parquet(out)
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert layout.compact_small_files(spark, out, target_bytes=1) == 2
+    assert sorted(glob.glob(os.path.join(out, "*.parquet"))) == files
+    assert [os.path.getmtime(f) for f in files] == mtimes
+
+
 def test_write_with_bloom_filters_present(spark, tmp_path):
     # pyarrow 16 does not expose bloom_filter_offset, so verify
     # behaviorally: the bloom bitset (~ndv bits x fpp factor) must make

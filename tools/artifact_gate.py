@@ -1,0 +1,145 @@
+"""Fast drift gate for the GENERATED pinned artifacts (no Spark).
+
+The repo pins ~7.4k lines of generated constants — the zlib-length
+oracle map (``functions/zlib_lens.py``) and the IVF / PQ / residual-PQ
+quantizer artifacts — that several DuckDB oracles embed as literals.
+If the fixtures ever regenerate (or someone edits a pinned file), the
+oracles would silently hash-check Spark against a stale ground truth.
+The full re-derivation lives in pytest
+(``tests/test_extensions.py::test_pinned_*_artifact_fresh``); this
+script is the SECONDS-fast standalone slice of it that ``tools/gate.py``
+runs as its own step, so artifact drift fails the gate even on a
+``--skip-pytest`` run:
+
+1. ZLIB_LENS: the key set must equal the md5s of the distinct fixture
+   texts EXACTLY (missing/extra keys are how fixture drift shows up),
+   and a deterministic 256-entry sample must re-derive to the pinned
+   lengths (value drift, e.g. a zlib level change).
+2. Quantizer artifacts: pinned shapes (16x64 centroids, 8x16x8
+   codebooks, finite floats).
+3. Assignment checksum: the numpy argmin cell assignment of every
+   sf0.01 embedding against the pinned centroids, CRC-pinned below —
+   the end-to-end "would regeneration differ" probe (a changed
+   fixture OR a changed centroid flips it).
+
+Usage: python tools/artifact_gate.py   (exit 0 = no drift)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import zlib
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: CRC32 of the sf0.01 cell-assignment vector (int64, vec_id order)
+#: against SF001_CENTROIDS — pinned at generation time; regenerate by
+#: running this script with SPARK_GRAFT_REPIN=1.
+ASSIGN_CRC_SF001 = 12591758
+
+
+def check_zlib_map() -> list[str]:
+    from hadoop_data_pipeline_spark.functions.zlib_lens import (
+        ZLIB_LENS,
+        ZLIB_LEVEL,
+    )
+
+    problems: list[str] = []
+    texts: dict[str, str] = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        for t in pq.read_table(p, columns=["text"]).column("text").to_pylist():
+            if t is not None:
+                texts[hashlib.md5(t.encode()).hexdigest()] = t
+    if set(texts) != set(ZLIB_LENS):
+        missing = len(set(texts) - set(ZLIB_LENS))
+        extra = len(set(ZLIB_LENS) - set(texts))
+        problems.append(
+            f"ZLIB_LENS key drift: {missing} fixture texts unmapped, "
+            f"{extra} stale keys — rerun tools/gen_zlib_map.py"
+        )
+        return problems
+    keys = sorted(ZLIB_LENS)
+    sample = keys[:: max(1, len(keys) // 256)]
+    for k in sample:
+        got = len(zlib.compress(texts[k].encode(), ZLIB_LEVEL))
+        if got != ZLIB_LENS[k]:
+            problems.append(
+                f"ZLIB_LENS value drift at {k}: pinned {ZLIB_LENS[k]}, "
+                f"re-derived {got}"
+            )
+            break
+    return problems
+
+
+def check_quantizer_shapes() -> list[str]:
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.functions.pq_codebooks import (
+        SF001_CODEBOOKS,
+    )
+    from hadoop_data_pipeline_spark.functions.pq_residual_codebooks import (
+        SF001_RESIDUAL_CODEBOOKS,
+    )
+
+    problems: list[str] = []
+    C = np.asarray(SF001_CENTROIDS, dtype=np.float64)
+    if C.shape != (16, 64) or not np.isfinite(C).all():
+        problems.append(f"centroid shape/values drift: {C.shape}")
+    for name, cb in (
+        ("pq_codebooks", SF001_CODEBOOKS),
+        ("pq_residual_codebooks", SF001_RESIDUAL_CODEBOOKS),
+    ):
+        B = np.asarray(cb, dtype=np.float64)
+        if B.shape != (8, 16, 8) or not np.isfinite(B).all():
+            problems.append(f"{name} shape/values drift: {B.shape}")
+    return problems
+
+
+def assignment_crc() -> int:
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    C = np.asarray(SF001_CENTROIDS, dtype=np.float64)
+    cells = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    return zlib.crc32(cells[np.argsort(ids)].astype(np.int64).tobytes())
+
+
+def main() -> int:
+    problems = check_zlib_map() + check_quantizer_shapes()
+    crc = assignment_crc()
+    if os.environ.get("SPARK_GRAFT_REPIN"):
+        print(f"ASSIGN_CRC_SF001 = {crc}")
+        return 0
+    if crc != ASSIGN_CRC_SF001:
+        problems.append(
+            f"sf0.01 assignment checksum drift: pinned "
+            f"{ASSIGN_CRC_SF001}, got {crc} — fixture or centroids "
+            f"changed; refit via tools/fit_*.py then repin"
+        )
+    for p in problems:
+        print(f"DRIFT {p}")
+    print(
+        "artifact gate: "
+        + ("no drift" if not problems else f"{len(problems)} problem(s)")
+    )
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,6 +63,13 @@ def run(name: str, cmd: list[str]) -> tuple[str, bool, float, str]:
 
 def main() -> int:
     steps: list[tuple[str, list[str]]] = []
+    # Sub-second standalone drift check on the GENERATED pinned
+    # artifacts (zlib oracle map, IVF/PQ quantizers): runs even with
+    # --skip-pytest, so a fixture regeneration can never silently
+    # stale the oracles' embedded ground truth (VERDICT r9 item 5).
+    steps.append(
+        ("artifact_drift", [sys.executable, "tools/artifact_gate.py"])
+    )
     if "--skip-pytest" not in sys.argv:
         steps.append(("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]))
     # --strict = driver-faithful dtype-sensitive hashing (r7): the

