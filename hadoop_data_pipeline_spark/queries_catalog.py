@@ -1234,6 +1234,69 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "cosine")
 
 
+def _duck_multiprobe_topk_sql(
+    k: int = 5, n_queries: int = 10, n_probe: int = 3
+) -> str:
+    """Exact oracle for multi-probe LSH top-k: per query, rank the 8
+    planes by ascending |margin| (tie: plane index) and probe the own
+    bucket plus the ``n_probe - 1`` lowest-margin single-bit flips —
+    the identical arithmetic as
+    `similarity.lsh_probe_buckets_expr` (dual.dot folds are
+    bit-identical across engines, so the margin ORDER agrees)."""
+    bucket = dual.ann_bucket("embedding", D)
+    cos = dual.cosine("q.qvec", "c.cvec", D)
+    margin_rows = "\n        UNION ALL ".join(
+        f"SELECT query_id, qvec, bucket, {j} AS j,"
+        f" abs({dual.dot('qvec', dual.plane_literal(p, D), D)}) AS m"
+        " FROM q"
+        for j, p in enumerate(dual.ANN_PLANES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+          FROM e WHERE vec_id < {n_queries}),
+    m AS ({margin_rows}),
+    flips AS (
+        SELECT query_id, qvec, xor(bucket, (1 << j)) AS bucket
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY m ASC, j ASC
+              ) AS rk FROM m)
+        WHERE rk <= {n_probe - 1}
+    ),
+    probes AS (
+        SELECT query_id, qvec, bucket FROM q
+        UNION ALL SELECT query_id, qvec, bucket FROM flips
+    ),
+    c AS (SELECT vec_id AS cand_id, embedding AS cvec, bucket FROM e),
+    s AS (SELECT query_id, cand_id, {cos} AS cosine
+          FROM probes q JOIN c USING (bucket) WHERE query_id <> cand_id)
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+        ) AS rn FROM s
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "embedding_ann_multiprobe_topk", oracle=_duck_multiprobe_topk_sql()
+)
+def embedding_ann_multiprobe_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-probe LSH top-5 (`similarity.ann_topk_lsh_multiprobe`):
+    each query probes its own bucket plus the 2 smallest-margin
+    Hamming-1 neighbor buckets — recall recovered from sign-flip
+    losses at 3/256 of the corpus per query, candidate side never
+    replicated. Recall-vs-single-probe pinned in
+    tests/test_extensions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.ann_topk_lsh_multiprobe(
+        emb, query_ids=list(range(10)), k=5, n_probe=3
+    )
+    return out.select("query_id", "cand_id", "cosine")
+
+
 def _duck_near_dup_emb_sql(threshold: float) -> str:
     cos = dual.cosine("a.embedding", "b.embedding", D)
     return f"""
@@ -6215,6 +6278,10 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bpe_tokenize_docs is the one rows-only entry (no SQL form).
 # Rotated-out queries remain oracle-checked every commit by
 # tools/oracle_check.py --strict and tests/test_catalog_oracle.py.
+# NOTE for the r11 rotation: queries ADDED during r10 (currently:
+# embedding_ann_multiprobe_topk) are exact-oracled and locally
+# strict-verified but land beyond slot 50 — they are next round's
+# never-driver-checked set.
 
 _DRIVER_WINDOW = [
     # r9-new: production ANN ladder (pinned quantizer artifacts)

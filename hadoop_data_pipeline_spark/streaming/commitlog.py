@@ -50,9 +50,15 @@ Crash model and enforced assumptions:
   discipline the reference's pending-file ledger leaves implicit
   (`jobs/finance_itsc_pipeline.py:32-56`, markers via
   `jobs/utils/hdfs.py:29-33`). Liveness is checked via the pid on
-  the SAME host — on a shared filesystem a lease from another host
-  is never reclaimed automatically (delete it manually after
-  verifying the holder is gone).
+  the SAME host; for a lease from ANOTHER host (shared filesystem)
+  two modes exist — the default never reclaims it automatically
+  (delete it manually after verifying the holder is gone), while
+  ``lease_ttl_sec`` enables heartbeat-based expiry: the holder
+  refreshes the lease mtime (``heartbeat()``, implicit in begin/
+  commit) and a peer may reclaim only after a full TTL of silence,
+  re-verified under the steal marker so a late heartbeat aborts the
+  reclaim. Size the TTL above the longest batch + heartbeat cadence
+  + clock skew.
 * **run identity** — markers are stamped with the streaming query id
   (``run_id_file``, conventionally ``{checkpoint}/metadata``); a
   marker from a different query lineage never no-ops a real batch
@@ -112,10 +118,24 @@ class BatchCommitLog:
         log_dir: str,
         stores: dict[str, str],
         run_id_file: str | None = None,
+        lease_ttl_sec: float | None = None,
     ):
+        """``lease_ttl_sec`` enables CROSS-HOST lease expiry: a lease
+        held by a DIFFERENT host (where pid-liveness cannot be probed)
+        is reclaimable once its file mtime is older than the TTL — the
+        holder keeps it alive by heartbeating (:meth:`heartbeat`
+        refreshes the mtime; ``begin``/``commit`` heartbeat
+        implicitly). Choose a TTL comfortably above the longest batch
+        PLUS the heartbeat cadence PLUS any clock skew between hosts
+        and the shared filesystem — stealing from a live-but-slow
+        holder is the failure this margin buys off. ``None`` (default)
+        keeps the conservative behavior: a remote lease is never
+        reclaimed automatically (delete it manually after verifying
+        the holder is gone)."""
         self.log_dir = log_dir.rstrip("/")
         self.stores = dict(stores)
         self.run_id_file = run_id_file
+        self.lease_ttl_sec = lease_ttl_sec
         self._run_id_cache: str | None = None
         self._lock_held = False
         os.makedirs(self.log_dir, exist_ok=True)
@@ -183,14 +203,34 @@ class BatchCommitLog:
 
     # -- writer lease -------------------------------------------------------
 
-    def _reclaim_stale(self, path: str, holder: dict) -> None:
+    def _lease_expired(self, path: str) -> bool:
+        """True iff the TTL is enabled and the lease file's mtime is
+        older than it — the cross-host staleness probe (mtime comes
+        from the shared filesystem, so both hosts see the same clock;
+        the TTL margin absorbs residual skew vs local time)."""
+        if self.lease_ttl_sec is None:
+            return False
+        try:
+            return (
+                os.stat(path).st_mtime < time.time() - self.lease_ttl_sec
+            )
+        except FileNotFoundError:
+            return False
+
+    def _reclaim_stale(
+        self, path: str, holder: dict, require_expired: bool = False
+    ) -> None:
         """Remove a dead holder's lease. Serialized through an O_EXCL
         ``.steal`` marker so two writers that BOTH observed the dead
         holder cannot both run remove+create (the loser of the marker
         race would otherwise delete the winner's freshly created valid
         lease — a TOCTOU that silently yields two 'exclusive' writers).
         Only the marker winner removes the lock, and only after
-        re-reading it to confirm it is STILL the dead holder it saw."""
+        re-reading it to confirm it is STILL the dead holder it saw —
+        and, for a TTL-based (cross-host) reclaim, that the lease is
+        STILL expired (a heartbeat between our observation and the
+        steal leaves the holder's content identical but the mtime
+        fresh; ``require_expired`` re-checks it under the marker)."""
         steal = path + ".steal"
         me = {"pid": os.getpid(), "host": socket.gethostname()}
         try:
@@ -243,6 +283,8 @@ class BatchCommitLog:
             except (json.JSONDecodeError, OSError):
                 return  # changed under us; let the acquire loop re-read
             if current == holder:  # still the dead holder we observed
+                if require_expired and not self._lease_expired(path):
+                    return  # holder heartbeated under us — it is alive
                 try:
                     os.remove(path)
                 except FileNotFoundError:
@@ -297,15 +339,42 @@ class BatchCommitLog:
                     continue
                 except PermissionError:
                     pass  # alive, different user
+            elif self._lease_expired(path):
+                # cross-host holder past its TTL: pid-liveness cannot
+                # be probed remotely, but a holder that stopped
+                # heartbeating for a full TTL is declared dead — the
+                # steal marker + expiry re-check serialize the reclaim
+                # (and abort it if the holder heartbeats meanwhile).
+                self._reclaim_stale(path, holder, require_expired=True)
+                continue
             raise ConcurrentWriterError(
                 f"commit log {self.log_dir} is held by another live "
                 f"writer {holder}; a second writer would corrupt "
                 f"rollback state — stop it (or remove {path} if the "
-                f"holder is a dead remote process)"
+                f"holder is a dead remote process"
+                + (
+                    f", or wait for its {self.lease_ttl_sec}s lease "
+                    f"TTL to lapse)"
+                    if self.lease_ttl_sec is not None
+                    else ")"
+                )
             )
         raise ConcurrentWriterError(
             f"could not acquire {path}: lease file persistently unreadable"
         )
+
+    def heartbeat(self) -> None:
+        """Refresh the held lease's mtime so a TTL-enabled peer does
+        not declare this writer dead mid-batch. ``begin``/``commit``
+        call it implicitly; a sink whose single batch can run longer
+        than the TTL must call it periodically from the batch body
+        (e.g. between store appends). No-op when the lease is not
+        held; a vanished lease file raises — losing the lease
+        mid-batch means a peer reclaimed it and rollback safety is
+        already gone, which must surface, not pass silently."""
+        if not self._lock_held:
+            return
+        os.utime(self._lock_path())
 
     def _release_lock(self) -> None:
         if not self._lock_held:
@@ -341,6 +410,7 @@ class BatchCommitLog:
         the first state append of the batch (reads are fine earlier).
         Takes the writer lease (held until ``commit``)."""
         self._acquire_lock()
+        self.heartbeat()
         snap = {name: self._files(path) for name, path in self.stores.items()}
         self._write_atomic(
             self._pending_path(batch_id),
@@ -350,6 +420,7 @@ class BatchCommitLog:
     def commit(self, batch_id: int) -> None:
         """The commit point: rename the marker into place, then drop
         the pending record, prune old markers, release the lease."""
+        self.heartbeat()
         self._write_atomic(
             self._commit_path(batch_id),
             {"batch_id": batch_id, "run_id": self._run_id()},

@@ -242,10 +242,22 @@ class StreamingEmbeddingSink:
 
     # -- queries over the accumulated store -------------------------------
 
-    def ann_topk(self, query_ids, k: int = 5) -> DataFrame:
+    def ann_topk(self, query_ids, k: int = 5, n_probe: int = 1) -> DataFrame:
         """Bucket-blocked approximate top-k over the ADMITTED store,
         reusing the geometry persisted at ingest (no recomputation):
-        probe rows broadcast into the bucket equi-join."""
+        probe rows broadcast into the bucket equi-join.
+
+        ``n_probe > 1`` enables MULTI-PROBE (default 1 keeps the
+        historical single-bucket behavior): each query also probes its
+        ``n_probe - 1`` most-promising Hamming-1 neighbor buckets —
+        the ones across the planes with the smallest projection margin
+        (:func:`similarity.lsh_probe_buckets_expr`) — recovering the
+        near neighbors single-bucket LSH loses to a sign flip
+        (recall-pinned in ``tests/test_embed_sink.py``). The fan-out
+        is query-side only: |Q| x n_probe broadcast rows; the store
+        side never replicates. No distinct is needed — a candidate
+        lives in exactly one bucket and the probe list is distinct, so
+        each (query, cand) pair arises at most once."""
         st = self.store()
         cos = dual.cosine_staged("qv", "cv", "qn", "cn", dual.SPARK)
         q = st.where(F.col(self.id_col).isin(*list(query_ids))).selectExpr(
@@ -254,6 +266,14 @@ class StreamingEmbeddingSink:
             "norm AS qn",
             "bucket",
         )
+        if n_probe > 1:
+            q = q.selectExpr(
+                "query_id",
+                "qv",
+                "qn",
+                f"explode({sim.lsh_probe_buckets_expr('qv', 'bucket', n_probe)})"
+                " AS bucket",
+            )
         c = st.selectExpr(
             f"{self.id_col} AS cand_id",
             f"{self.vec_col} AS cv",

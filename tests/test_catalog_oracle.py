@@ -38,15 +38,28 @@ def test_every_query_has_callable_signature():
 def test_driver_window_invariants():
     """The driver hash-checks the FIRST 50 queries() keys; the window
     must stay exactly 50 registered entries, each with an exact DuckDB
-    oracle (a rows-only entry inside the window wastes a hash slot)."""
-    from hadoop_data_pipeline_spark.queries_catalog import _DRIVER_WINDOW
+    oracle — EXCEPT entries that structurally cannot have one (bound-
+    oracle sketches, the rows-only BPE tokenizer), which are allowed
+    in a completion round (r10 rotates in every never-driver-checked
+    query, and those four ARE never-checked) but must be explicitly
+    accounted for so a new exact-orable query can't silently ship
+    oracle-less into a hash slot."""
+    from hadoop_data_pipeline_spark.queries_catalog import (
+        BOUND_ORACLES,
+        _DRIVER_WINDOW,
+    )
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert len(_DRIVER_WINDOW) == 50
     assert len(set(_DRIVER_WINDOW)) == 50
     assert list(qs)[:50] == _DRIVER_WINDOW
-    missing = [n for n in _DRIVER_WINDOW if n not in oracles]
+    allowed_non_exact = set(BOUND_ORACLES) | {"bpe_tokenize_docs"}
+    missing = [
+        n
+        for n in _DRIVER_WINDOW
+        if n not in oracles and n not in allowed_non_exact
+    ]
     assert not missing, f"window entries without exact oracles: {missing}"
 
 

@@ -1077,6 +1077,71 @@ def test_pq_encode_adc_property_random_vectors(spark, seed):
     assert r_rerank >= r_plain, (seed, r_rerank, r_plain)
 
 
+def test_lsh_probe_buckets_expr_properties(spark):
+    """The multi-probe bucket list must contain n_probe DISTINCT ints,
+    start with the vector's own bucket, keep every neighbor at Hamming
+    distance exactly 1, and order flips by ascending projection margin
+    (the least-confident sign bits first)."""
+    import numpy as np
+
+    from hadoop_data_pipeline_spark.functions import dual
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = sim.with_bucket(emb).selectExpr(
+        "vec_id",
+        "embedding",
+        "bucket",
+        f"{sim.lsh_probe_buckets_expr('embedding', 'bucket', 4)} AS probes",
+    )
+    planes = np.asarray(dual.ANN_PLANES, dtype=np.float64)
+    for r in df.limit(40).collect():
+        probes = list(r.probes)
+        assert len(probes) == 4 == len(set(probes))
+        assert probes[0] == r.bucket
+        margins = np.abs(
+            planes @ np.asarray(r.embedding, dtype=np.float64)
+        )
+        want_flip_order = list(np.argsort(margins, kind="stable")[:3])
+        for rank, p in enumerate(probes[1:]):
+            diff = p ^ r.bucket
+            assert diff.bit_count() == 1, "not a Hamming-1 neighbor"
+            assert diff == 1 << want_flip_order[rank]
+    with pytest.raises(ValueError, match="n_probe"):
+        sim.lsh_probe_buckets_expr("embedding", "bucket", 0)
+    with pytest.raises(ValueError, match="n_probe"):
+        sim.lsh_probe_buckets_expr("embedding", "bucket", 10)
+    # n_probe=1 degenerates to the plain bucket
+    assert sim.lsh_probe_buckets_expr("v", "b", 1) == "array(cast(b as int))"
+
+
+def test_ann_multiprobe_recall_vs_single_probe(spark):
+    """Multi-probe must recover recall single-bucket LSH loses: on the
+    fixture, recall@5 vs brute force at n_probe=3 must be >= the
+    single-probe recall, per-query candidate pools must only grow, and
+    n_probe=1 must equal ann_topk_lsh exactly (degenerate case)."""
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = list(range(10))
+
+    def pairs(df):
+        return {(r.query_id, r.cand_id) for r in df.collect()}
+
+    single = pairs(sim.ann_topk_lsh(emb, qids, k=5))
+    multi1 = pairs(sim.ann_topk_lsh_multiprobe(emb, qids, k=5, n_probe=1))
+    assert multi1 == single
+    multi3 = pairs(sim.ann_topk_lsh_multiprobe(emb, qids, k=5, n_probe=3))
+    brute = pairs(sim.cosine_topk(emb, qids, k=5))
+    r1 = len(single & brute) / len(brute)
+    r3 = len(multi3 & brute) / len(brute)
+    assert r3 >= r1, (r3, r1)
+    for q in qids:
+        assert sum(1 for a, _ in multi3 if a == q) >= sum(
+            1 for a, _ in single if a == q
+        )
+
+
 def test_unpersist_deps_releases_cache(spark, vecs):
     cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
     out = sim.kmeans_refine_stats(vecs, cents)

@@ -801,6 +801,89 @@ def test_commit_log_writer_lock_fails_fast(tmp_path):
         log2.begin(2)
 
 
+def test_commit_log_lease_ttl_cross_host(tmp_path):
+    """TTL-based cross-host lease expiry (opt-in): a remote holder's
+    lease is reclaimed only after a full TTL of heartbeat silence; a
+    fresh (heartbeated) remote lease still fails fast; the default
+    (ttl=None) never reclaims a remote lease; and heartbeat() refreshes
+    the held lease's mtime."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from hadoop_data_pipeline_spark.streaming.commitlog import (
+        BatchCommitLog,
+        ConcurrentWriterError,
+    )
+
+    store = tmp_path / "s"
+    store.mkdir()
+    log_dir = tmp_path / "log"
+    lock = log_dir / "writer.lock"
+    remote = {"pid": 12345, "host": "some-other-host"}
+
+    # default: never reclaimed, regardless of age
+    log_none = BatchCommitLog(str(log_dir), {"s": str(store)})
+    lock.write_text(_json.dumps(remote))
+    _os.utime(lock, (0, 0))  # epoch-old
+    with pytest.raises(ConcurrentWriterError):
+        log_none.begin(0)
+
+    # TTL enabled: an expired remote lease is reclaimed...
+    log_ttl = BatchCommitLog(
+        str(log_dir), {"s": str(store)}, lease_ttl_sec=60.0
+    )
+    log_ttl.begin(0)
+    log_ttl.commit(0)
+    assert not lock.exists()
+
+    # ...but a FRESH remote lease (recent heartbeat) fails fast, and
+    # the error names the TTL
+    lock.write_text(_json.dumps(remote))  # mtime = now
+    with pytest.raises(ConcurrentWriterError, match="TTL"):
+        log_ttl.begin(1)
+
+    # a heartbeat arriving between observation and steal aborts the
+    # reclaim: _reclaim_stale(require_expired=True) re-checks under
+    # the marker and leaves a freshened lease alone
+    _os.utime(lock, (0, 0))
+    real_expired = BatchCommitLog._lease_expired
+
+    def freshen_then_check(self, path):
+        # first call = the acquire-loop observation: report expired,
+        # then simulate the remote holder heartbeating right after
+        if not getattr(self, "_observed", False):
+            self._observed = True
+            return True
+        return real_expired(self, path)
+
+    log_race = BatchCommitLog(
+        str(log_dir), {"s": str(store)}, lease_ttl_sec=60.0
+    )
+    log_race._observed = False
+    BatchCommitLog._lease_expired = freshen_then_check
+    try:
+        _os.utime(lock)  # the "heartbeat": mtime fresh again
+        with pytest.raises(ConcurrentWriterError):
+            log_race.begin(2)
+        assert lock.exists(), "reclaim deleted a heartbeated lease"
+        assert _json.loads(lock.read_text()) == remote
+    finally:
+        BatchCommitLog._lease_expired = real_expired
+        lock.unlink()
+
+    # heartbeat() refreshes a HELD lease's mtime
+    log_hb = BatchCommitLog(
+        str(log_dir), {"s": str(store)}, lease_ttl_sec=60.0
+    )
+    log_hb.begin(3)
+    _os.utime(lock, (0, 0))
+    assert _os.stat(lock).st_mtime == 0
+    log_hb.heartbeat()
+    assert _os.stat(lock).st_mtime > _time.time() - 30
+    log_hb.commit(3)
+
+
 def test_commit_log_reclaim_is_serialized_and_foreign_pending_refused(
     tmp_path,
 ):

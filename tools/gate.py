@@ -9,12 +9,17 @@ script IS the checklist — run it, and only snapshot on exit 0:
    (mirror of the driver's correctness gate)
 3. the sf0.1 headline subset — the queries whose bugs historically
    only appeared above sf0.01 (float accumulation order, bucket skew)
-4. ``tools/stress.py 4`` — the 50-query sweep at a key-shifted ~4x
-   sf0.1, which caught the overflow / float-drift / recursion-valve
-   bugs that every sf0.1 check passed
-5. ``tools/stress_stream.py 8 4`` — the crash-injected streaming
+4. ``tools/stress.py 4`` — the oracle-compared sweep at a key-shifted
+   ~4x sf0.1, which caught the overflow / float-drift /
+   recursion-valve bugs that every sf0.1 check passed
+5. ``tools/stress.py 4 --spark-only-excluded`` — the Spark sides of
+   the oracle-capped STRESS_EXCLUDE entries under structural laws
+6. ``tools/stress_stream.py 8 4`` — the crash-injected streaming
    sweep: writer killed mid-batch at scale, replay must stay
    exactly-once vs the batch reference
+
+Plus a sub-second pinned-artifact drift check (step 0) that runs even
+under ``--skip-pytest``.
 
 Appends one result line to COVERAGE.md ("Gate log" section) so the
 judge can see the gate actually ran.
@@ -105,6 +110,22 @@ def main() -> int:
         # sf0.1 sweeps could not see (tools/stress.py).
         steps.append(
             ("stress_4x", [sys.executable, "tools/stress.py", "4"])
+        )
+        # Spark-side-only pass over the oracle-capped STRESS_EXCLUDE
+        # entries: structural row-count laws + schema + key ranges at
+        # 4x, so oracle caps never cap Spark coverage (the 16x form of
+        # the same sweep is the per-round manual run; r10).
+        steps.append(
+            (
+                "stress_4x_spark_only_excluded",
+                [
+                    sys.executable,
+                    "tools/stress.py",
+                    "4",
+                    "/root/testdata/sf0.1",
+                    "--spark-only-excluded",
+                ],
+            )
         )
         # crash-injected streaming sweep (r9): StreamingPrepSink over
         # an 8x corpus, writer killed mid-batch at tick 1 and replayed
