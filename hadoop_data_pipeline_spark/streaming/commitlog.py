@@ -363,6 +363,27 @@ class BatchCommitLog:
             f"could not acquire {path}: lease file persistently unreadable"
         )
 
+    def exclusive(self):
+        """Hold the single-writer lease across a NON-BATCH maintenance
+        operation (store compaction, manual repair) as a context
+        manager. The lease is what makes maintenance safe: rollback
+        deletes store files absent from a pending snapshot, so a
+        rewrite racing a live batch would either lose the rewrite or
+        corrupt the rollback — under the lease neither writer can
+        start. Raises :class:`ConcurrentWriterError` if a live writer
+        holds it."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _ctx():
+            self._acquire_lock()
+            try:
+                yield self
+            finally:
+                self._release_lock()
+
+        return _ctx()
+
     def heartbeat(self) -> None:
         """Refresh the held lease's mtime so a TTL-enabled peer does
         not declare this writer dead mid-batch. ``begin``/``commit``

@@ -240,6 +240,41 @@ class StreamingEmbeddingSink:
             query.stop()
         return done
 
+    # -- maintenance --------------------------------------------------------
+
+    def compact_store(self, target_bytes: int = 128 * 1024 * 1024) -> int:
+        """Between-ticks small-file compaction of the vector store:
+        the sink appends one parquet part set per micro-batch, so a
+        long-running ingest accumulates per-batch small files whose
+        open/footer cost eventually dominates every probe
+        (`operators/layout.py::compact_small_files` — same
+        FS-listing sizing and rename-swap crash safety).
+
+        Safety contract: rolls back any dead batch first
+        (``recover()``), then holds the commit log's single-writer
+        lease for the whole rewrite — the log's rollback deletes
+        store files absent from a pending snapshot, so a compaction
+        racing a live batch would either lose the rewrite or feed
+        rollback a renamed file set; under the lease neither writer
+        can start. Raises
+        :class:`~hadoop_data_pipeline_spark.streaming.commitlog.ConcurrentWriterError`
+        if a tick is live. Returns the post-compaction file count
+        (0 for a store that has not admitted anything yet)."""
+        from hadoop_data_pipeline_spark.operators.layout import (
+            compact_small_files,
+        )
+        from hadoop_data_pipeline_spark.streaming.dedup_sink import (
+            has_parquet,
+        )
+
+        self.commit_log.recover()
+        with self.commit_log.exclusive():
+            if not has_parquet(self.store_dir):
+                return 0
+            return compact_small_files(
+                self.spark, self.store_dir, target_bytes
+            )
+
     # -- queries over the accumulated store -------------------------------
 
     def ann_topk(self, query_ids, k: int = 5, n_probe: int = 1) -> DataFrame:

@@ -135,6 +135,53 @@ def test_embed_sink_crash_replay_exactly_once(spark, tmp_path, monkeypatch):
     want = _reference_ids(spark, sink, chunks, schema)
     assert set(ids) == want
 
+def test_embed_sink_compact_store(spark, tmp_path):
+    """Between-ticks store compaction: per-batch appends leave one
+    part set per tick; compact_store must merge them under the writer
+    lease without changing the admitted row set, and a FOLLOWING tick
+    must keep admitting correctly against the compacted store. A held
+    lease (live concurrent writer) must fail fast."""
+    import json as _json
+    import os as _os
+
+    from hadoop_data_pipeline_spark.streaming.commitlog import (
+        ConcurrentWriterError,
+    )
+
+    chunks, schema = _chunks(spark, n=3)
+    (tmp_path / "src").mkdir()
+    sink = _mk_sink(spark, tmp_path)
+    # empty store: no-op, not an error
+    assert sink.compact_store() == 0
+    for i, rows in enumerate(chunks[:2]):
+        _feed(spark, str(tmp_path / "src"), f"b{i}", rows, schema)
+        assert sink.run_available_now()
+    store_dir = str(tmp_path / "store")
+    before_files = glob.glob(f"{store_dir}/*.parquet")
+    assert len(before_files) >= 2  # one part set per tick
+    ids_before = {r.vec_id for r in sink.store().select("vec_id").collect()}
+
+    # a live concurrent writer blocks compaction
+    lock = tmp_path / "ckpt" / "commitlog" / "writer.lock"
+    lock.write_text(_json.dumps({"pid": 1, "host": _os.uname().nodename}))
+    with pytest.raises(ConcurrentWriterError):
+        sink.compact_store()
+    lock.unlink()
+
+    assert sink.compact_store(target_bytes=10**9) == 1
+    assert len(glob.glob(f"{store_dir}/*.parquet")) == 1
+    assert not lock.exists()  # lease released
+    assert {
+        r.vec_id for r in sink.store().select("vec_id").collect()
+    } == ids_before
+    # ingest continues against the compacted store, and the final
+    # admitted set still equals the batch reference
+    _feed(spark, str(tmp_path / "src"), "b2", chunks[2], schema)
+    assert sink.run_available_now()
+    got = {r.vec_id for r in sink.store().select("vec_id").collect()}
+    assert got == _reference_ids(spark, sink, chunks, schema)
+
+
 def test_embed_sink_ann_multi_probe_recall(spark, tmp_path):
     """Multi-probe ANN over the store: probing the n_probe-1 smallest-
     margin Hamming-1 neighbor buckets must never LOSE recall vs the

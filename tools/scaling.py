@@ -42,6 +42,14 @@ DEFAULT = [
     "benchmark_contamination",
     "embedding_cosine_topk",
     "embedding_ann_lsh_topk",
+    # the r9/r10 ANN ladder: codes-only ADC scan, IVF-pruned ADC, and
+    # margin-ranked multi-probe — each must hold the same ~linear
+    # growth as the brute/LSH baselines (their plans claim the probe
+    # side is corpus-independent; the curve is the receipt)
+    "embedding_pq_topk",
+    "embedding_ann_ivfpq_topk",
+    "embedding_ann_multiprobe_topk",
+    "kmeans_refine_cluster_stats",
     "user_event_gap_stats",
     "pagerank_part_supplier",
     "bom_rollup_recursive",
