@@ -110,8 +110,29 @@ def unpersist_deps(df: DataFrame) -> None:
     One-shot callers can ignore this (the cache dies with the session,
     and the bench harness clearCache()s between queries); ITERATIVE
     callers must call this after materializing each iteration's result,
-    or they accumulate one cached corpus-wide frame per iteration."""
-    for dep in getattr(df, "_cached_deps", []):
+    or they accumulate one cached corpus-wide frame per iteration.
+
+    The tag lives on the EXACT DataFrame object the operator returned
+    — any further transformation (``.select``, ``.where``) produces a
+    new object without it. Calling this on an untagged frame warns
+    loudly instead of silently no-opping, because the silent form hid
+    exactly the per-iteration leak this function exists to release
+    (pass the operator's direct return value, or fall back to
+    ``spark.catalog.clearCache()``)."""
+    deps = getattr(df, "_cached_deps", None)
+    if deps is None:
+        import warnings
+
+        warnings.warn(
+            "unpersist_deps: this DataFrame carries no _cached_deps "
+            "tag — it is not an operator's direct return value (a "
+            "transformation strips the tag). Nothing was unpersisted; "
+            "pass the operator's return frame or use "
+            "spark.catalog.clearCache().",
+            stacklevel=2,
+        )
+        return
+    for dep in deps:
         dep.unpersist()
 
 

@@ -2335,7 +2335,17 @@ def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.ann_topk_ivf(
         emb, query_ids=list(range(10)), k=5, centroids=SF001_CENTROIDS
     )
-    return out.select("query_id", "cand_id", "cosine")
+    from hadoop_data_pipeline_spark.operators.queries import (
+        _with_cached_deps,
+    )
+
+    # re-tag: .select() returns a new object without the operator's
+    # _cached_deps, and this wrapper's result must stay releasable via
+    # unpersist_deps like the operator's own return value.
+    return _with_cached_deps(
+        out.select("query_id", "cand_id", "cosine"),
+        *getattr(out, "_cached_deps", []),
+    )
 
 
 def _duck_pq_topk_sql(k: int = 5, n_queries: int = 10) -> str:

@@ -371,8 +371,18 @@ class BatchCommitLog:
         rewrite racing a live batch would either lose the rewrite or
         corrupt the rollback — under the lease neither writer can
         start. Raises :class:`ConcurrentWriterError` if a live writer
-        holds it."""
+        holds it — INCLUDING this very instance: maintenance while our
+        own batch is in flight would roll back / rewrite under it, and
+        the naive acquire would be a no-op whose exit then released
+        the batch's lease out from under it."""
         from contextlib import contextmanager
+
+        if self._lock_held:
+            raise ConcurrentWriterError(
+                f"commit log {self.log_dir}: exclusive() called while "
+                f"this instance already holds the lease (a batch is in "
+                f"flight); run maintenance between ticks"
+            )
 
         @contextmanager
         def _ctx():
@@ -384,21 +394,64 @@ class BatchCommitLog:
 
         return _ctx()
 
+    def _verify_owner(self) -> dict:
+        """Re-read the lease file and confirm it is still OURS. With
+        TTL reclaim enabled, a live-but-slow writer can lose the lease
+        (a peer declared it dead after a full TTL of silence); from
+        that moment its rollback safety is gone and every further
+        lease operation must fail loudly instead of mutating the NEW
+        holder's lease file."""
+        me = {"pid": os.getpid(), "host": socket.gethostname()}
+        try:
+            with open(self._lock_path(), encoding="utf-8") as fh:
+                holder = json.load(fh)
+        except FileNotFoundError:
+            self._lock_held = False
+            raise ConcurrentWriterError(
+                f"commit log {self.log_dir}: our lease file vanished — "
+                f"a peer reclaimed it (TTL expiry or manual removal); "
+                f"this writer's batch is no longer protected"
+            )
+        except (json.JSONDecodeError, OSError) as ex:
+            raise ConcurrentWriterError(
+                f"commit log {self.log_dir}: lease unreadable while "
+                f"held ({ex}); refusing to proceed"
+            )
+        if holder != me:
+            self._lock_held = False
+            raise ConcurrentWriterError(
+                f"commit log {self.log_dir}: lease now held by {holder} "
+                f"— it was reclaimed out from under this writer (TTL "
+                f"expiry after a heartbeat gap); aborting instead of "
+                f"corrupting the new holder's rollback state"
+            )
+        return me
+
     def heartbeat(self) -> None:
         """Refresh the held lease's mtime so a TTL-enabled peer does
         not declare this writer dead mid-batch. ``begin``/``commit``
         call it implicitly; a sink whose single batch can run longer
         than the TTL must call it periodically from the batch body
         (e.g. between store appends). No-op when the lease is not
-        held; a vanished lease file raises — losing the lease
-        mid-batch means a peer reclaimed it and rollback safety is
-        already gone, which must surface, not pass silently."""
+        held. Verifies OWNERSHIP first: losing the lease mid-batch
+        means a peer reclaimed it and rollback safety is already gone
+        — that surfaces as :class:`ConcurrentWriterError`, never as a
+        silent utime on the new holder's file."""
         if not self._lock_held:
             return
+        self._verify_owner()
         os.utime(self._lock_path())
 
     def _release_lock(self) -> None:
         if not self._lock_held:
+            return
+        try:
+            self._verify_owner()
+        except ConcurrentWriterError:
+            # the lease is no longer ours (vanished or reclaimed):
+            # there is nothing of OURS to remove, and removing would
+            # delete the new holder's lease — just drop our claim.
+            self._lock_held = False
             return
         try:
             os.remove(self._lock_path())
@@ -440,8 +493,20 @@ class BatchCommitLog:
 
     def commit(self, batch_id: int) -> None:
         """The commit point: rename the marker into place, then drop
-        the pending record, prune old markers, release the lease."""
-        self.heartbeat()
+        the pending record, prune old markers, release the lease.
+
+        Requires the lease: committing without it (begin() never ran,
+        or a TTL peer reclaimed the lease mid-batch) would stamp
+        "committed" onto a batch whose appends were unprotected — the
+        new holder's rollback may already have deleted them, and the
+        marker would mask that as success."""
+        if not self._lock_held:
+            raise ConcurrentWriterError(
+                f"commit log {self.log_dir}: commit({batch_id}) without "
+                f"the writer lease — begin() was never called, or the "
+                f"lease was lost mid-batch"
+            )
+        self._verify_owner()
         self._write_atomic(
             self._commit_path(batch_id),
             {"batch_id": batch_id, "run_id": self._run_id()},

@@ -167,6 +167,22 @@ class StreamingDedupSink:
         finally:
             release()
 
+    def compact_stores(
+        self, target_bytes: int = 128 * 1024 * 1024
+    ) -> dict[str, int]:
+        """Between-ticks small-file compaction of the clean zone and
+        digest store (both plain append-only parquet — safe to
+        coalesce), under the commit log's writer lease
+        (`streaming/maintenance.py`). Run after a drain, never during
+        a tick (a live tick makes it raise ConcurrentWriterError)."""
+        from hadoop_data_pipeline_spark.streaming.maintenance import (
+            compact_sink_stores,
+        )
+
+        return compact_sink_stores(
+            self.spark, self.commit_log, target_bytes=target_bytes
+        )
+
     def run_available_now(self, timeout_sec: int = 120) -> bool:
         """Drain everything currently in ``source_dir``, then stop —
         one cron tick of continuous ingest. Re-running after new files

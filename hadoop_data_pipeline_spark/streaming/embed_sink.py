@@ -260,20 +260,13 @@ class StreamingEmbeddingSink:
         :class:`~hadoop_data_pipeline_spark.streaming.commitlog.ConcurrentWriterError`
         if a tick is live. Returns the post-compaction file count
         (0 for a store that has not admitted anything yet)."""
-        from hadoop_data_pipeline_spark.operators.layout import (
-            compact_small_files,
-        )
-        from hadoop_data_pipeline_spark.streaming.dedup_sink import (
-            has_parquet,
+        from hadoop_data_pipeline_spark.streaming.maintenance import (
+            compact_sink_stores,
         )
 
-        self.commit_log.recover()
-        with self.commit_log.exclusive():
-            if not has_parquet(self.store_dir):
-                return 0
-            return compact_small_files(
-                self.spark, self.store_dir, target_bytes
-            )
+        return compact_sink_stores(
+            self.spark, self.commit_log, target_bytes=target_bytes
+        )["store"]
 
     # -- queries over the accumulated store -------------------------------
 
@@ -293,6 +286,11 @@ class StreamingEmbeddingSink:
         side never replicates. No distinct is needed — a candidate
         lives in exactly one bucket and the probe list is distinct, so
         each (query, cand) pair arises at most once."""
+        if n_probe < 1:
+            # validate the degenerate path too — the expression helper
+            # only guards the multi-probe branch, and a 0/negative
+            # value from a config typo must not silently mean "1".
+            raise ValueError(f"n_probe must be >= 1, got {n_probe}")
         st = self.store()
         cos = dual.cosine_staged("qv", "cv", "qn", "cn", dual.SPARK)
         q = st.where(F.col(self.id_col).isin(*list(query_ids))).selectExpr(

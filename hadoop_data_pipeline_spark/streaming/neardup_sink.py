@@ -212,6 +212,27 @@ class StreamingNearDupSink:
         finally:
             release()
 
+    def compact_stores(
+        self, target_bytes: int = 128 * 1024 * 1024
+    ) -> dict[str, int]:
+        """Between-ticks small-file compaction under the writer lease
+        (`streaming/maintenance.py`). The clean zone always compacts;
+        the band index compacts ONLY in plain-directory mode — with
+        ``index_table`` set it is a BUCKETED table whose bucket-id-to-
+        file mapping lives in the file names, and a coalesce rewrite
+        would silently break the exchange-free probe layout."""
+        from hadoop_data_pipeline_spark.streaming.maintenance import (
+            compact_sink_stores,
+        )
+
+        stores = ["clean"] if self.index_table else ["clean", "index"]
+        return compact_sink_stores(
+            self.spark,
+            self.commit_log,
+            stores=stores,
+            target_bytes=target_bytes,
+        )
+
     def run_available_now(self, timeout_sec: int = 120) -> bool:
         """Drain everything currently in ``source_dir``, then stop —
         one tick of continuous ingest; the file-source checkpoint

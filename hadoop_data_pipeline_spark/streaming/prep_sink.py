@@ -197,6 +197,21 @@ class StreamingPrepSink:
             release()
             exact.unpersist()
 
+    def compact_stores(
+        self, target_bytes: int = 128 * 1024 * 1024
+    ) -> dict[str, int]:
+        """Between-ticks small-file compaction of all three stores
+        (clean zone, plain band index, digest store — all append-only
+        parquet directories) under the commit log's writer lease
+        (`streaming/maintenance.py`)."""
+        from hadoop_data_pipeline_spark.streaming.maintenance import (
+            compact_sink_stores,
+        )
+
+        return compact_sink_stores(
+            self.spark, self.commit_log, target_bytes=target_bytes
+        )
+
     def run_available_now(self, timeout_sec: int = 120) -> bool:
         """Drain everything currently in ``source_dir``, then stop —
         one tick of continuous ingest; the file-source checkpoint

@@ -386,6 +386,28 @@ def test_stream_dedup_sink_incremental(spark, tmp_path):
     digests = spark.read.parquet(str(tmp_path / "digests"))
     assert digests.count() == 3  # alpha, beta, gamma
 
+    # between-ticks compaction: per-batch part sets merge under the
+    # writer lease; row sets unchanged; ingest continues correctly
+    import glob as _glob
+
+    assert (
+        len(_glob.glob(str(tmp_path / "clean" / "*.parquet"))) >= 2
+    )  # one part set per tick
+    got = sink.compact_stores(target_bytes=10**9)
+    assert got == {"clean": 1, "digests": 1}
+    assert len(_glob.glob(str(tmp_path / "clean" / "*.parquet"))) == 1
+    assert sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "clean")).collect()
+    ) == [1, 2, 11]
+    assert not (tmp_path / "ckpt" / "commitlog" / "writer.lock").exists()
+    write_batch("b3", [(20, "gamma"), (21, "delta")])
+    assert sink.run_available_now()
+    assert sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "clean")).collect()
+    ) == [1, 2, 11, 21]
+
 
 def test_stream_neardup_sink_probes_persisted_index(spark, tmp_path):
     """The full daily-ingest near-dup loop: batch 1 bootstraps the
@@ -882,6 +904,78 @@ def test_commit_log_lease_ttl_cross_host(tmp_path):
     log_hb.heartbeat()
     assert _os.stat(lock).st_mtime > _time.time() - 30
     log_hb.commit(3)
+
+
+def test_commit_log_displaced_holder_fails_loudly(tmp_path):
+    """Once TTL reclaim makes it possible for a LIVE writer to lose
+    the lease, every lease operation must detect displacement instead
+    of mutating the new holder's state: heartbeat() raises, commit()
+    refuses to stamp the unprotected batch, and releasing never
+    deletes the new holder's lease file."""
+    import json as _json
+
+    from hadoop_data_pipeline_spark.streaming.commitlog import (
+        BatchCommitLog,
+        ConcurrentWriterError,
+    )
+
+    store = tmp_path / "s"
+    store.mkdir()
+    log_dir = tmp_path / "log"
+    lock = log_dir / "writer.lock"
+    thief = {"pid": 99999, "host": "the-new-holder"}
+
+    # heartbeat after displacement: loud, and the thief's lease stays
+    log = BatchCommitLog(str(log_dir), {"s": str(store)}, lease_ttl_sec=60)
+    log.begin(0)
+    lock.write_text(_json.dumps(thief))  # peer reclaimed + re-acquired
+    with pytest.raises(ConcurrentWriterError, match="reclaimed"):
+        log.heartbeat()
+    assert _json.loads(lock.read_text()) == thief
+
+    # commit after displacement: refused (heartbeat dropped our claim,
+    # so this surfaces as committing without the lease), no marker
+    with pytest.raises(ConcurrentWriterError, match="without the"):
+        log.commit(0)
+    assert not (log_dir / "commit-0.json").exists()
+    assert _json.loads(lock.read_text()) == thief
+
+    # vanished lease: same contract via the FileNotFoundError path
+    log2 = BatchCommitLog(str(log_dir), {"s": str(store)}, lease_ttl_sec=60)
+    lock.unlink()
+    log2.begin(1)
+    lock.unlink()
+    with pytest.raises(ConcurrentWriterError, match="vanished"):
+        log2.heartbeat()
+
+    # commit() without any begin(): refused outright
+    log3 = BatchCommitLog(str(log_dir), {"s": str(store)})
+    with pytest.raises(ConcurrentWriterError, match="without the"):
+        log3.commit(7)
+
+
+def test_commit_log_exclusive_rejects_reentry(tmp_path):
+    """exclusive() while this instance already holds the lease (a
+    batch in flight) must raise — the naive acquire would no-op and
+    its exit would release the batch's lease out from under it."""
+    from hadoop_data_pipeline_spark.streaming.commitlog import (
+        BatchCommitLog,
+        ConcurrentWriterError,
+    )
+
+    store = tmp_path / "s"
+    store.mkdir()
+    log = BatchCommitLog(str(tmp_path / "log"), {"s": str(store)})
+    log.begin(0)
+    with pytest.raises(ConcurrentWriterError, match="in flight"):
+        log.exclusive()
+    # the batch's lease survived the refused maintenance attempt
+    assert (tmp_path / "log" / "writer.lock").exists()
+    log.commit(0)
+    # between ticks it works
+    with log.exclusive():
+        assert (tmp_path / "log" / "writer.lock").exists()
+    assert not (tmp_path / "log" / "writer.lock").exists()
 
 
 def test_commit_log_reclaim_is_serialized_and_foreign_pending_refused(

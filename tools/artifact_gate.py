@@ -122,11 +122,23 @@ def assignment_crc() -> int:
 
 def main() -> int:
     problems = check_zlib_map() + check_quantizer_shapes()
-    crc = assignment_crc()
+    try:
+        crc = assignment_crc()
+    except FileNotFoundError as ex:
+        # the sf0.01 fixture is load-bearing for this probe: surface a
+        # structured DRIFT line, never a raw traceback.
+        crc = None
+        problems.append(f"assignment checksum unavailable: {ex}")
     if os.environ.get("SPARK_GRAFT_REPIN"):
-        print(f"ASSIGN_CRC_SF001 = {crc}")
-        return 0
-    if crc != ASSIGN_CRC_SF001:
+        # repin prints the new pin but must NOT bless a state that
+        # already fails the other checks — a repin right after fixture
+        # corruption would silently lock the drift in.
+        for p in problems:
+            print(f"DRIFT {p}")
+        if crc is not None:
+            print(f"ASSIGN_CRC_SF001 = {crc}")
+        return 1 if problems else 0
+    if crc is not None and crc != ASSIGN_CRC_SF001:
         problems.append(
             f"sf0.01 assignment checksum drift: pinned "
             f"{ASSIGN_CRC_SF001}, got {crc} — fixture or centroids "

@@ -9,12 +9,12 @@ script IS the checklist — run it, and only snapshot on exit 0:
    (mirror of the driver's correctness gate)
 3. the sf0.1 headline subset — the queries whose bugs historically
    only appeared above sf0.01 (float accumulation order, bucket skew)
-4. ``tools/stress.py 4`` — the oracle-compared sweep at a key-shifted
-   ~4x sf0.1, which caught the overflow / float-drift /
-   recursion-valve bugs that every sf0.1 check passed
-5. ``tools/stress.py 4 --spark-only-excluded`` — the Spark sides of
+4. ``tools/stress.py 4 --also-spark-only-excluded`` — the
+   oracle-compared sweep at a key-shifted ~4x sf0.1 (which caught the
+   overflow / float-drift / recursion-valve bugs every sf0.1 check
+   passed), plus — over the same built corpus — the Spark sides of
    the oracle-capped STRESS_EXCLUDE entries under structural laws
-6. ``tools/stress_stream.py 8 4`` — the crash-injected streaming
+5. ``tools/stress_stream.py 8 4`` — the crash-injected streaming
    sweep: writer killed mid-batch at scale, replay must stay
    exactly-once vs the batch reference
 
@@ -108,22 +108,21 @@ def main() -> int:
         # 4x key-shifted sf0.1 (~2.4M lineitem): the stage that caught
         # the bigint-overflow / float-drift / recursion-valve bugs the
         # sf0.1 sweeps could not see (tools/stress.py).
-        steps.append(
-            ("stress_4x", [sys.executable, "tools/stress.py", "4"])
-        )
-        # Spark-side-only pass over the oracle-capped STRESS_EXCLUDE
-        # entries: structural row-count laws + schema + key ranges at
-        # 4x, so oracle caps never cap Spark coverage (the 16x form of
-        # the same sweep is the per-round manual run; r10).
+        # One invocation, two sweeps over the SAME built corpus: the
+        # oracle-compared run plus the Spark-side structural-law pass
+        # over the oracle-capped STRESS_EXCLUDE entries (so oracle
+        # caps never cap Spark coverage; the 16x form of the second
+        # sweep is the per-round manual run; r10). A single build
+        # halves the gate's multi-minute 4x corpus cost.
         steps.append(
             (
-                "stress_4x_spark_only_excluded",
+                "stress_4x+spark_only_excluded",
                 [
                     sys.executable,
                     "tools/stress.py",
                     "4",
                     "/root/testdata/sf0.1",
-                    "--spark-only-excluded",
+                    "--also-spark-only-excluded",
                 ],
             )
         )

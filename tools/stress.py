@@ -15,10 +15,13 @@ gap statistics see genuinely new data, not K identical cohorts.
 
 Usage: python tools/stress.py [copies] [sf_dir] [query ...] [--skew]
        python tools/stress.py [copies] [sf_dir] --spark-only-excluded
+       python tools/stress.py [copies] [sf_dir] --also-spark-only-excluded
 The second form runs ONLY the Spark side of the STRESS_EXCLUDE
 entries (whose DuckDB oracles are capped) and checks structural
 row-count laws, schema stability, and key-range containment instead
-of a value hash — so oracle caps never cap Spark coverage.
+of a value hash — so oracle caps never cap Spark coverage. The third
+form appends that sweep to the normal oracle-compared run, reusing
+the same built corpus (what the gate uses).
 Writes the derived parquet under /tmp/spark_graft_stress (re-created
 each run), never under /root/testdata.
 """
@@ -164,12 +167,32 @@ ID_RANGE_COLS = {
 def spark_only_sweep(spark, qs: dict, sf_dir: str, out_dir: str, copies: int) -> list[str]:
     """Execute the Spark side of every STRESS_EXCLUDE query at the
     stress scale and check the structural laws above. Returns the list
-    of failed query names; prints one MATCH/FAIL line each."""
+    of failed query names; prints one MATCH/FAIL line each.
+
+    Accounting is LOUD: an exclusion missing from the catalog (renamed
+    query) or missing its law (new exclusion without scale coverage)
+    is a FAILURE, not a silent skip — otherwise the summary could
+    print all-green for queries that never ran, defeating the step's
+    purpose (oracle caps must never cap Spark coverage)."""
     import pyspark.sql.functions as F
 
     failed = []
     for name in sorted(STRESS_EXCLUDE):
-        if name not in qs or name not in SPARK_ONLY_LAWS:
+        if name not in qs:
+            failed.append(name)
+            print(
+                f"FAIL  [spark-only] {name}: in STRESS_EXCLUDE but not "
+                f"in the catalog — stale exclusion (renamed/removed "
+                f"query?); fix STRESS_EXCLUDE"
+            )
+            continue
+        if name not in SPARK_ONLY_LAWS:
+            failed.append(name)
+            print(
+                f"FAIL  [spark-only] {name}: excluded from the oracle "
+                f"sweep but has no SPARK_ONLY_LAWS entry — add a "
+                f"structural law so its Spark side keeps scale coverage"
+            )
             continue
         desc, law = SPARK_ONLY_LAWS[name]
         t0 = time.perf_counter()
@@ -333,7 +356,12 @@ def main() -> int:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--skew", "--spark-only-excluded")
+        if a
+        not in (
+            "--skew",
+            "--spark-only-excluded",
+            "--also-spark-only-excluded",
+        )
     ]
     skew = "--skew" in sys.argv
     copies = int(args[0]) if args else 4
@@ -388,7 +416,7 @@ def main() -> int:
         # Spark-side-only pass over the oracle-capped exclusions: no
         # DuckDB at all, structural-law assertions instead.
         failed = spark_only_sweep(spark, qs, sf_dir, out_dir, copies)
-        n_run = len([n for n in STRESS_EXCLUDE if n in SPARK_ONLY_LAWS])
+        n_run = len(STRESS_EXCLUDE)  # every exclusion is accounted for
         print(
             f"\n{n_run - len(failed)}/{n_run} spark-only excluded "
             f"queries pass at ~{copies}x sf0.1{mode}"
@@ -416,6 +444,16 @@ def main() -> int:
         else:
             print(f"MATCH {name} ({dt:.1f}s): rows={len(sdf)}")
     print(f"\n{len(headline) - len(failed)}/{len(headline)} pass at ~{copies}x sf0.1{mode}")
+    if "--also-spark-only-excluded" in sys.argv and not skew:
+        # append the spark-only sweep to the SAME invocation so the
+        # gate pays the multi-minute corpus build once, not per step.
+        so_failed = spark_only_sweep(spark, qs, sf_dir, out_dir, copies)
+        n_run = len(STRESS_EXCLUDE)
+        print(
+            f"{n_run - len(so_failed)}/{n_run} spark-only excluded "
+            f"queries pass at ~{copies}x sf0.1{mode}"
+        )
+        failed += so_failed
     if not failed:
         shutil.rmtree(out_dir, ignore_errors=True)  # keep data on FAIL
     return 1 if failed else 0
