@@ -189,6 +189,38 @@ def ann_topk_lsh_multiprobe(
     (never replicated); only the kilobyte broadcast query side fans
     out. Deterministic (margin ties broken by plane index), so it has
     an exact SQL oracle."""
+    return ann_topk_filtered(
+        df,
+        query_ids,
+        "true",  # unfiltered: the constant predicate folds away
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ann_topk_filtered(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    predicate: str,
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FILTERED ANN — "nearest neighbors WHERE <predicate>", the
+    production retrieval shape (search within a language / license /
+    domain / freshness slice). The predicate applies to the CANDIDATE
+    side BEFORE the bucket join, so Catalyst pushes it into the
+    parquet scan (partition and row-group pruning carry it at 100 TB);
+    the query side is NOT filtered — you search FROM any vector INTO
+    the slice. This is PRE-filter ANN: post-filtering a top-k (the
+    naive composition) returns fewer than k usable rows whenever the
+    slice is sparse in the query's bucket, while pre-filtering ranks
+    k true slice members. Composes with multi-probe (``n_probe``) —
+    sparse slices thin every bucket, which is exactly when probing
+    neighbor buckets pays."""
     bucketed = with_bucket(df, vec_col)
     nrm = dual.norm(vec_col, dual.SPARK)
     queries = bucketed.where(F.col(id_col).isin(*query_ids)).selectExpr(
@@ -201,7 +233,7 @@ def ann_topk_lsh_multiprobe(
         f"explode({lsh_probe_buckets_expr('qvec', 'bucket', n_probe)})"
         " AS bucket",
     )
-    cands = bucketed.selectExpr(
+    cands = bucketed.where(predicate).selectExpr(
         f"{id_col} AS cand_id", f"{vec_col} AS cvec", f"{nrm} AS cn", "bucket"
     )
     cos = dual.cosine_staged("qvec", "cvec", "qn", "cn", dual.SPARK)

@@ -1297,6 +1297,72 @@ def embedding_ann_multiprobe_topk(
     return out.select("query_id", "cand_id", "cosine")
 
 
+def _duck_filtered_topk_sql(
+    predicate: str, k: int = 5, n_queries: int = 10, n_probe: int = 2
+) -> str:
+    """Exact oracle for FILTERED multi-probe ANN: identical margin /
+    probe arithmetic as :func:`_duck_multiprobe_topk_sql`, with the
+    candidate side restricted by ``predicate`` BEFORE the bucket join
+    (pre-filter semantics — never post-filtering a top-k)."""
+    bucket = dual.ann_bucket("embedding", D)
+    cos = dual.cosine("q.qvec", "c.cvec", D)
+    margin_rows = "\n        UNION ALL ".join(
+        f"SELECT query_id, qvec, bucket, {j} AS j,"
+        f" abs({dual.dot('qvec', dual.plane_literal(p, D), D)}) AS m"
+        " FROM q"
+        for j, p in enumerate(dual.ANN_PLANES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding, label, {bucket} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+          FROM e WHERE vec_id < {n_queries}),
+    m AS ({margin_rows}),
+    flips AS (
+        SELECT query_id, qvec, xor(bucket, (1 << j)) AS bucket
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY m ASC, j ASC
+              ) AS rk FROM m)
+        WHERE rk <= {n_probe - 1}
+    ),
+    probes AS (
+        SELECT query_id, qvec, bucket FROM q
+        UNION ALL SELECT query_id, qvec, bucket FROM flips
+    ),
+    c AS (SELECT vec_id AS cand_id, embedding AS cvec, bucket
+          FROM e WHERE {predicate}),
+    s AS (SELECT query_id, cand_id, {cos} AS cosine
+          FROM probes q JOIN c USING (bucket) WHERE query_id <> cand_id)
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+        ) AS rn FROM s
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "embedding_ann_filtered_topk",
+    oracle=_duck_filtered_topk_sql("label % 3 = 1", n_probe=4),
+)
+def embedding_ann_filtered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered ANN (`similarity.ann_topk_filtered`): top-5 neighbors
+    WITHIN the label%3=1 slice (~a third of the corpus) for query vecs 0-9 — the production
+    "search within a language/license/domain" retrieval shape. The
+    slice predicate applies to the candidate side BEFORE the bucket
+    join (pushed into the parquet scan; pre-filter preserves k where
+    post-filtering a top-k goes sparse), composed with 4-bucket
+    multi-probe (n_probe=4) because thinned buckets are exactly where
+    probing neighbor buckets pays."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.ann_topk_filtered(
+        emb, query_ids=list(range(10)), predicate="label % 3 = 1", k=5, n_probe=4
+    )
+    return out.select("query_id", "cand_id", "cosine")
+
+
 def _duck_near_dup_emb_sql(threshold: float) -> str:
     cos = dual.cosine("a.embedding", "b.embedding", D)
     return f"""
@@ -6289,9 +6355,9 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotated-out queries remain oracle-checked every commit by
 # tools/oracle_check.py --strict and tests/test_catalog_oracle.py.
 # NOTE for the r11 rotation: queries ADDED during r10 (currently:
-# embedding_ann_multiprobe_topk) are exact-oracled and locally
-# strict-verified but land beyond slot 50 — they are next round's
-# never-driver-checked set.
+# embedding_ann_multiprobe_topk, embedding_ann_filtered_topk) are
+# exact-oracled and locally strict-verified but land beyond slot 50 —
+# they are next round's never-driver-checked set.
 
 _DRIVER_WINDOW = [
     # r9-new: production ANN ladder (pinned quantizer artifacts)

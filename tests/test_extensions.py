@@ -1142,6 +1142,50 @@ def test_ann_multiprobe_recall_vs_single_probe(spark):
         )
 
 
+def test_ann_filtered_prefilter_semantics(spark):
+    """Filtered ANN must (a) return only slice members, (b) preserve k
+    where post-filtering goes sparse: for every query, the pre-filter
+    result has at least as many usable (slice-member) rows as
+    post-filtering the unfiltered top-k, and (c) degenerate to the
+    multi-probe result under a vacuous predicate."""
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = list(range(10))
+    pred = "label % 3 = 1"
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+
+    pre = sim.ann_topk_filtered(emb, qids, pred, k=5, n_probe=3).collect()
+    assert pre, "slice must be reachable on the fixture"
+    for r in pre:
+        assert labels[r.cand_id] % 3 == 1, "non-slice candidate leaked"
+
+    post = [
+        r
+        for r in sim.ann_topk_lsh_multiprobe(
+            emb, qids, k=5, n_probe=3
+        ).collect()
+        if labels[r.cand_id] % 3 == 1
+    ]
+
+    def per_q(rows):
+        out = {}
+        for r in rows:
+            out[r.query_id] = out.get(r.query_id, 0) + 1
+        return out
+
+    npre, npost = per_q(pre), per_q(post)
+    for q in qids:
+        assert npre.get(q, 0) >= npost.get(q, 0)
+    assert sum(npre.values()) > sum(npost.values()), (
+        "fixture should demonstrate the post-filter sparsity gap"
+    )
+
+    vac = sim.ann_topk_filtered(emb, qids, "true", k=5, n_probe=3).collect()
+    multi = sim.ann_topk_lsh_multiprobe(emb, qids, k=5, n_probe=3).collect()
+    assert sorted(map(tuple, vac)) == sorted(map(tuple, multi))
+
+
 def test_unpersist_deps_releases_cache(spark, vecs):
     cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
     out = sim.kmeans_refine_stats(vecs, cents)
