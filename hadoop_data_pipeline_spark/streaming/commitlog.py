@@ -374,7 +374,17 @@ class BatchCommitLog:
         holds it — INCLUDING this very instance: maintenance while our
         own batch is in flight would roll back / rewrite under it, and
         the naive acquire would be a no-op whose exit then released
-        the batch's lease out from under it."""
+        the batch's lease out from under it. (The in-process guard is
+        per-INSTANCE: the sinks share one commit log per checkpoint,
+        so their maintenance methods are covered; a second
+        BatchCommitLog object over the same log_dir in the same live
+        process is outside the protocol — the documented discipline is
+        one writer per checkpoint, maintenance between ticks.)
+
+        Exit is STRICT: ownership is re-verified before release, so a
+        TTL displacement DURING the maintenance body (the rewrite ran
+        unprotected) surfaces as :class:`ConcurrentWriterError` to the
+        caller instead of a silent successful return."""
         from contextlib import contextmanager
 
         if self._lock_held:
@@ -390,7 +400,7 @@ class BatchCommitLog:
             try:
                 yield self
             finally:
-                self._release_lock()
+                self._release_lock(strict=True)
 
         return _ctx()
 
@@ -440,9 +450,27 @@ class BatchCommitLog:
         if not self._lock_held:
             return
         self._verify_owner()
-        os.utime(self._lock_path())
+        try:
+            os.utime(self._lock_path())
+        except FileNotFoundError:
+            # reclaimed in the verify->utime window: same displacement
+            # contract as _verify_owner, same exception type (never a
+            # raw FileNotFoundError with _lock_held still claiming it).
+            self._lock_held = False
+            raise ConcurrentWriterError(
+                f"commit log {self.log_dir}: lease vanished between "
+                f"ownership check and heartbeat — a peer reclaimed it; "
+                f"this writer's batch is no longer protected"
+            )
 
-    def _release_lock(self) -> None:
+    def _release_lock(self, strict: bool = False) -> None:
+        """Release our lease. Displacement handling depends on the
+        caller: the default quietly drops our claim (commit() verified
+        ownership immediately before, so a displacement here is a
+        microsecond TOCTOU with nothing left to protect), while
+        ``strict=True`` (the maintenance path) re-raises — the caller's
+        whole body ran on the assumption of exclusivity and must learn
+        it was displaced."""
         if not self._lock_held:
             return
         try:
@@ -450,8 +478,10 @@ class BatchCommitLog:
         except ConcurrentWriterError:
             # the lease is no longer ours (vanished or reclaimed):
             # there is nothing of OURS to remove, and removing would
-            # delete the new holder's lease — just drop our claim.
+            # delete the new holder's lease.
             self._lock_held = False
+            if strict:
+                raise
             return
         try:
             os.remove(self._lock_path())
@@ -540,7 +570,14 @@ class BatchCommitLog:
         in-flight files. Run before the first batch of a tick (the
         engine replays the rolled-back batch from its own checkpoint).
         Returns {store: [deleted relative paths]} for observability;
-        empty when clean."""
+        empty when clean.
+
+        Composable under :meth:`exclusive`: when the caller already
+        holds the lease (maintenance rolls back and rewrites under ONE
+        hold — two holds would leave a window where a peer's begin()
+        could wedge a pending record between them), recover() keeps it
+        held on exit instead of releasing the caller's lease."""
+        owned_before = self._lock_held
         self._acquire_lock()
         try:
             rolled: dict[str, list[str]] = {}
@@ -599,4 +636,5 @@ class BatchCommitLog:
                 os.remove(pending)
             return rolled
         finally:
-            self._release_lock()
+            if not owned_before:
+                self._release_lock()

@@ -50,10 +50,21 @@ def compact_sink_stores(
             f"compact_sink_stores: {unknown} not registered on this "
             f"commit log (stores: {sorted(commit_log.stores)})"
         )
-    commit_log.recover()
     out: dict[str, int] = {}
+    # ONE lease hold across rollback AND rewrite: a separate
+    # recover()-then-acquire would leave a window where a peer's
+    # begin() wedges a pending record (listing the OLD file names)
+    # between them — the next recover() would then "roll back" by
+    # deleting the entire compacted output. recover() composes under
+    # exclusive() (it keeps an already-held lease held). The lease is
+    # heartbeated per store so a TTL peer never declares this writer
+    # dead mid-rewrite; exclusive()'s strict exit re-verifies
+    # ownership, so a displacement DURING a rewrite surfaces as
+    # ConcurrentWriterError instead of a silent success.
     with commit_log.exclusive():
+        commit_log.recover()
         for name in names:
+            commit_log.heartbeat()
             path = commit_log.stores[name]
             if not has_parquet(path):
                 out[name] = 0

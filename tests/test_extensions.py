@@ -1181,9 +1181,13 @@ def test_ann_filtered_prefilter_semantics(spark):
         "fixture should demonstrate the post-filter sparsity gap"
     )
 
-    vac = sim.ann_topk_filtered(emb, qids, "true", k=5, n_probe=3).collect()
-    multi = sim.ann_topk_lsh_multiprobe(emb, qids, k=5, n_probe=3).collect()
-    assert sorted(map(tuple, vac)) == sorted(map(tuple, multi))
+    # degenerate case cross-checked against the INDEPENDENT
+    # single-probe implementation (ann_topk_lsh builds its own plan;
+    # multiprobe now delegates to filtered, so comparing those two
+    # would be the same code path checking itself)
+    vac1 = sim.ann_topk_filtered(emb, qids, "true", k=5, n_probe=1).collect()
+    lsh = sim.ann_topk_lsh(emb, qids, k=5).collect()
+    assert sorted(map(tuple, vac1)) == sorted(map(tuple, lsh))
 
 
 def test_unpersist_deps_releases_cache(spark, vecs):

@@ -978,6 +978,47 @@ def test_commit_log_exclusive_rejects_reentry(tmp_path):
     assert not (tmp_path / "log" / "writer.lock").exists()
 
 
+def test_commit_log_recover_composes_under_exclusive(tmp_path):
+    """Maintenance must roll back and rewrite under ONE lease hold:
+    recover() called while the caller already holds the lease keeps it
+    held on exit (instead of releasing the caller's lease), and a
+    strict exclusive() exit re-raises displacement."""
+    import json as _json
+
+    from hadoop_data_pipeline_spark.streaming.commitlog import (
+        BatchCommitLog,
+        ConcurrentWriterError,
+    )
+
+    store = tmp_path / "s"
+    store.mkdir()
+    log_dir = tmp_path / "log"
+    lock = log_dir / "writer.lock"
+    log = BatchCommitLog(str(log_dir), {"s": str(store)})
+
+    # plant a dead batch: pending record without its marker
+    (store / "pre.parquet").write_text("x")
+    log.begin(0)
+    (store / "b0.parquet").write_text("y")
+    log._lock_held = False  # simulate the crashed instance's amnesia
+    lock.unlink()
+
+    with log.exclusive():
+        rolled = log.recover()  # composes: rollback under OUR hold
+        assert rolled == {"s": ["b0.parquet"]}
+        assert lock.exists(), "recover() released the caller's lease"
+        assert log._lock_held
+    assert not lock.exists()  # exclusive's exit released it
+
+    # strict exit: displacement DURING the body surfaces to the caller
+    thief = {"pid": 4242, "host": "elsewhere"}
+    with pytest.raises(ConcurrentWriterError, match="reclaimed|held by"):
+        with log.exclusive():
+            lock.write_text(_json.dumps(thief))  # peer reclaim mid-body
+    assert _json.loads(lock.read_text()) == thief  # thief's lease intact
+    lock.unlink()
+
+
 def test_commit_log_reclaim_is_serialized_and_foreign_pending_refused(
     tmp_path,
 ):

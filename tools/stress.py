@@ -364,6 +364,15 @@ def main() -> int:
         )
     ]
     skew = "--skew" in sys.argv
+    if skew and "--also-spark-only-excluded" in sys.argv:
+        # the spark-only sweep's laws are derived for the UNIFORM
+        # key-shifted build; silently skipping it under --skew would
+        # be exactly the all-green-without-running failure the sweep's
+        # loud accounting forbids.
+        raise SystemExit(
+            "--also-spark-only-excluded is not supported with --skew; "
+            "run the spark-only sweep as its own non-skew invocation"
+        )
     copies = int(args[0]) if args else 4
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     # per-process dir: a gate stress stage and a manual run must not
