@@ -212,10 +212,14 @@ def ann_topk_filtered(
     """FILTERED ANN — "nearest neighbors WHERE <predicate>", the
     production retrieval shape (search within a language / license /
     domain / freshness slice). The predicate applies to the CANDIDATE
-    side BEFORE the bucket join, so Catalyst pushes it into the
-    parquet scan (partition and row-group pruning carry it at 100 TB);
-    the query side is NOT filtered — you search FROM any vector INTO
-    the slice. This is PRE-filter ANN: post-filtering a top-k (the
+    side BELOW the bucket join — and when it is SOURCE-PUSHABLE
+    (equality / comparison / IN on a column), Catalyst pushes it all
+    the way into the parquet scan, where partition and row-group
+    pruning carry it at 100 TB (arithmetic predicates like ``x % 3 =
+    1`` stop at a Filter directly above the scan: still pre-join,
+    still column-pruned, just no row-group skipping — prefer storing
+    sliceable attributes as plain columns). The query side is NOT
+    filtered — you search FROM any vector INTO the slice. This is PRE-filter ANN: post-filtering a top-k (the
     naive composition) returns fewer than k usable rows whenever the
     slice is sparse in the query's bucket, while pre-filtering ranks
     k true slice members. Composes with multi-probe (``n_probe``) —

@@ -1349,13 +1349,15 @@ def embedding_ann_filtered_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Filtered ANN (`similarity.ann_topk_filtered`): top-5 neighbors
-    WITHIN the label%3=1 slice (~a third of the corpus) for query vecs 0-9 — the production
-    "search within a language/license/domain" retrieval shape. The
-    slice predicate applies to the candidate side BEFORE the bucket
-    join (pushed into the parquet scan; pre-filter preserves k where
-    post-filtering a top-k goes sparse), composed with 4-bucket
-    multi-probe (n_probe=4) because thinned buckets are exactly where
-    probing neighbor buckets pays."""
+    WITHIN the label%3=1 slice (~a third of the corpus) for query
+    vecs 0-9 — the production "search within a language/license/
+    domain" retrieval shape. The slice predicate applies to the
+    candidate side BELOW the bucket join (a source-pushable predicate
+    reaches the parquet scan's PushedFilters — plan-pinned in
+    tests/test_plans.py; this modulo form stops at a pre-join Filter;
+    pre-filter preserves k where post-filtering a top-k goes sparse),
+    composed with 4-bucket multi-probe (n_probe=4) because thinned
+    buckets are exactly where probing neighbor buckets pays."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = sim.ann_topk_filtered(
         emb, query_ids=list(range(10)), predicate="label % 3 = 1", k=5, n_probe=4

@@ -183,6 +183,54 @@ def test_ivf_pretrained_plan_shape(spark):
     assert scans and all("embeddings" in s for s in scans)
 
 
+def test_multiprobe_and_filtered_ann_plan_shape(spark):
+    """The multi-probe / filtered ANN queries must keep their scale
+    contract: the exploded probe side BROADCASTS into the bucket join
+    (BuildLeft — the corpus side never replicates or shuffles for the
+    join), top-k is window-pushed (partial WindowGroupLimit before the
+    single exchange), and no Python stage anywhere (margin ranking is
+    pure codegen arithmetic)."""
+    for name in (
+        "embedding_ann_multiprobe_topk",
+        "embedding_ann_filtered_topk",
+    ):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan and "BuildLeft" in plan, name
+        assert plan.count("WindowGroupLimit") >= 2, name
+        assert "Python" not in plan, name
+        scans = scans_of(plan)
+        assert scans and all("embeddings" in s for s in scans), name
+
+
+def test_filtered_ann_pushes_sourceable_predicate_to_scan(spark):
+    """Pre-filter ANN's scale story: a SOURCE-PUSHABLE slice predicate
+    reaches the candidate scan's PushedFilters (row-group pruning at
+    100 TB); an arithmetic predicate legitimately stops at a Filter
+    node but must still sit BELOW the bucket join (pre-filter, never
+    post-filtering the top-k)."""
+    from hadoop_data_pipeline_spark.operators import similarity as sim
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = (
+        sim.ann_topk_filtered(emb, list(range(10)), "label = 1", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    cand_scans = [
+        s for s in plan.splitlines() if "PushedFilters" in s and "label" in s
+    ]
+    assert any(
+        "EqualTo(label,1)" in s for s in cand_scans
+    ), f"equality slice predicate not pushed to scan:\n{plan}"
+    # the catalog's modulo form: Filter above the scan, below the join
+    plan_mod = plan_of(spark, "embedding_ann_filtered_topk")
+    join_pos = plan_mod.index("BroadcastHashJoin")
+    filter_pos = plan_mod.index("(label")
+    assert filter_pos > join_pos, "slice filter not below the join"
+
+
 @pytest.mark.parametrize(
     "name", ["repetition_quality_stats", "pii_redaction_stats"]
 )

@@ -63,6 +63,63 @@ def test_stress_headline_is_inclusive_by_default():
     assert len(headline) >= 100
 
 
+def test_spark_only_laws_account_for_every_exclusion():
+    """Loud-accounting contract of the spark-only sweep: every
+    STRESS_EXCLUDE entry must have a structural law AND exist in the
+    catalog (the sweep FAILs either gap at runtime; this pins it at
+    test time so the gate never gets the chance), and every law's
+    callable accepts (n_K, n_1, K)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    assert set(stress.STRESS_EXCLUDE) == set(stress.SPARK_ONLY_LAWS)
+    for name in stress.STRESS_EXCLUDE:
+        assert name in qs, f"stale exclusion: {name}"
+    for name, (desc, law) in stress.SPARK_ONLY_LAWS.items():
+        assert len(desc) > 10, name
+        assert law(4, 2, 2) in (True, False), name  # callable, boolean
+
+
+def test_spark_only_sweep_fails_loudly_on_gaps(spark, tmp_path, monkeypatch):
+    """A renamed/removed excluded query or a law-less exclusion is a
+    FAILURE with its own FAIL line, never a silent skip counted as
+    passed."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    monkeypatch.setattr(
+        stress,
+        "STRESS_EXCLUDE",
+        {"ghost_query": "renamed away", "embedding_cosine_topk": "x"},
+    )
+    monkeypatch.setattr(
+        stress,
+        "SPARK_ONLY_LAWS",
+        {"ghost_query": ("n/a", lambda nK, n1, K: True)},
+    )
+    failed = stress.spark_only_sweep(
+        spark, qs, "/root/testdata/sf0.001", str(tmp_path / "nope"), 2
+    )
+    assert set(failed) == {"ghost_query", "embedding_cosine_topk"}
+
+
+def test_compact_sink_stores_rejects_unknown_store(spark, tmp_path):
+    from hadoop_data_pipeline_spark.streaming.commitlog import BatchCommitLog
+    from hadoop_data_pipeline_spark.streaming.maintenance import (
+        compact_sink_stores,
+    )
+    import pytest
+
+    s = tmp_path / "s"
+    s.mkdir()
+    log = BatchCommitLog(str(tmp_path / "log"), {"s": str(s)})
+    with pytest.raises(ValueError, match="not registered"):
+        compact_sink_stores(spark, log, stores=["typo"])
+    # empty registered store: 0, lease released
+    assert compact_sink_stores(spark, log) == {"s": 0}
+    assert not (tmp_path / "log" / "writer.lock").exists()
+
+
 def test_stress_skew_remap(spark, tmp_path):
     out = str(tmp_path / "stress_skew")
     stress.build(
