@@ -220,6 +220,58 @@ def corpus_mix_sample(
     return df.where(F.expr(f"{bucket} < {thresh}"))
 
 
+def mixture_budget_plan(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    total_budget: int,
+    col: str = "text",
+    key_col: str = "lang",
+) -> DataFrame:
+    """Token-budget mixture PLANNING — the step before
+    :func:`corpus_mix_sample`'s row-level execution: given target
+    mixture ``weights`` per slice (lang/source/domain) and a total
+    training-token budget, report per slice how many tokens exist,
+    how many the recipe wants (``target_tokens = weight * budget``),
+    and the resulting ``epochs`` factor (``target / available``) —
+    the number every mixture recipe (Pile-style weighting, DoReMi
+    outputs) needs to decide what gets up-sampled (epochs > 1,
+    repeated data — flag and cap it) and what gets down-sampled
+    (epochs < 1 — feed the rate to ``corpus_mix_sample``).
+
+    Deterministic and dual-dialect (weights become a CASE literal;
+    counts cast to BIGINT; epochs rounded at 4), so it has an exact
+    SQL oracle. Scale: one column-pruned scan computing per-row token
+    counts (never exploding tokens to rows — ``size(split(...))`` is
+    a per-row projection), one partial-agg'd shuffle of
+    |slices| groups, then pure literal arithmetic; output is
+    |slices| rows regardless of corpus size. A slice missing from
+    ``weights`` gets weight 0.0 (excluded by the recipe — visible in
+    the report rather than silently dropped)."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN CAST({float(v)!r} AS DOUBLE)"
+        for k, v in sorted(weights.items())
+    )
+    w = f"(CASE {key_col} {cases} ELSE CAST(0.0 AS DOUBLE) END)"
+    ntok = f"size({dual.tokens(col, dual.SPARK)})"
+    return (
+        df.selectExpr(key_col, f"CAST({ntok} AS BIGINT) AS __nt")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+        .selectExpr(
+            key_col,
+            "n_docs",
+            "n_tokens",
+            f"{w} AS weight",
+            f"CAST(round({w} * {total_budget}) AS BIGINT) AS target_tokens",
+            f"round(CAST(round({w} * {total_budget}) AS BIGINT)"
+            " / CAST(n_tokens AS DOUBLE), 4) AS epochs",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-wide vocabulary (wordcount with a scale-honest plan)
 # ---------------------------------------------------------------------------

@@ -1365,6 +1365,49 @@ def embedding_ann_filtered_topk(
     return out.select("query_id", "cand_id", "cosine")
 
 
+_MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.12, "es": 0.1, "fr": 0.08}
+_MIX_BUDGET = 1_000_000
+
+
+def _duck_mixture_plan_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN CAST({float(v)!r} AS DOUBLE)"
+        for k, v in sorted(_MIX_WEIGHTS.items())
+    )
+    w = f"(CASE lang {cases} ELSE CAST(0.0 AS DOUBLE) END)"
+    ntok = f"len({dual.tokens('text', D)})"
+    return f"""
+    WITH t AS (
+        SELECT lang, CAST({ntok} AS BIGINT) AS nt FROM documents
+    ),
+    g AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM t GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens, {w} AS weight,
+           CAST(round({w} * {_MIX_BUDGET}) AS BIGINT) AS target_tokens,
+           round(CAST(round({w} * {_MIX_BUDGET}) AS BIGINT)
+                 / CAST(n_tokens AS DOUBLE), 4) AS epochs
+    FROM g
+    """
+
+
+@register("mixture_budget_plan_by_lang", oracle=_duck_mixture_plan_sql())
+def mixture_budget_plan_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget mixture planning (`curation.mixture_budget_plan`):
+    per language, available tokens vs the tokens a pinned mixture
+    recipe wants from a 1M-token budget, and the resulting epochs
+    factor — the report that decides what gets up-sampled (epochs>1:
+    repeated data, cap it) vs down-sampled (feed the rate to
+    corpus_mix_sample). One column-pruned scan (per-row token count,
+    never an explode), one |langs|-group shuffle, literal arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cur.mixture_budget_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
 def _duck_near_dup_emb_sql(threshold: float) -> str:
     cos = dual.cosine("a.embedding", "b.embedding", D)
     return f"""
@@ -6357,9 +6400,10 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotated-out queries remain oracle-checked every commit by
 # tools/oracle_check.py --strict and tests/test_catalog_oracle.py.
 # NOTE for the r11 rotation: queries ADDED during r10 (currently:
-# embedding_ann_multiprobe_topk, embedding_ann_filtered_topk) are
-# exact-oracled and locally strict-verified but land beyond slot 50 —
-# they are next round's never-driver-checked set.
+# embedding_ann_multiprobe_topk, embedding_ann_filtered_topk,
+# mixture_budget_plan_by_lang) are exact-oracled and locally
+# strict-verified but land beyond slot 50 — they are next round's
+# never-driver-checked set.
 
 _DRIVER_WINDOW = [
     # r9-new: production ANN ladder (pinned quantizer artifacts)

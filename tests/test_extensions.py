@@ -1190,6 +1190,34 @@ def test_ann_filtered_prefilter_semantics(spark):
     assert sorted(map(tuple, vac1)) == sorted(map(tuple, lsh))
 
 
+def test_mixture_budget_plan_hand_values(spark):
+    """Mixture planning on a planted corpus: token counts, target
+    allocation, and the epochs factor must match hand arithmetic, a
+    slice missing from the recipe reports weight 0 (visible, not
+    dropped), and epochs flags over- vs under-sampling correctly."""
+    from hadoop_data_pipeline_spark.operators import curation as cur
+
+    rows = (
+        [(i, "a b c d", "en") for i in range(10)]  # 40 en tokens
+        + [(100 + i, "x y", "de") for i in range(5)]  # 10 de tokens
+        + [(200, "zz", "xx")]  # 1 token, not in the recipe
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.lang: r
+        for r in cur.mixture_budget_plan(
+            df, {"en": 0.75, "de": 0.25}, total_budget=100
+        ).collect()
+    }
+    assert set(got) == {"en", "de", "xx"}
+    en, de, xx = got["en"], got["de"], got["xx"]
+    assert (en.n_docs, en.n_tokens, en.weight) == (10, 40, 0.75)
+    assert en.target_tokens == 75 and en.epochs == 1.875  # up-sampled
+    assert (de.n_docs, de.n_tokens) == (5, 10)
+    assert de.target_tokens == 25 and de.epochs == 2.5
+    assert xx.weight == 0.0 and xx.target_tokens == 0 and xx.epochs == 0.0
+
+
 def test_unpersist_deps_releases_cache(spark, vecs):
     cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
     out = sim.kmeans_refine_stats(vecs, cents)
