@@ -152,6 +152,16 @@ def repetition_stats(
 SPLIT_BUCKETS = 10_000
 
 
+def sql_str_lit(s: str) -> str:
+    """A string as a SQL single-quoted literal, with embedded single
+    quotes doubled — every CASE/IN builder below interpolates
+    user-supplied mapping keys (split names, source names, language
+    codes) into SQL text, and an unescaped quote would break (or
+    silently alter) the generated expression. Doubling is the portable
+    escape in both dialects (Spark SQL and DuckDB)."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def split_bucket_expr(id_col: str, salt: str, dialect: str) -> str:
     """Stable bucket in [0, SPLIT_BUCKETS): 28-bit md5 of the salted id.
     Salting decorrelates independent splits over the same corpus."""
@@ -163,12 +173,19 @@ def split_case_expr(bucket: str, weights: Mapping[str, float]) -> str:
     """CASE over cumulative weight thresholds, in dict order. Weights
     must sum to 1 (validated by callers); the last split absorbs the
     rounding remainder so every bucket lands somewhere."""
+    if not weights:
+        raise ValueError("split weights mapping is empty")
     names = list(weights)
     whens, acc = [], 0.0
     for name in names[:-1]:
         acc += weights[name]
-        whens.append(f"WHEN {bucket} < {int(round(acc * SPLIT_BUCKETS))} THEN '{name}'")
-    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+        whens.append(
+            f"WHEN {bucket} < {int(round(acc * SPLIT_BUCKETS))}"
+            f" THEN {sql_str_lit(name)}"
+        )
+    if not whens:  # single split: CASE needs >= 1 WHEN arm
+        return sql_str_lit(names[-1])
+    return "CASE " + " ".join(whens) + f" ELSE {sql_str_lit(names[-1])} END"
 
 
 def hash_split(
@@ -194,11 +211,15 @@ def hash_split(
 def mix_rate_case_expr(
     source_col: str, rates: Mapping[str, float], default_rate: float
 ) -> str:
+    default = int(round(default_rate * SPLIT_BUCKETS))
+    if not rates:  # CASE with zero WHEN arms is invalid SQL
+        return str(default)
     whens = " ".join(
-        f"WHEN {source_col} = '{s}' THEN {int(round(r * SPLIT_BUCKETS))}"
+        f"WHEN {source_col} = {sql_str_lit(s)}"
+        f" THEN {int(round(r * SPLIT_BUCKETS))}"
         for s, r in rates.items()
     )
-    return f"CASE {whens} ELSE {int(round(default_rate * SPLIT_BUCKETS))} END"
+    return f"CASE {whens} ELSE {default} END"
 
 
 def corpus_mix_sample(
@@ -247,8 +268,13 @@ def mixture_budget_plan(
     |slices| rows regardless of corpus size. A slice missing from
     ``weights`` gets weight 0.0 (excluded by the recipe — visible in
     the report rather than silently dropped)."""
+    if not weights:
+        raise ValueError(
+            "mixture weights mapping is empty — a budget plan needs at "
+            "least one target slice"
+        )
     cases = " ".join(
-        f"WHEN '{k}' THEN CAST({float(v)!r} AS DOUBLE)"
+        f"WHEN {sql_str_lit(k)} THEN CAST({float(v)!r} AS DOUBLE)"
         for k, v in sorted(weights.items())
     )
     w = f"(CASE {key_col} {cases} ELSE CAST(0.0 AS DOUBLE) END)"

@@ -1370,8 +1370,12 @@ _MIX_BUDGET = 1_000_000
 
 
 def _duck_mixture_plan_sql() -> str:
+    # local import: this runs at decoration time, before the module's
+    # `operators import curation as cur` line below executes
+    from hadoop_data_pipeline_spark.operators.curation import sql_str_lit
+
     cases = " ".join(
-        f"WHEN '{k}' THEN CAST({float(v)!r} AS DOUBLE)"
+        f"WHEN {sql_str_lit(k)} THEN CAST({float(v)!r} AS DOUBLE)"
         for k, v in sorted(_MIX_WEIGHTS.items())
     )
     w = f"(CASE lang {cases} ELSE CAST(0.0 AS DOUBLE) END)"

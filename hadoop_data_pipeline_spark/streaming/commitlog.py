@@ -58,7 +58,21 @@ Crash model and enforced assumptions:
   commit) and a peer may reclaim only after a full TTL of silence,
   re-verified under the steal marker so a late heartbeat aborts the
   reclaim. Size the TTL above the longest batch + heartbeat cadence
-  + clock skew.
+  + clock skew. KNOWN RESIDUAL WINDOW (inherent to mtime-TTL leases
+  without fencing): a holder whose ``heartbeat()`` lands between the
+  reclaimer's expiry re-check and its ``os.remove`` is displaced
+  without noticing, and any store append it makes AFTER that
+  heartbeat but BEFORE its next ownership verification can land
+  after the peer's ``recover()`` — permanent rows outside the
+  protocol. The enforced discipline that shrinks this window to the
+  verify→append gap: a TTL-enabled sink must call ``heartbeat()``
+  (which verifies ownership) IMMEDIATELY before each store append,
+  not merely once per batch — and the TTL must dwarf the append
+  cadence. Closing it fully requires a fencing token (e.g. a lease
+  epoch embedded in appended file names so the new holder's
+  ``recover()`` can discard a displaced writer's late files) or a
+  filesystem with compare-and-swap leases — both are the
+  transactional-format territory this module's seam hands over to.
 * **run identity** — markers are stamped with the streaming query id
   (``run_id_file``, conventionally ``{checkpoint}/metadata``); a
   marker from a different query lineage never no-ops a real batch
@@ -205,9 +219,15 @@ class BatchCommitLog:
 
     def _lease_expired(self, path: str) -> bool:
         """True iff the TTL is enabled and the lease file's mtime is
-        older than it — the cross-host staleness probe (mtime comes
-        from the shared filesystem, so both hosts see the same clock;
-        the TTL margin absorbs residual skew vs local time)."""
+        older than it. The comparison is ASYMMETRIC: the mtime comes
+        from the shared filesystem's clock but ``time.time()`` is this
+        host's LOCAL clock — so the effective TTL on any given peer is
+        shortened (local clock ahead of the FS) or lengthened (behind)
+        by that peer's local-clock-vs-FS-clock skew, not merely by
+        host-vs-host skew. The TTL margin must cover the worst
+        local-vs-FS skew across every participating host; an
+        FS-derived "now" (touch a probe file, read its mtime) would
+        remove the asymmetry at the cost of a write per check."""
         if self.lease_ttl_sec is None:
             return False
         try:
@@ -384,7 +404,11 @@ class BatchCommitLog:
         Exit is STRICT: ownership is re-verified before release, so a
         TTL displacement DURING the maintenance body (the rewrite ran
         unprotected) surfaces as :class:`ConcurrentWriterError` to the
-        caller instead of a silent successful return."""
+        caller instead of a silent successful return. When the BODY
+        itself raised, the body's exception stays primary — a
+        displacement detected at release is chained onto it as the
+        ``__cause__`` rather than replacing it (the primary failure is
+        what the operator must see first; the displacement is context)."""
         from contextlib import contextmanager
 
         if self._lock_held:
@@ -399,7 +423,13 @@ class BatchCommitLog:
             self._acquire_lock()
             try:
                 yield self
-            finally:
+            except BaseException as body_exc:
+                try:
+                    self._release_lock(strict=True)
+                except ConcurrentWriterError as displaced:
+                    raise body_exc from displaced
+                raise
+            else:
                 self._release_lock(strict=True)
 
         return _ctx()
@@ -446,7 +476,15 @@ class BatchCommitLog:
         held. Verifies OWNERSHIP first: losing the lease mid-batch
         means a peer reclaimed it and rollback safety is already gone
         — that surfaces as :class:`ConcurrentWriterError`, never as a
-        silent utime on the new holder's file."""
+        silent utime on the new holder's file.
+
+        TTL DISCIPLINE: call this immediately BEFORE each store
+        append, not merely once per batch. The verify-then-append gap
+        is the only window in which a displacement (a peer's reclaim
+        racing a heartbeat — see the module doc's residual-window
+        note) can leak an unprotected append past the peer's
+        recover(); per-append heartbeats shrink that window to
+        microseconds and make every append's protection explicit."""
         if not self._lock_held:
             return
         self._verify_owner()

@@ -160,6 +160,9 @@ class StreamingDedupSink:
             survivors.drop("digest").write.mode("append").parquet(
                 self.clean_dir
             )
+            # TTL discipline: verify ownership immediately before each
+            # further append (commitlog module doc, residual-window note)
+            self.commit_log.heartbeat()
             survivors.select("digest").write.mode("append").parquet(
                 self.digest_dir
             )

@@ -176,6 +176,9 @@ class StreamingNearDupSink:
             # both appends inside one manifest-last commit (module doc).
             self.commit_log.begin(batch_id)
             survivors.write.mode("append").parquet(self.clean_dir)
+            # TTL discipline: verify ownership immediately before each
+            # further append (commitlog module doc, residual-window note)
+            self.commit_log.heartbeat()
             if self.index_table:
                 # first batch creates the bucketed table; later
                 # batches append (Spark validates the bucket spec).

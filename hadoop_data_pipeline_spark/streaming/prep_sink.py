@@ -182,6 +182,9 @@ class StreamingPrepSink:
             survivors.drop("digest").write.mode("append").parquet(
                 self.clean_dir
             )
+            # TTL discipline: verify ownership immediately before each
+            # further append (commitlog module doc, residual-window note)
+            self.commit_log.heartbeat()
             dedup.write_band_index(
                 survivors.drop("digest"),
                 self.index_dir,
@@ -189,6 +192,7 @@ class StreamingPrepSink:
                 self.id_col,
                 mode="append",
             )
+            self.commit_log.heartbeat()
             survivors.select("digest").write.mode("append").parquet(
                 self.digest_dir
             )

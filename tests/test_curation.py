@@ -401,3 +401,49 @@ def test_tokenizer_fertility_hand_values(spark):
     }
     assert (got["en"].n_tok, got["en"].n_sub) == (2, 2)   # fertility 1.0
     assert (got["xx"].n_tok, got["xx"].n_sub) == (2, 5)   # fertility 2.5
+
+
+def test_sql_str_lit_escapes_quotes():
+    assert cur.sql_str_lit("en") == "'en'"
+    assert cur.sql_str_lit("o'brien") == "'o''brien'"
+    assert cur.sql_str_lit("a''b") == "'a''''b'"
+
+
+def test_mixture_budget_plan_quoted_key_and_empty_weights(spark):
+    # a slice key containing a quote must not break (or silently
+    # alter) the generated CASE expression
+    df = spark.createDataFrame(
+        [("o'brien", "one two three"), ("en", "four five")],
+        "lang string, text string",
+    )
+    got = {
+        r.lang: r
+        for r in cur.mixture_budget_plan(
+            df, {"o'brien": 0.75, "en": 0.25}, total_budget=100
+        ).collect()
+    }
+    assert got["o'brien"].weight == 0.75
+    assert got["o'brien"].target_tokens == 75
+    assert got["en"].target_tokens == 25
+    with pytest.raises(ValueError, match="empty"):
+        cur.mixture_budget_plan(df, {}, total_budget=100)
+
+
+def test_case_builders_quoting_and_empty_edges(spark):
+    # mix_rate_case_expr: empty rates -> plain default literal (a CASE
+    # with zero WHEN arms is invalid SQL); quoted source name survives
+    assert cur.mix_rate_case_expr("src", {}, 0.5) == str(
+        int(0.5 * cur.SPLIT_BUCKETS)
+    )
+    expr = cur.mix_rate_case_expr("src", {"it's": 1.0}, 0.0)
+    df = spark.createDataFrame([("it's",), ("other",)], "src string")
+    got = {r.src: r.rate for r in df.selectExpr("src", f"{expr} AS rate").collect()}
+    assert got["it's"] == cur.SPLIT_BUCKETS and got["other"] == 0
+
+    # split_case_expr: empty -> ValueError; single split -> bare literal
+    with pytest.raises(ValueError, match="empty"):
+        cur.split_case_expr("b", {})
+    assert cur.split_case_expr("b", {"all": 1.0}) == "'all'"
+    quoted = cur.split_case_expr("b", {"tr'n": 0.5, "test": 0.5})
+    got2 = df.selectExpr(f"{quoted.replace('b <', '0 <')} AS s").collect()
+    assert {r.s for r in got2} == {"tr'n"}

@@ -1019,6 +1019,42 @@ def test_commit_log_recover_composes_under_exclusive(tmp_path):
     lock.unlink()
 
 
+def test_commit_log_exclusive_body_exception_stays_primary(tmp_path):
+    """When the maintenance BODY raises AND a TTL displacement also
+    occurred, the strict release must not replace the body's original
+    exception with ConcurrentWriterError — the primary failure is what
+    the operator debugs; the displacement is chained as __cause__."""
+    import json as _json
+
+    from hadoop_data_pipeline_spark.streaming.commitlog import (
+        BatchCommitLog,
+        ConcurrentWriterError,
+    )
+
+    store = tmp_path / "s"
+    store.mkdir()
+    log_dir = tmp_path / "log"
+    lock = log_dir / "writer.lock"
+    log = BatchCommitLog(str(log_dir), {"s": str(store)}, lease_ttl_sec=60)
+
+    thief = {"pid": 4242, "host": "elsewhere"}
+    with pytest.raises(ValueError, match="maintenance blew up") as exc:
+        with log.exclusive():
+            lock.write_text(_json.dumps(thief))  # peer reclaim mid-body
+            raise ValueError("maintenance blew up")
+    # the displacement is visible, but as the CAUSE, not the headline
+    assert isinstance(exc.value.__cause__, ConcurrentWriterError)
+    assert _json.loads(lock.read_text()) == thief  # thief's lease intact
+    lock.unlink()
+
+    # body exception WITHOUT displacement: propagates clean, lease freed
+    with pytest.raises(ValueError, match="plain failure") as exc2:
+        with log.exclusive():
+            raise ValueError("plain failure")
+    assert exc2.value.__cause__ is None
+    assert not lock.exists()
+
+
 def test_commit_log_reclaim_is_serialized_and_foreign_pending_refused(
     tmp_path,
 ):
