@@ -1113,6 +1113,59 @@ def psi_from_cells(
     )
 
 
+#: PSI interpretation thresholds — the industry-conventional bands:
+#: < 0.1 stable, 0.1–0.2 moderate shift (watch), >= 0.2 significant
+#: drift (re-fit the quantizer artifacts).
+PSI_WATCH = 0.1
+PSI_REFIT = 0.2
+#: a single cell contributing this much PSI is called out even when
+#: the total stays under the watch band (localized drift — one cell
+#: emptying/filling — is actionable before the total alarm trips).
+PSI_CELL_FLAG = 0.02
+
+
+def drift_refit_advisory(
+    psi: DataFrame,
+    watch_threshold: float = PSI_WATCH,
+    refit_threshold: float = PSI_REFIT,
+    cell_threshold: float = PSI_CELL_FLAG,
+) -> DataFrame:
+    """Turn a per-cell PSI drift report (:func:`psi_from_cells` /
+    :func:`cell_population_drift` output) into a quantizer RE-FIT
+    ADVISORY — the lifecycle answer for the repo's pinned-artifact
+    design (IVF centroids / PQ codebooks are versioned constants, so
+    when the embedding distribution moves the artifacts do not follow
+    it; something must say "re-fit and re-pin"). Adds to every cell
+    row: ``psi_total`` (the corpus-level index), ``status`` —
+    ``refit`` (>= refit_threshold: re-run tools/fit_ivf_centroids.py /
+    fit_pq_codebooks.py / fit_residual_codebooks.py on a current
+    sample, re-pin, and re-run tools/artifact_gate.py; see
+    docs/QUANTIZER_DRIFT_RUNBOOK.md), ``watch`` (>= watch_threshold),
+    or ``stable`` — and ``cell_flagged`` for per-cell hotspots.
+    ADVISORY ONLY by design: artifacts are never auto-mutated — a
+    quantizer that silently re-fits invalidates every stored cell
+    assignment and PQ code behind the reader's back.
+
+    Deterministic and exact-oracle-able: psi_contrib arrives rounded
+    at 6, the total is a <=n_cells-element sum re-rounded at 6, the
+    thresholds are literals. Scale: one broadcast of a scalar onto a
+    kilobyte frame — free at any corpus size."""
+    tot = psi.agg(F.round(F.sum("psi_contrib"), 6).alias("psi_total"))
+    return psi.crossJoin(F.broadcast(tot)).selectExpr(
+        "cell",
+        "n_base",
+        "n_cur",
+        "share_base",
+        "share_cur",
+        "psi_contrib",
+        "psi_total",
+        f"CASE WHEN psi_total >= {float(refit_threshold)!r}D THEN 'refit'"
+        f" WHEN psi_total >= {float(watch_threshold)!r}D THEN 'watch'"
+        f" ELSE 'stable' END AS status",
+        f"psi_contrib >= {float(cell_threshold)!r}D AS cell_flagged",
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -352,3 +352,18 @@ class StreamingEmbeddingSink:
             n_cells=len(self.centroids),
             smoothing=smoothing,
         )
+
+    def drift_advisory(
+        self, baseline: DataFrame, smoothing: float = 0.5
+    ) -> DataFrame:
+        """:meth:`drift_report` composed with
+        `operators/similarity.py::drift_refit_advisory` — the
+        per-publication check that closes the pinned-artifact
+        lifecycle: when the admitted store's cell distribution has
+        drifted past the PSI re-fit band, the returned frame says
+        ``status='refit'`` on every row, and the operator follows
+        docs/QUANTIZER_DRIFT_RUNBOOK.md (re-fit, re-pin, re-gate —
+        never auto-mutate the artifacts under a live store)."""
+        return sim.drift_refit_advisory(
+            self.drift_report(baseline, smoothing=smoothing)
+        )

@@ -248,6 +248,17 @@ def test_embed_sink_drift_report(spark, tmp_path):
     assert shifted[victim].psi_contrib > 0.0
     assert sum(r.psi_contrib for r in shifted.values()) > 0.0
 
+    # advisory composition: vs itself 'stable'; vs the baseline with
+    # the store's dominant cell erased, drifted past the refit band
+    # (the planted shift concentrates PSI), every row agrees on
+    # status/psi_total, and the victim cell is flagged
+    adv_stable = sink.drift_advisory(store).collect()
+    assert all(r.status == "stable" for r in adv_stable)
+    adv = {r.cell: r for r in sink.drift_advisory(baseline).collect()}
+    assert len({(r.status, r.psi_total) for r in adv.values()}) == 1
+    assert adv[victim].cell_flagged
+    assert adv[victim].status in ("watch", "refit")
+
     import pytest as _pytest
 
     bare = StreamingEmbeddingSink(

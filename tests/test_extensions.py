@@ -616,6 +616,46 @@ def test_cell_population_drift_null_and_planted(spark):
     assert vrow.n_cur == 0 and vrow.psi_contrib > 0.0
 
 
+def test_drift_refit_advisory_bands(spark):
+    """The pinned-artifact lifecycle alarm: identical snapshots say
+    'stable'; a planted batch that wipes out the two most-populous
+    cells drifts past the 0.2 PSI band and says 'refit' on every row,
+    with the victim cells flagged as hotspots. The advisory never
+    mutates anything — it is the documented runbook trigger."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    stable = sim.drift_refit_advisory(
+        sim.cell_population_drift(emb, emb, SF001_CENTROIDS)
+    ).collect()
+    assert len(stable) == 16
+    assert all(r.status == "stable" for r in stable)
+    assert all(r.psi_total == 0.0 for r in stable)
+    assert not any(r.cell_flagged for r in stable)
+
+    # drifted batch: drop the two biggest cells' population entirely
+    victims = [
+        r.cell for r in sorted(stable, key=lambda r: -r.n_base)[:2]
+    ]
+    d2e = sim.centroid_d2_expr(SF001_CENTROIDS, "embedding")
+    cur = (
+        emb.selectExpr("vec_id", "embedding", f"{d2e} AS __d2")
+        .selectExpr("vec_id", "embedding", f"{sim.CELL_FROM_D2} AS __cell")
+        .where(~F.col("__cell").isin(victims))
+        .select("vec_id", "embedding")
+    )
+    drifted = sim.drift_refit_advisory(
+        sim.cell_population_drift(emb, cur, SF001_CENTROIDS)
+    ).collect()
+    assert all(r.status == "refit" for r in drifted), drifted[0]
+    assert all(r.psi_total >= sim.PSI_REFIT for r in drifted)
+    flagged = {r.cell for r in drifted if r.cell_flagged}
+    assert set(victims) <= flagged
+
+
 def test_zorder_interleave_and_file_locality(spark, tmp_path):
     """Morton interleave unit cases, then the layout property that
     justifies it: after a z_order_cluster write, every parquet file's (x, y)
