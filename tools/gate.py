@@ -104,6 +104,27 @@ def main() -> int:
             ],
         )
     )
+    # Committed verdicts for the driver's `no_oracle` rows (VERDICT
+    # r10 missing #2): the 3-sigma sketch envelopes + BPE invariants,
+    # written to BOUNDS_r{N}.json where N is the round in progress
+    # (one past the latest driver CORRECTNESS file).
+    rounds = [
+        int(p.stem.split("_r")[1])
+        for p in REPO.glob("CORRECTNESS_r*.json")
+        if p.stem.split("_r")[1].isdigit()
+    ]
+    bounds_out = f"BOUNDS_r{max(rounds, default=0) + 1:02d}.json"
+    steps.append(
+        (
+            "bounds_report",
+            [
+                sys.executable,
+                "tools/bounds_report.py",
+                "/root/testdata/sf0.01",
+                bounds_out,
+            ],
+        )
+    )
     if "--skip-stress" not in sys.argv:
         # 4x key-shifted sf0.1 (~2.4M lineitem): the stage that caught
         # the bigint-overflow / float-drift / recursion-valve bugs the
