@@ -656,6 +656,64 @@ def test_drift_refit_advisory_bands(spark):
     assert set(victims) <= flagged
 
 
+def test_ann_recall_floors_clustered(spark):
+    """ABSOLUTE recall floors for every ANN ladder rung, on the
+    clustered fixture (functions/synth.py) where high recall is
+    achievable — on the random test corpus, LSH recall ~0.02 is the
+    noise floor and a broken bucketing would be invisible. The
+    fixture, quantizer fits, and LSH planes are all deterministic, so
+    the measured recalls are exactly reproducible; the floors sit
+    ~40% below the observed values (ANN_RECALL.md: lsh .09, mp3 .19,
+    ivf 1.0, pq .16, rerank .39, ivfpq .16, residual .18) so only a
+    real regression — never seat noise — trips them. Chance level is
+    k/n = 0.0025."""
+    from hadoop_data_pipeline_spark.functions.synth import (
+        clustered_embeddings_df,
+    )
+
+    k, qids = 5, list(range(20))
+    cl = clustered_embeddings_df(spark).cache()
+    cl.count()
+    cents = sim.fit_coarse_quantizer(cl, 16)
+    cbooks = sim.fit_pq_codebooks(cl, m=8, k=16)
+    rbooks = sim.fit_residual_codebooks(cl, cents, m=8, k=16)
+
+    def recall(df):
+        got = {(r.query_id, r.cand_id) for r in df.collect()}
+        sim.unpersist_deps(df) if hasattr(df, "_cached_deps") else None
+        return len(got & truth) / len(truth)
+
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in sim.cosine_topk(cl, qids, k=k).collect()
+    }
+    floors = {
+        "lsh": (sim.ann_topk_lsh(cl, qids, k=k), 0.05),
+        "multiprobe3": (
+            sim.ann_topk_lsh_multiprobe(cl, qids, k=k, n_probe=3),
+            0.12,
+        ),
+        "ivf": (sim.ann_topk_ivf(cl, qids, k=k, centroids=cents), 0.90),
+        "pq": (sim.pq_topk(cl, qids, cbooks, k=k), 0.10),
+        "pq_rerank": (
+            sim.pq_rerank_topk(cl, qids, cbooks, k=k, shortlist=20),
+            0.25,
+        ),
+        "ivfpq": (sim.ann_topk_ivfpq(cl, qids, cents, cbooks, k=k), 0.10),
+        "ivfpq_residual": (
+            sim.ann_topk_ivfpq_residual(cl, qids, cents, rbooks, k=k),
+            0.10,
+        ),
+    }
+    got = {name: recall(df) for name, (df, _) in floors.items()}
+    for name, (_, floor) in floors.items():
+        assert got[name] >= floor, f"{name}: recall {got[name]} < {floor}"
+    # the ladder's shape holds where the fixture makes it observable
+    assert got["multiprobe3"] >= got["lsh"]
+    assert got["pq_rerank"] >= got["pq"]
+    cl.unpersist()
+
+
 def test_zorder_interleave_and_file_locality(spark, tmp_path):
     """Morton interleave unit cases, then the layout property that
     justifies it: after a z_order_cluster write, every parquet file's (x, y)
