@@ -576,10 +576,24 @@ def clean_corpus(
     MinHash+LSH + connected-components path. Each stage strictly
     shrinks the data before the next, more expensive one — the
     ordering IS the optimization.
+
+    The ``exact`` survivors frame is PERSISTED: three consumers
+    evaluate it (the shingle-hash staging inside
+    :func:`dedup_clusters`, the connected-components node frame, and
+    the final canonical join), and each un-cached evaluation re-runs
+    the scan + quality projection + md5-window shuffle — at 100 TB
+    that is two whole extra corpus passes. MEMORY_AND_DISK spills
+    rather than recomputes (the frame carries full text). The cache
+    must outlive the returned lazy plan; looping callers release it
+    with :func:`~hadoop_data_pipeline_spark.operators.queries.unpersist_deps`
+    after materializing.
     """
     from pyspark.sql import Window
 
     from hadoop_data_pipeline_spark.operators import text as tx
+    from hadoop_data_pipeline_spark.operators.queries import (
+        _with_cached_deps,
+    )
 
     staged = df.selectExpr(
         id_col, text_col, lang_col,
@@ -598,14 +612,16 @@ def clean_corpus(
         .withColumn("__keep", F.min(id_col).over(w))
         .where(F.col(id_col) == F.col("__keep"))
         .select(id_col, text_col, lang_col)
+        .persist()
     )
     clusters = dedup_clusters(exact, text_col, id_col, threshold)
-    return (
+    out = (
         exact.join(
             clusters.where(F.col("is_canonical")).select(id_col), id_col
         )
         .select(id_col, lang_col)
     )
+    return _with_cached_deps(out, exact)
 
 
 def dedup_within_doc(
