@@ -24,6 +24,15 @@ under ``--skip-pytest``.
 Appends one result line to COVERAGE.md ("Gate log" section) so the
 judge can see the gate actually ran.
 
+GATE-BEFORE-SNAPSHOT RULE (r10 verdict, wrong #1): the final commit
+of a round must be gate-verified — no catalog additions or operator
+changes may land AFTER the round's last full gate run. If anything
+lands later, re-run the gate on the exact HEAD tree before
+snapshotting; the COVERAGE.md gate-log timestamp must be at or after
+the snapshot commit's tree. (r10 shipped its 158th query an hour
+after the last gate; verified post-hoc, but the habit is how a red
+entry ships someday.)
+
 Usage: python tools/gate.py [--skip-pytest] [--skip-stress]
 """
 

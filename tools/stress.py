@@ -300,11 +300,130 @@ SKEW_HEADLINE = [
 #: say exactly that the union-merge form exists to avoid the range
 #: join at scale). The Spark plans remain skew-covered at the capped
 #: scale; raising the cap requires a non-quadratic oracle, not a
-#: bigger box.
+#: bigger box. ABOVE the cap the sweep still EXECUTES their Spark
+#: sides under the structural laws in SKEW_SPARK_ONLY_LAWS — the same
+#: "oracle caps never cap Spark coverage" contract the uniform sweep
+#: enforces for STRESS_EXCLUDE.
 SKEW_ORACLE_MAX_COPIES = {
     "asof_last_purchase_per_click": 4,
     "purchases_without_prior_click": 4,
 }
+
+#: Structural laws for the oracle-capped skew entries, checked on the
+#: SKEWED stress corpus where the value-hash oracle cannot follow.
+#: The hot-key remap moves events BETWEEN users, so Kx-vs-1x row
+#: counts are non-monotone (a remapped click loses its old user's
+#: purchases and gains the hot pool) — the sound invariants come from
+#: each operator's output SHAPE against the stress corpus itself:
+#:
+#: * inner as-of join emits AT MOST one row per left (click) row, and
+#:   with a 30%-of-corpus hot user at least the hot user's clicks
+#:   match: 0 < n_K <= |clicks_K|.
+#: * left-outer interval join emits AT LEAST one row per left
+#:   (purchase) row — null-padded when no click lands in the window:
+#:   n_K >= |purchases_K| > 0.
+#: Each lambda receives (n_K, n_clicks_K, n_purchases_K).
+SKEW_SPARK_ONLY_LAWS: dict[str, tuple[str, object]] = {
+    "asof_last_purchase_per_click": (
+        "inner as-of: 0 < n_K <= |clicks|",
+        lambda nK, clicks, purchases: 0 < nK <= clicks,
+    ),
+    "purchases_without_prior_click": (
+        "left interval join: n_K >= |purchases| > 0",
+        lambda nK, clicks, purchases: nK >= purchases > 0,
+    ),
+}
+
+
+def skew_spark_only_sweep(
+    spark, qs: dict, sf_dir: str, out_dir: str, copies: int
+) -> list[str]:
+    """Execute the Spark side of every oracle-capped skew entry at the
+    full skewed stress scale and assert the SKEW_SPARK_ONLY_LAWS
+    invariants plus schema stability vs 1x and key-range containment.
+    Accounting is loud, mirroring spark_only_sweep: a capped entry
+    missing from the catalog or missing its law FAILS instead of
+    silently skipping."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{out_dir}/events.parquet")
+    n_clicks = ev.where("event_type = 'click'").count()
+    n_purch = ev.where("event_type = 'purchase'").count()
+    failed: list[str] = []
+    for name in sorted(SKEW_ORACLE_MAX_COPIES):
+        if name not in qs:
+            failed.append(name)
+            print(
+                f"FAIL  [skew-spark-only] {name}: capped but not in the "
+                f"catalog — stale SKEW_ORACLE_MAX_COPIES entry"
+            )
+            continue
+        if name not in SKEW_SPARK_ONLY_LAWS:
+            failed.append(name)
+            print(
+                f"FAIL  [skew-spark-only] {name}: oracle-capped but has "
+                f"no SKEW_SPARK_ONLY_LAWS entry — add a structural law"
+            )
+            continue
+        desc, law = SKEW_SPARK_ONLY_LAWS[name]
+        t0 = time.perf_counter()
+        problems: list[str] = []
+        try:
+            base = qs[name](spark, sf_dir)
+            schema1 = [
+                (f.name, f.dataType.simpleString())
+                for f in base.schema.fields
+            ]
+            big = qs[name](spark, out_dir)
+            schemaK = [
+                (f.name, f.dataType.simpleString())
+                for f in big.schema.fields
+            ]
+            if schemaK != schema1:
+                problems.append(f"schema drift: {schema1} -> {schemaK}")
+            nK = big.count()
+            if not law(nK, n_clicks, n_purch):
+                problems.append(
+                    f"law '{desc}' violated: n_K={nK} "
+                    f"clicks={n_clicks} purchases={n_purch}"
+                )
+            id_cols = [
+                f.name
+                for f in big.schema.fields
+                if f.name in ID_RANGE_COLS
+                and f.dataType.simpleString() in ("bigint", "int", "long")
+            ]
+            if id_cols and nK > 0:
+                aggs = []
+                for c in id_cols:
+                    aggs += [
+                        F.min(c).alias(f"mn_{c}"),
+                        F.max(c).alias(f"mx_{c}"),
+                    ]
+                row = big.agg(*aggs).collect()[0]
+                hi = copies * KEY_STRIDE
+                for c in id_cols:
+                    mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+                    if mn is not None and not (0 <= mn and mx < hi):
+                        problems.append(
+                            f"key range {c}=[{mn},{mx}] outside [0,{hi})"
+                        )
+        except Exception as ex:  # noqa: BLE001
+            problems = [f"raised {ex}"]
+            nK = -1
+        dt = time.perf_counter() - t0
+        if problems:
+            failed.append(name)
+            print(
+                f"FAIL  [skew-spark-only] {name} ({dt:.1f}s): "
+                + "; ".join(problems)
+            )
+        else:
+            print(
+                f"MATCH [skew-spark-only] {name} ({dt:.1f}s): n_K={nK} "
+                f"law ok ({desc})"
+            )
+    return failed
 
 #: Deterministic hot key: ~30% of all events collapse onto this user.
 HOT_USER = 42
@@ -401,6 +520,7 @@ def main() -> int:
         )
     qs, oracles = e.queries(), e.oracle_sql()
     bounds = getattr(e, "bound_oracle_sql", dict)()
+    skew_capped: list[str] = []
     if skew:
         headline = []
         for n in SKEW_HEADLINE:
@@ -408,8 +528,11 @@ def main() -> int:
             if cap is not None and copies > cap:
                 print(
                     f"SKIP {n}: range-join oracle quadratic on the hot "
-                    f"key above {cap}x (see SKEW_ORACLE_MAX_COPIES)"
+                    f"key above {cap}x (see SKEW_ORACLE_MAX_COPIES) — "
+                    f"Spark side still runs under its structural law "
+                    f"below"
                 )
+                skew_capped.append(n)
                 continue
             headline.append(n)
     else:
@@ -453,6 +576,20 @@ def main() -> int:
         else:
             print(f"MATCH {name} ({dt:.1f}s): rows={len(sdf)}")
     print(f"\n{len(headline) - len(failed)}/{len(headline)} pass at ~{copies}x sf0.1{mode}")
+    if skew_capped:
+        # oracle caps never cap Spark coverage (the STRESS_EXCLUDE
+        # precedent, extended to the skew sweep's range-join caps):
+        # run the capped entries' Spark sides on the same skewed
+        # corpus under structural laws.
+        sc_failed = skew_spark_only_sweep(
+            spark, qs, sf_dir, out_dir, copies
+        )
+        print(
+            f"{len(SKEW_ORACLE_MAX_COPIES) - len(sc_failed)}/"
+            f"{len(SKEW_ORACLE_MAX_COPIES)} skew-spark-only capped "
+            f"queries pass at ~{copies}x{mode}"
+        )
+        failed += sc_failed
     if "--also-spark-only-excluded" in sys.argv and not skew:
         # append the spark-only sweep to the SAME invocation so the
         # gate pays the multi-minute corpus build once, not per step.
