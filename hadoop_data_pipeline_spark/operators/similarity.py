@@ -1081,7 +1081,7 @@ def psi_from_cells(
     def counts(df: DataFrame, n_col: str) -> DataFrame:
         return df.groupBy("cell").agg(F.count(F.lit(1)).alias(n_col))
 
-    cells = F.broadcast(
+    cells = (
         counts(base_cells, "n_base")
         .join(counts(cur_cells, "n_cur"), "cell", "full_outer")
         .selectExpr(
@@ -1090,17 +1090,24 @@ def psi_from_cells(
             "coalesce(n_cur, 0) AS n_cur",
         )
     )
-    tot = cells.agg(
-        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
-    )
+    # Totals as UNPARTITIONED window sums over the <=n_cells-row cell
+    # frame — NOT a crossJoin with an aggregate of the same frame:
+    # Catalyst re-evaluates a self-referenced subtree per reference,
+    # and each psi_from_cells evaluation costs two full corpus scans,
+    # so the crossJoin form quietly turned the 2-scan monitor into a
+    # 4-scan one (8 with drift_refit_advisory's total on top; caught
+    # by tests/test_plans.py::test_drift_advisory_plan_shape). The
+    # single-task window is free at quantizer-cell cardinality, and
+    # the integer count sums are exact regardless of row order.
     return (
-        cells.crossJoin(F.broadcast(tot))
-        .selectExpr(
+        cells.selectExpr(
             "cell",
             "n_base",
             "n_cur",
-            f"(n_base + {s}D) / (__tb + {s}D * {k}) AS p_base",
-            f"(n_cur + {s}D) / (__tc + {s}D * {k}) AS p_cur",
+            f"(n_base + {s}D) / (sum(n_base) OVER () + {s}D * {k})"
+            " AS p_base",
+            f"(n_cur + {s}D) / (sum(n_cur) OVER () + {s}D * {k})"
+            " AS p_cur",
         )
         .selectExpr(
             "cell",
@@ -1147,11 +1154,23 @@ def drift_refit_advisory(
     assignment and PQ code behind the reader's back.
 
     Deterministic and exact-oracle-able: psi_contrib arrives rounded
-    at 6, the total is a <=n_cells-element sum re-rounded at 6, the
-    thresholds are literals. Scale: one broadcast of a scalar onto a
-    kilobyte frame — free at any corpus size."""
-    tot = psi.agg(F.round(F.sum("psi_contrib"), 6).alias("psi_total"))
-    return psi.crossJoin(F.broadcast(tot)).selectExpr(
+    at 6, the total is a <=n_cells-element sum re-rounded at 6 (the
+    addends are multiples of 1e-6 with magnitude <= ~1, so the
+    unpartitioned-window sum is order-stable far below the rounding
+    grain), the thresholds are literals. Scale: one window sum over a
+    kilobyte frame — free at any corpus size, and crucially a SINGLE
+    evaluation of the upstream PSI plan (an agg-plus-crossJoin total
+    would re-evaluate it, doubling the monitor's corpus scans —
+    test_plans.py::test_drift_advisory_plan_shape pins this)."""
+    return psi.selectExpr(
+        "cell",
+        "n_base",
+        "n_cur",
+        "share_base",
+        "share_cur",
+        "psi_contrib",
+        "round(sum(psi_contrib) OVER (), 6) AS psi_total",
+    ).selectExpr(
         "cell",
         "n_base",
         "n_cur",

@@ -731,3 +731,25 @@ def test_debounce_single_exchange(spark):
     # event_type groupBy — never more.
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_drift_advisory_plan_shape(spark):
+    """The quantizer drift advisory keeps the PSI monitor's scale
+    contract: EXACTLY two column-pruned embedding scans (base +
+    current snapshot; the argmin assignment is a codegen projection)
+    — the original agg-plus-crossJoin totals re-evaluated the PSI
+    subtree per reference and quietly cost 8 corpus scans; the
+    window-sum totals pin it back to 2. Per-cell counts combine
+    map-side; everything after them is kilobyte frames; no Python
+    stage anywhere."""
+    plan = plan_of(spark, "quantizer_drift_advisory")
+    scans = scans_of(plan)
+    assert len(scans) == 2 and all("embeddings" in s for s in scans)
+    # scans read only the split key + vector, with the snapshot-split
+    # predicate pushed to the source
+    for s in scans:
+        assert "[vec_id" in s and "embedding" in s
+        assert "label" not in s
+        assert "% 2)" in s.split("DataFilters:")[1]
+    assert "partial_count" in plan  # per-cell counts combine map-side
+    assert "Python" not in plan
