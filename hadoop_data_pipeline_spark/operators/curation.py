@@ -534,6 +534,39 @@ def contamination_check(
     return pairs.where(F.col("containment") >= threshold)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The REMOVAL half of :func:`contamination_check` — the step
+    every LLM training pipeline actually runs before training: drop
+    every corpus document whose shingle containment in ANY benchmark
+    document reaches ``threshold``, returning the retained corpus
+    with its full row (detection tells you what leaked; this is the
+    decontaminated corpus you train on). Doc-level removal, the
+    standard GPT-3/Llama-style policy — surgical span removal is
+    :func:`dedup.remove_shared_substrings`' job when the overlap is a
+    quotation rather than an embedded eval item.
+
+    Scale: the flagged-id set is bounded by MATCHES (eval suites are
+    KBs–MBs, so containment hits are rare by construction), never by
+    the corpus — it is distinct-collapsed and explicitly broadcast
+    into a LEFT ANTI join, so the 100 TB corpus is scanned once and
+    never shuffles: detection's map-side postings join plus one
+    broadcast anti join."""
+    flagged = (
+        contamination_check(
+            corpus, benchmark, col=col, id_col=id_col, threshold=threshold
+        )
+        .selectExpr(f"corpus_id AS {id_col}")
+        .distinct()
+    )
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style: embedding-space near-dup clusters)
 # ---------------------------------------------------------------------------

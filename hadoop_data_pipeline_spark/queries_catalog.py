@@ -3597,9 +3597,11 @@ def tfidf_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
 
 
-def _duck_contamination(threshold: float) -> str:
-    return f"""
-    WITH {dual.duck_shingle_hash_cte('documents', 'text', ['doc_id'])},
+def _duck_contamination_ctes() -> str:
+    """Shared WITH body: shingle postings + per-(corpus, bench)
+    overlap counts under the fixture's doc_id%97 benchmark split —
+    reused by the detection query and its removal twin."""
+    return f"""{dual.duck_shingle_hash_cte('documents', 'text', ['doc_id'])},
     posts AS (
         SELECT doc_id, len(list_distinct(sh)) AS n,
                unnest(list_distinct(sh)) AS hsh
@@ -3611,13 +3613,32 @@ def _duck_contamination(threshold: float) -> str:
         FROM posts c JOIN posts b ON c.hsh = b.hsh
         WHERE c.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
         GROUP BY 1, 2, 3
-    )
+    )"""
+
+
+def _duck_contamination(threshold: float) -> str:
+    return f"""
+    WITH {_duck_contamination_ctes()}
     SELECT corpus_id, bench_id, n_overlap,
            round(cast(n_overlap AS double) / cast(n_c AS double), 6)
                AS containment
     FROM ov
     WHERE round(cast(n_overlap AS double) / cast(n_c AS double), 6)
           >= {threshold}
+    """
+
+
+def _duck_decontaminate(threshold: float) -> str:
+    return f"""
+    WITH {_duck_contamination_ctes()},
+    bad AS (
+        SELECT DISTINCT corpus_id FROM ov
+        WHERE round(cast(n_overlap AS double) / cast(n_c AS double), 6)
+              >= {threshold}
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 97 <> 0
+      AND doc_id NOT IN (SELECT corpus_id FROM bad)
     """
 
 
@@ -3631,6 +3652,24 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return cur.contamination_check(corpus, bench, threshold=0.2)
+
+
+@register("decontaminate_corpus", oracle=_duck_decontaminate(0.2))
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set DECONTAMINATION (`operators/curation.py::
+    decontaminate`) — the removal half of `benchmark_contamination`
+    and the step every training pipeline runs before training: drop
+    corpus docs whose shingle containment in any benchmark doc
+    reaches 20%, return the retained corpus (the driver hash pins the
+    SURVIVOR SET, not just a count). Detection's broadcast-postings
+    join plus one broadcast anti join of the bounded flagged-id set —
+    the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return cur.decontaminate(corpus, bench, threshold=0.2).select(
+        "doc_id", "lang", "source"
+    )
 
 
 def _duck_mix() -> str:
@@ -6433,14 +6472,15 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly THREE catalog entries the external driver has never
 # hash-checked — the r10 late additions embedding_ann_multiprobe_topk,
 # embedding_ann_filtered_topk and mixture_budget_plan_by_lang. This
-# window leads with those 3, adds the round's ONE new entry
-# (quantizer_drift_advisory — registered BEFORE any gate run, per the
-# gate-before-snapshot rule r10's verdict imposed), and fills the
-# remaining 46 slots with the HEAVIEST previously-green entries by
-# BENCH_r10 per-query time — re-proofs where a correctness or
-# performance regression would hurt most. A green CORRECTNESS_r11.json
-# makes cumulative driver coverage 159/159: every catalog query hash-
-# or bound-proven by the external driver at least once. Every entry
+# window leads with those 3, adds the round's TWO new entries
+# (quantizer_drift_advisory, decontaminate_corpus — both registered
+# BEFORE the round's final gate run, per the gate-before-snapshot
+# rule r10's verdict imposed), and fills the remaining 45 slots with
+# the HEAVIEST previously-green entries by BENCH_r10 per-query time —
+# re-proofs where a correctness or performance regression would hurt
+# most. A green CORRECTNESS_r11.json makes cumulative driver coverage
+# 160/160: every catalog query hash- or bound-proven by the external
+# driver at least once. Every entry
 # here has an exact oracle (the 3 bound-oracle sketches and the
 # rows-only BPE entry stay out — driver slots spent on `no_oracle`
 # rows prove nothing; their 3-sigma bound checks run locally per
@@ -6454,6 +6494,7 @@ _DRIVER_WINDOW = [
     "embedding_ann_filtered_topk",
     "mixture_budget_plan_by_lang",
     "quantizer_drift_advisory",
+    "decontaminate_corpus",
     # heaviest previously-green re-proofs, descending BENCH_r10 time
     "ngram_jaccard_pairs_lang",
     "clean_corpus",
@@ -6500,7 +6541,6 @@ _DRIVER_WINDOW = [
     "minhash_signatures_docs",
     "nation_market_share",
     "dominant_supplier_share",
-    "asof_last_purchase_per_click",
 ]
 
 

@@ -152,6 +152,15 @@ def test_contamination_planted(spark):
     assert [(r.corpus_id, r.bench_id) for r in got] == [(10, 1)]
     assert got[0].containment == 1.0  # every corpus shingle is in bench
 
+    # the removal half: the contaminated doc is dropped WITH ITS FULL
+    # ROW, the clean one survives untouched
+    kept = cur.decontaminate(corpus, bench, threshold=0.5).collect()
+    assert [(r.doc_id, r.text) for r in kept] == [
+        (11, "totally unrelated words appear here now")
+    ]
+    # threshold above the planted containment: nothing is removed
+    assert cur.decontaminate(corpus, bench, threshold=1.1).count() == 2
+
 
 def test_semantic_dedup_clusters(spark):
     rows = [
