@@ -128,38 +128,36 @@ def test_gap_stats_window_has_no_python_stage(spark):
 
 def test_driver_window_covers_load_bearing_queries():
     # The round driver oracle-checks only the FIRST 50 registered
-    # queries. Round 10 ROTATED the window to the FINAL 47 queries no
-    # driver round ever hash-checked (r9's window went fully green in
-    # CORRECTNESS_r09) — a green round completes cumulative driver
-    # coverage of the whole pre-r10 catalog. Pin that the rotation's
-    # point is honored: every r9-new operator family is in the window,
-    # the 3 pad slots are the heaviest previously-green re-proofs, and
-    # every windowed query has a value-hash oracle except the 4
-    # structurally non-exact entries (3 bound-oracle sketches + the
-    # rows-only BPE tokenizer), which are window-eligible exactly once
-    # (they are part of the never-checked 47).
+    # queries. The r11 rotation's contract: LEAD with every entry the
+    # driver has never hash-checked (the r10 late additions + this
+    # round's new operators — a green round makes cumulative driver
+    # coverage total), fill the rest with the HEAVIEST
+    # previously-green re-proofs, and spend no slot on a `no_oracle`
+    # row (the sketches/BPE already carry their committed
+    # BOUNDS_r{N}.json verdicts; a driver slot would prove nothing).
     names = list(qc.QUERIES)
     first50 = names[:50]
     for required in (
-        # r9-new operators, never driver-checked before this window
-        "embedding_pq_topk",
-        "embedding_ann_ivfpq_topk",
-        "embedding_ann_ivfpq_residual_topk",
-        "embedding_pq_rerank_topk",
-        "k_anonymity_customers",
-        "curriculum_quality_buckets",
-        "zorder_bucket_locality",
-        "tokenizer_fertility_by_lang",
-        # heavy previously-green re-proof pads
+        # never driver-checked before this window
+        "embedding_ann_multiprobe_topk",
+        "embedding_ann_filtered_topk",
+        "mixture_budget_plan_by_lang",
+        "quantizer_drift_advisory",
+        "decontaminate_corpus",
+        # heaviest previously-green re-proofs
+        "ngram_jaccard_pairs_lang",
+        "clean_corpus",
+        "pagerank_part_supplier",
+        "hard_negative_pairs_embeddings",
         "prepare_training_shards",
         "substring_scrub_docs",
         "dedup_clusters_minhash",
     ):
         assert required in first50, required
-    allowed_non_exact = set(qc.BOUND_ORACLES) | {"bpe_tokenize_docs"}
-    assert all(
-        n in qc.ORACLES or n in allowed_non_exact for n in first50
-    )
+    # every slot carries an exact value-hash oracle
+    assert all(n in qc.ORACLES for n in first50)
+    assert not (set(first50) & set(qc.BOUND_ORACLES))
+    assert "bpe_tokenize_docs" not in first50
 
 
 def test_ivf_pretrained_plan_shape(spark):
@@ -271,6 +269,12 @@ def test_vocab_topk_partial_agg_and_bounded_sort(spark):
 BOUNDED_GLOBAL_WINDOWS = {
     "monthly_revenue_moving_avg",  # ~84 month rows
     "cumulative_distinct_users_daily",  # day-level frame: 1 row/day forever
+    # PSI monitor family: window sums run on the POST-AGGREGATE cell
+    # frame (<= n_quantizer_cells rows, 16 here) — deliberately chosen
+    # over an agg+crossJoin total, which re-evaluated the upstream and
+    # doubled the corpus scans (test_drift_advisory_plan_shape).
+    "embedding_drift_psi_by_cell",
+    "quantizer_drift_advisory",
 }
 
 
@@ -753,3 +757,18 @@ def test_drift_advisory_plan_shape(spark):
         assert "% 2)" in s.split("DataFilters:")[1]
     assert "partial_count" in plan  # per-cell counts combine map-side
     assert "Python" not in plan
+
+
+def test_decontaminate_broadcast_anti_join(spark):
+    """Decontamination must keep the corpus un-shuffled at any scale:
+    the bench postings join AND the flagged-id anti join both
+    broadcast (no SortMergeJoin anywhere), scans stay column-pruned
+    (the output-side corpus scan reads no text), zero Python."""
+    plan = plan_of(spark, "decontaminate_corpus")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+    scans = scans_of(plan)
+    assert len(scans) == 3 and all("documents" in s for s in scans)
+    out_side = [s for s in scans if "lang" in s]
+    assert out_side and all("text" not in s for s in out_side)
