@@ -478,6 +478,10 @@ def test_pagerank_integer_only_and_keyed_joins(spark):
     # (a HashAggregate with no grouping keys) as its build side.
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "rank_scaled" in plan
+    # the corpus is scanned ONCE into the cached pair/degree frames;
+    # every unrolled-iteration reference reads the cache (the inline
+    # form planned 22 real lineitem scans — r11 scan-count audit)
+    assert "InMemoryTableScan" in plan
 
 
 def test_salted_aggregate_two_stage(spark):
