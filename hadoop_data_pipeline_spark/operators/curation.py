@@ -454,8 +454,16 @@ def quality_bucket_stats(
     arithmetic: scores are rounded (6) upstream, boundaries are
     rounded (6) too, and a doc lands in the lowest tier whose
     boundary its score does not exceed — deterministic on both
-    engines because comparisons only ever see the rounded doubles."""
-    scored = unigram_logprob_score(df, col=col, id_col=id_col, smoothing=smoothing)
+    engines because comparisons only ever see the rounded doubles.
+
+    The scored frame is PERSISTED (narrow: id, n_tokens, avg_logp —
+    never text): both the boundary aggregate and the bucket pass
+    consume it, and each un-cached reference re-runs the whole
+    unigram-LM scoring pipeline over the corpus (the r11 scan-count
+    audit measured the doubled scans). `_with_cached_deps` lifecycle."""
+    scored = unigram_logprob_score(
+        df, col=col, id_col=id_col, smoothing=smoothing
+    ).persist()
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = scored.agg(
         *[
@@ -468,7 +476,7 @@ def quality_bucket_stats(
     bucket = "1"
     for i in range(len(qs)):
         bucket += f" + (CASE WHEN avg_logp > __b{i} THEN 1 ELSE 0 END)"
-    return (
+    out = (
         scored.crossJoin(F.broadcast(bounds))
         .selectExpr("n_tokens", "avg_logp", f"CAST({bucket} AS INT) AS bucket")
         .groupBy("bucket")
@@ -479,6 +487,7 @@ def quality_bucket_stats(
             F.round(F.max("avg_logp"), 6).alias("max_logp"),
         )
     )
+    return _with_cached_deps(out, scored)
 
 
 # ---------------------------------------------------------------------------
