@@ -570,7 +570,7 @@ def decontaminate(
         contamination_check(
             corpus, benchmark, col=col, id_col=id_col, threshold=threshold
         )
-        .selectExpr(f"corpus_id AS {id_col}")
+        .select(F.col("corpus_id").alias(id_col))
         .distinct()
     )
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")

@@ -15,6 +15,7 @@ Conventions
 from __future__ import annotations
 
 import itertools
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -5261,14 +5262,17 @@ _PR_ITERS = 3
 
 
 def _pagerank_sql(
-    dialect: str, table: str = "lineitem", edges_view: str | None = None
+    dialect: str,
+    table: str = "lineitem",
+    edges_view: str | None = None,
+    deg_view: str | None = None,
 ) -> str:
     """The SAME unrolled fixed-point PageRank text for both engines —
     the only dialect difference is the floor-division operator
-    (Spark ``div``, DuckDB ``//``). ``edges_view`` replaces the
-    edge-derivation CTEs with a pre-materialized (cached) view on the
-    Spark side; DuckDB keeps the inline CTEs — the TEXT downstream of
-    ``edges`` is identical either way, so the hash contract holds."""
+    (Spark ``div``, DuckDB ``//``). ``edges_view``/``deg_view`` replace
+    the edge-derivation CTEs with pre-materialized (cached) views on
+    the Spark side; DuckDB keeps the inline CTEs — the TEXT downstream
+    of ``edges`` is identical either way, so the hash contract holds."""
     fd = " div " if dialect == dual.SPARK else " // "
     if edges_view:
         # Spark path: `edges_view`/`deg_view` are pre-materialized
@@ -5279,8 +5283,8 @@ def _pagerank_sql(
         # degree exchanges per reference (the inline form planned 22
         # real corpus scans; the r11 scan-count audit caught it).
         lines = [
-            "WITH edges AS (SELECT src, dst FROM __pr_edges),",
-            "deg AS (SELECT node, outdeg FROM __pr_deg),",
+            f"WITH edges AS (SELECT src, dst FROM {edges_view}),",
+            f"deg AS (SELECT node, outdeg FROM {deg_view}),",
         ]
     else:
         lines = [
@@ -5362,9 +5366,17 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("src AS node", "outdeg")
         .persist()
     )
-    edges.createOrReplaceTempView("__pr_edges")
-    deg.createOrReplaceTempView("__pr_deg")
-    out = spark.sql(_pagerank_sql(dual.SPARK, edges_view="__pr_edges"))
+    # Per-call unique view names: two concurrent calls in one
+    # SparkSession (e.g. different sf_dir) must not bind one call's
+    # unrolled plan to the other's frames via a shared session-global
+    # view name (ADVICE r11).
+    tag = uuid.uuid4().hex[:12]
+    ev_name, dv_name = f"__pr_edges_{tag}", f"__pr_deg_{tag}"
+    edges.createOrReplaceTempView(ev_name)
+    deg.createOrReplaceTempView(dv_name)
+    out = spark.sql(
+        _pagerank_sql(dual.SPARK, edges_view=ev_name, deg_view=dv_name)
+    )
     return Q._with_cached_deps(out, e0, deg)
 
 

@@ -424,10 +424,14 @@ class BatchCommitLog:
             try:
                 yield self
             except BaseException as body_exc:
+                # The body's exception stays primary NO MATTER what the
+                # strict release raises (displacement, PermissionError
+                # from os.remove, ...) — any release failure is chained
+                # as __cause__, never substituted (ADVICE r11).
                 try:
                     self._release_lock(strict=True)
-                except ConcurrentWriterError as displaced:
-                    raise body_exc from displaced
+                except BaseException as release_exc:
+                    raise body_exc from release_exc
                 raise
             else:
                 self._release_lock(strict=True)

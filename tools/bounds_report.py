@@ -48,6 +48,21 @@ def bound_entry(spark, con, name, fn, spec, sf_dir) -> dict:
     sdf = fn(spark, sf_dir).toPandas()
     bdf = con.execute(spec["sql"]).df()
     rel_tol = float(spec["rel_tol"])
+    if sorted(sdf.columns) != sorted(bdf.columns):
+        # Schema drift between the Spark query and its ground-truth
+        # SQL must land as a recorded pass:false verdict, not a
+        # KeyError crash of the whole report (ADVICE r11).
+        return {
+            "kind": "bound_oracle",
+            "rows": int(len(sdf)),
+            "rel_tol": rel_tol,
+            "max_rel_err": {},
+            "pass": False,
+            "err": (
+                f"schema mismatch: spark={sorted(sdf.columns)} "
+                f"oracle={sorted(bdf.columns)}"
+            ),
+        }
     num_cols = [
         c for c in sdf.columns if pd.api.types.is_numeric_dtype(bdf[c])
     ]

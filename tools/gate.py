@@ -117,12 +117,21 @@ def main() -> int:
     # r10 missing #2): the 3-sigma sketch envelopes + BPE invariants,
     # written to BOUNDS_r{N}.json where N is the round in progress
     # (one past the latest driver CORRECTNESS file).
-    rounds = [
-        int(p.stem.split("_r")[1])
-        for p in REPO.glob("CORRECTNESS_r*.json")
-        if p.stem.split("_r")[1].isdigit()
-    ]
-    bounds_out = f"BOUNDS_r{max(rounds, default=0) + 1:02d}.json"
+    # Round number: explicit --round N wins; otherwise inferred as one
+    # past the latest driver CORRECTNESS file. The flag exists because
+    # a post-snapshot re-verify run AFTER a round's CORRECTNESS file
+    # lands would otherwise silently write BOUNDS for a round that has
+    # not started (ADVICE r11).
+    if "--round" in sys.argv:
+        round_n = int(sys.argv[sys.argv.index("--round") + 1])
+    else:
+        rounds = [
+            int(p.stem.split("_r")[1])
+            for p in REPO.glob("CORRECTNESS_r*.json")
+            if p.stem.split("_r")[1].isdigit()
+        ]
+        round_n = max(rounds, default=0) + 1
+    bounds_out = f"BOUNDS_r{round_n:02d}.json"
     steps.append(
         (
             "bounds_report",
