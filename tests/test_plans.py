@@ -776,3 +776,23 @@ def test_decontaminate_broadcast_anti_join(spark):
     assert len(scans) == 3 and all("documents" in s for s in scans)
     out_side = [s for s in scans if "lang" in s]
     assert out_side and all("text" not in s for s in out_side)
+
+
+def test_scan_audit_counts_and_budgets(spark):
+    """The gate's scan-count audit (tools/scan_audit.py) must count
+    planned per-table FileScans correctly: single-scan for a plain
+    multi-join aggregate, the PINNED count for a known multi-pass
+    plan, and the pagerank cache shape (the r11 22x offender) must
+    stay at ONE corpus scan."""
+    from tools.scan_audit import DEFAULT_BUDGET, SCAN_BUDGETS, scan_counts
+
+    assert scan_counts(qc.QUERIES["revenue_by_nation"](spark, SF)) == {
+        "lineitem": 1, "orders": 1, "customer": 1, "nation": 1,
+    }
+    assert scan_counts(qc.QUERIES["pagerank_part_supplier"](spark, SF)) == {
+        "lineitem": 1,
+    }
+    inc = scan_counts(qc.QUERIES["incremental_near_dup_new_docs"](spark, SF))
+    assert inc["documents"] == SCAN_BUDGETS[
+        "incremental_near_dup_new_docs"]["documents"]
+    assert DEFAULT_BUDGET == 1

@@ -84,6 +84,26 @@ def main() -> int:
     steps.append(
         ("artifact_drift", [sys.executable, "tools/artifact_gate.py"])
     )
+    # Planned-scan-count audit (r12): FileScans per source table per
+    # catalog query vs the pinned budgets in tools/scan_audit.py —
+    # the check that catches 22x-re-scan plan regressions (pagerank,
+    # PSI monitor) that byte metrics and sf0.01 wall time cannot see.
+    steps.append(("scan_audit", [sys.executable, "tools/scan_audit.py"]))
+    # Quantizer drift advisory over the fixture stores (expected:
+    # stable, exit 0) — a fixture or pinned-artifact regression that
+    # shifts IVF cell occupancy trips a visible gate FAIL (r11
+    # verdict stretch #9). watch/refit exit non-zero by design.
+    steps.append(
+        (
+            "drift_advisory_fixtures",
+            [
+                sys.executable,
+                "tools/drift_advisory.py",
+                "/root/testdata/sf0.001/embeddings.parquet",
+                "/root/testdata/sf0.01/embeddings.parquet",
+            ],
+        )
+    )
     if "--skip-pytest" not in sys.argv:
         steps.append(("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]))
     # --strict = driver-faithful dtype-sensitive hashing (r7): the
