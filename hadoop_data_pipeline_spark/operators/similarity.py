@@ -513,33 +513,80 @@ def hard_negative_pairs(
     embedding-model training data.
 
     Scale: the same blocked equi-join as
-    :func:`embedding_near_dup_pairs`, with the same two safeguards —
-    ``block_col=None`` falls back to the 256-way sign-LSH bucket, and
-    any block larger than ``max_block_size`` RAISES up front instead
-    of silently planning an O(n^2) within-block join. Candidates only
-    meet inside a block; the band filter then bounds what the
-    per-anchor window top-k sorts, so output is at most
-    ``per_anchor`` rows per vector regardless of block density."""
+    :func:`embedding_near_dup_pairs` (``block_col=None`` falls back
+    to the 256-way sign-LSH bucket), but with AUTOMATIC SUB-BLOCKING
+    instead of that operator's oversized-block raise: any block
+    larger than ``max_block_size`` is deterministically split into
+    ``ceil(n / max_block_size)`` sub-blocks by a secondary id hash,
+    and candidates only meet within a sub-block. At 100 TB a hot
+    label (one dominant language) is the EXPECTED case — mining must
+    degrade gracefully there, and the trade is sound for THIS
+    operator because hard negatives are a sampling problem, not an
+    exhaustive one: each anchor draws its band candidates from a
+    uniform ~``max_block_size``-row hash sample of its block rather
+    than the whole block, which changes which negatives are found,
+    never their validity (every emitted pair still satisfies the
+    cosine band). Dedup-flavored blocked joins keep the loud guard —
+    a near-dup pair missed across sub-blocks would be a correctness
+    loss there (`_guard_block_sizes`).
+
+    The split is IN-PLAN, mirroring ``dedup`` ``presieve_hot``: one
+    column-pruned partial-agg pass finds oversized blocks (at most
+    ``n / max_block_size`` rows, so it broadcasts), a broadcast left
+    join attaches each row's split factor, and ``xxhash64(id) %
+    n_sub`` assigns the sub-block — deterministic across retries,
+    zero driver action. Blocks within bound get sub 0 and
+    byte-identical output to the unsplit form (the oracle contract).
+    The band filter then bounds what the per-anchor window top-k
+    sorts, so output is at most ``per_anchor`` rows per vector
+    regardless of block density."""
     if block_col is None:
         df = with_bucket(df, vec_col)
         block_col = "bucket"
-    _guard_block_sizes(df, block_col, max_block_size, "hard_negative_pairs")
+    if max_block_size is not None:
+        oversized = (
+            df.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > max_block_size)
+            .select(
+                block_col,
+                F.ceil(F.col("__bn") / max_block_size)
+                .cast("int")
+                .alias("__nsub"),
+            )
+        )
+        df = df.join(F.broadcast(oversized), block_col, "left").withColumn(
+            "__sub",
+            F.when(F.col("__nsub").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsub")).cast(
+                    "int"
+                )
+            ),
+        )
+    else:
+        df = df.withColumn("__sub", F.lit(0))
     nrm = dual.norm(vec_col, dual.SPARK)
     a = df.selectExpr(
         f"{id_col} AS anchor_id",
         f"{vec_col} AS va",
         f"{nrm} AS na_",
         f"{block_col} AS blk",
+        "__sub AS sub_a",
     )
     b = df.selectExpr(
         f"{id_col} AS cand_id",
         f"{vec_col} AS vb",
         f"{nrm} AS nb_",
         f"{block_col} AS __blk_b",
+        "__sub AS sub_b",
     )
     cos = dual.cosine_staged("va", "vb", "na_", "nb_", dual.SPARK)
     band = (
-        a.join(b, F.col("blk") == F.col("__blk_b"))
+        a.join(
+            b,
+            (F.col("blk") == F.col("__blk_b"))
+            & (F.col("sub_a") == F.col("sub_b")),
+        )
         .where(F.col("anchor_id") != F.col("cand_id"))
         .selectExpr("anchor_id", "cand_id", "blk", f"{cos} AS cosine")
         .where((F.col("cosine") >= lo) & (F.col("cosine") < hi))

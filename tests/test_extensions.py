@@ -1088,12 +1088,73 @@ def test_hard_negative_pairs_lsh_fallback_and_guard(spark, vecs):
     buckets = {r.vec_id: r.bucket for r in sim.with_bucket(vecs).collect()}
     for r in got:
         assert buckets[r.anchor_id] == buckets[r.cand_id]
-    # same oversized-block guard as the near-dup sibling
+    # oversized blocks SUB-BLOCK instead of raising (r12): mining a
+    # hot label must degrade to hash-sampled candidates, not die
     one_block = vecs.withColumn("label", F.lit(0))
-    with pytest.raises(ValueError, match="max_block_size"):
-        sim.hard_negative_pairs(one_block, max_block_size=3)
+    sim.hard_negative_pairs(one_block, max_block_size=3).collect()
     # guard off -> lazy plan builds
     sim.hard_negative_pairs(one_block, max_block_size=None)
+
+
+def test_hard_negative_pairs_subblocking_oversized(spark):
+    """Oversized-block sub-blocking contract: runs under default-style
+    caps where the r11 form raised, every emitted pair respects the
+    band AND the deterministic xxhash64 sub-block assignment, two
+    invocations are identical (retry-stable), and a bound ABOVE the
+    block size reproduces the unsplit result byte-for-byte (sub 0
+    everywhere — the catalog-oracle compatibility half)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    n = 40
+    rows = [
+        (
+            i,
+            [rng.gauss(0, 1) for _ in range(8)],
+            0,  # ONE hot label: the dominant-language case
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cap = 8
+    got = sim.hard_negative_pairs(
+        df, lo=-1.0, hi=0.9, per_anchor=3, max_block_size=cap
+    )
+    pairs = got.collect()
+    assert pairs, "a 40-row gaussian block must yield in-band pairs"
+    again = sim.hard_negative_pairs(
+        df, lo=-1.0, hi=0.9, per_anchor=3, max_block_size=cap
+    ).collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))
+    # pairs only meet inside a sub-block: recompute the documented
+    # assignment (xxhash64(id) mod ceil(n/cap)) with Spark itself
+    nsub = math.ceil(n / cap)
+    sub = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nsub))
+            .cast("int")
+            .alias("s"),
+        ).collect()
+    }
+    per_anchor: dict[int, int] = {}
+    for r in pairs:
+        assert -1.0 <= r.cosine < 0.9
+        assert sub[r.anchor_id] == sub[r.cand_id]
+        per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
+    assert max(per_anchor.values()) <= 3
+    # bound above the block size -> byte-identical to the unsplit form
+    relaxed = sim.hard_negative_pairs(
+        df, lo=-1.0, hi=0.9, per_anchor=3, max_block_size=1_000_000
+    ).collect()
+    unsplit = sim.hard_negative_pairs(
+        df, lo=-1.0, hi=0.9, per_anchor=3, max_block_size=None
+    ).collect()
+    assert sorted(map(tuple, relaxed)) == sorted(map(tuple, unsplit))
 
 
 @pytest.mark.parametrize("seed", [0, 7, 123])
