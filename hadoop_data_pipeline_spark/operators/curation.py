@@ -501,17 +501,26 @@ def contamination_check(
     col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.2,
+    max_broadcast_postings: int | None = 5_000_000,
 ) -> DataFrame:
     """Flag corpus documents whose shingles are contained in a
     benchmark/eval document: containment(c, b) = |sh(c) ∩ sh(b)| /
     |sh(c)| >= threshold. Returns (corpus_id, bench_id, n_overlap,
     containment).
 
-    The benchmark side is broadcast (eval suites are tiny relative to
-    a training corpus), so the corpus is scanned once with a map-side
-    hash join on shingle hashes — the 100 TB side never shuffles; the
-    only exchange is the per-(corpus, bench) pair count, which is
-    bounded by matches, not corpus size.
+    BOUNDEDNESS ASSUMPTION, now guarded: the benchmark side is
+    broadcast because real eval suites are KBs–MBs — tiny relative to
+    a training corpus — so the corpus is scanned once with a map-side
+    hash join on shingle hashes; the 100 TB side never shuffles, and
+    the only exchange is the per-(corpus, bench) pair count, bounded
+    by matches. But nothing STRUCTURAL stops a caller handing a
+    corpus-sized "benchmark" (the fixture's is ``doc_id % 97`` — it
+    grows with the corpus), and an unbounded broadcast is a driver
+    OOM, so the postings row count is CHECKED first (one bounded
+    aggregate over the benchmark side only; the corpus is untouched)
+    and the join falls back to a shuffled hash join above
+    ``max_broadcast_postings`` — same rows either way, pinned by
+    test. ``None`` skips the count for pre-validated callers.
     """
     # array_distinct(__sh) intentionally appears TWICE: the double
     # reference to __sh stops CollapseProject from inlining the staged
@@ -528,8 +537,18 @@ def contamination_check(
         f"{id_col} AS bench_id",
         "explode(array_distinct(__sh)) AS __h",
     )
+    if max_broadcast_postings is not None:
+        # Count-before-broadcast: one benchmark-side aggregate (never
+        # touches the corpus). shuffle_hash, not merge: the corpus
+        # side must not sort.
+        if b.count() > max_broadcast_postings:
+            b = b.hint("shuffle_hash")
+        else:
+            b = F.broadcast(b)
+    else:
+        b = F.broadcast(b)
     pairs = (
-        c.join(F.broadcast(b), "__h")
+        c.join(b, "__h")
         .groupBy("corpus_id", "bench_id", "n_c")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .selectExpr(
@@ -549,6 +568,7 @@ def decontaminate(
     col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.2,
+    max_broadcast_postings: int | None = 5_000_000,
 ) -> DataFrame:
     """The REMOVAL half of :func:`contamination_check` — the step
     every LLM training pipeline actually runs before training: drop
@@ -565,10 +585,20 @@ def decontaminate(
     the corpus — it is distinct-collapsed and explicitly broadcast
     into a LEFT ANTI join, so the 100 TB corpus is scanned once and
     never shuffles: detection's map-side postings join plus one
-    broadcast anti join."""
+    broadcast anti join. The benchmark-postings broadcast inside
+    detection carries the guarded boundedness assumption — see
+    :func:`contamination_check`; ``max_broadcast_postings`` passes
+    through. The flagged-ID broadcast needs no guard: it is already
+    capped at one id per corpus document that crossed the containment
+    threshold against a bounded eval suite."""
     flagged = (
         contamination_check(
-            corpus, benchmark, col=col, id_col=id_col, threshold=threshold
+            corpus,
+            benchmark,
+            col=col,
+            id_col=id_col,
+            threshold=threshold,
+            max_broadcast_postings=max_broadcast_postings,
         )
         .select(F.col("corpus_id").alias(id_col))
         .distinct()

@@ -162,6 +162,47 @@ def test_contamination_planted(spark):
     assert cur.decontaminate(corpus, bench, threshold=1.1).count() == 2
 
 
+def test_contamination_broadcast_guard_fallback_identical(spark):
+    """The benchmark-postings broadcast carries a guarded boundedness
+    assumption: above max_broadcast_postings the join must FALL BACK
+    to a shuffled hash join with identical output (r11 verdict wrong
+    #2). Drives both paths on the same inputs and pins the plan
+    difference (broadcast vs shuffled postings join)."""
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "totally unrelated words appear here now"),
+            (12, "alpha beta gamma delta epsilon zeta eta extra tail"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    bc = cur.contamination_check(
+        corpus, bench, threshold=0.5, max_broadcast_postings=1_000_000
+    )
+    sh = cur.contamination_check(
+        corpus, bench, threshold=0.5, max_broadcast_postings=0
+    )
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    sh_plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bc_plan
+    assert "BroadcastHashJoin" not in sh_plan
+    assert "ShuffledHashJoin" in sh_plan
+    # the removal half inherits both paths, same survivors
+    kept_bc = cur.decontaminate(
+        corpus, bench, threshold=0.5, max_broadcast_postings=1_000_000
+    ).collect()
+    kept_sh = cur.decontaminate(
+        corpus, bench, threshold=0.5, max_broadcast_postings=0
+    ).collect()
+    assert sorted(r.doc_id for r in kept_bc) == [11]
+    assert sorted(r.doc_id for r in kept_sh) == [11]
+
+
 def test_semantic_dedup_clusters(spark):
     rows = [
         (0, [1.0, 0.0, 0.0], 0),
