@@ -6514,80 +6514,80 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # The round driver oracle-checks the FIRST 50 registered queries, so
-# registration order is part of the contract. ROTATION (round 11):
-# CORRECTNESS_r10.json went fully green on the r10 window, leaving
-# exactly THREE catalog entries the external driver has never
-# hash-checked — the r10 late additions embedding_ann_multiprobe_topk,
-# embedding_ann_filtered_topk and mixture_budget_plan_by_lang. This
-# window leads with those 3, adds the round's TWO new entries
-# (quantizer_drift_advisory, decontaminate_corpus — both registered
-# BEFORE the round's final gate run, per the gate-before-snapshot
-# rule r10's verdict imposed), and fills the remaining 45 slots with
-# the HEAVIEST previously-green entries by BENCH_r10 per-query time —
-# re-proofs where a correctness or performance regression would hurt
-# most. A green CORRECTNESS_r11.json makes cumulative driver coverage
-# 160/160: every catalog query hash- or bound-proven by the external
-# driver at least once. Every entry
-# here has an exact oracle (the 3 bound-oracle sketches and the
-# rows-only BPE entry stay out — driver slots spent on `no_oracle`
-# rows prove nothing; their 3-sigma bound checks run locally per
-# commit and are committed as BOUNDS_r11.json).
+# registration order is part of the contract. ROTATION (round 12,
+# STALENESS RULE): cumulative driver coverage reached 160/160 in r11,
+# so the window now enforces a freshness bound instead of chasing
+# never-checked entries — "no entry's latest driver check older than
+# 4 rounds". With 50 slots per round and 160 oracle entries, cycling
+# the stalest cohorts keeps every entry within the bound. The r12
+# window = the 4 entries last checked in r1 (cube/rollup/big-orders/
+# without-orders — the staleness outliers the r11 verdict flagged),
+# the full 40-entry r8 cohort (exactly 4 rounds old), and the 6
+# alphabetically-first entries of the r9 cohort (next to age out).
+# New catalog entries, if any land this round, are prepended and
+# displace the window's tail (gate-before-snapshot rule: they must be
+# registered before the round's final gate run).
+# The 3 bound-oracle sketches and the rows-only BPE entry stay out of
+# every window — driver slots spent on `no_oracle` rows prove
+# nothing; their 3-sigma bound checks run locally per commit and are
+# committed as BOUNDS_r{N}.json.
 # Rotated-out queries remain oracle-checked every commit by
 # tools/oracle_check.py --strict and tests/test_catalog_oracle.py.
 
 _DRIVER_WINDOW = [
-    # never driver-checked (r10 late additions) + r11-new
-    "embedding_ann_multiprobe_topk",
-    "embedding_ann_filtered_topk",
-    "mixture_budget_plan_by_lang",
-    "quantizer_drift_advisory",
-    "decontaminate_corpus",
-    # heaviest previously-green re-proofs, descending BENCH_r10 time
-    "ngram_jaccard_pairs_lang",
-    "clean_corpus",
-    "pagerank_part_supplier",
-    "hard_negative_pairs_embeddings",
-    "prepare_training_shards",
-    "user_event_gap_stats",
-    "benchmark_contamination",
-    "simhash_near_dup_pairs",
-    "semantic_dedup_embeddings",
-    "near_dup_pairs_minhash",
-    "dedup_clusters_minhash",
-    "embedding_ann_ivfpq_residual_topk",
-    "incremental_near_dup_new_docs",
-    "bom_rollup_recursive",
-    "sole_failing_supplier",
-    "embedding_near_dup_pairs",
-    "substring_scrub_docs",
-    "embedding_pq_rerank_topk",
-    "tfidf_top_terms_per_lang",
-    "quantity_price_correlation",
-    "embedding_ann_ivfpq_topk",
-    "shipping_priority_top10",
-    "curriculum_quality_buckets",
-    "revenue_by_nation",
-    "segment_dedup_docs",
-    "simhash_docs",
-    "ship_latency_priority_counts",
-    "profit_by_nation_year",
-    "table_diff_orders_drift",
-    "supplier_count_by_part_attrs",
-    "embedding_pq_topk",
-    "dup_ngram_fraction",
-    "embedding_ann_ivf_topk",
-    "rolling_7d_user_value",
-    "profile_lineitem_columns",
-    "median_price_by_segment",
-    "csv_roundtrip_events_props",
-    "kmeans_refine_cluster_stats",
-    "session_window_user_stats",
-    "top_returning_customers",
-    "nation_pair_trade_volume",
-    "embedding_drift_psi_by_cell",
-    "minhash_signatures_docs",
-    "nation_market_share",
-    "dominant_supplier_share",
+    # last driver-checked in r1 (staleness outliers)
+    "cube_returnflag_linestatus",
+    "rollup_revenue",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    # the r8 cohort (40 entries, exactly 4 rounds old)
+    "binary_payload_stats",
+    "case_when_agg_per_user",
+    "cast_and_literal_projection",
+    "count_orders_per_year",
+    "dedup_exact_docs",
+    "distinct_order_years",
+    "distinct_user_event_pairs",
+    "doc_fingerprint",
+    "embedding_ann_lsh_topk",
+    "embedding_cosine_topk",
+    "filtered_sum_returned_revenue",
+    "forward_fill_purchase_value",
+    "grouped_max_event_ts",
+    "horizontal_sum_lineitem",
+    "lang_id_heuristic",
+    "latest_event_global",
+    "latest_event_per_user_type",
+    "latest_order_join_form",
+    "latest_order_per_customer",
+    "membership_filter",
+    "monotonic_violations_user_value",
+    "null_and_nonzero_counts",
+    "orc_roundtrip_docs",
+    "pivot_user_event_values",
+    "pricing_summary",
+    "provenance_file_name",
+    "regexp_extract_source_id",
+    "rlike_sentinel_filter",
+    "running_sum_per_user",
+    "sliding_2d_event_counts",
+    "text_quality_score",
+    "text_token_stats",
+    "top3_orders_per_customer",
+    "tumbling_daily_event_stats",
+    "union_high_low_value_events",
+    "unpivot_part_measures",
+    "user_event_gap_stats_window",
+    "users_purchase_and_error",
+    "users_purchase_no_error",
+    "value_remap",
+    # head of the r9 cohort (ages out next round)
+    "asof_last_purchase_per_click",
+    "cdc_emit_changelog_orders",
+    "cdc_upsert_orders",
+    "chunk_documents_overlap",
+    "clicks_before_purchase",
+    "compression_ratio_quality",
 ]
 
 
