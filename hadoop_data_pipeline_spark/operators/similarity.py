@@ -1076,6 +1076,73 @@ def ann_topk_ivfpq_residual(
     return _with_cached_deps(out, assigned)
 
 
+def ann_topk_ivfpq_rerank(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    centroids: Sequence[Sequence[float]],
+    residual_codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 5,
+    shortlist: int = 100,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PRODUCTION ANN operating point — residual IVF-PQ shortlist
+    + exact COSINE rerank, the deployed FAISS/Milvus shape: stage 1
+    probes ``n_probe`` cells and ADC-ranks their 8-byte residual
+    codes down to ``shortlist`` candidates per query
+    (:func:`ann_topk_ivfpq_residual`); stage 2 fetches only those
+    candidates' raw vectors and reranks by exact cosine.
+
+    Why cosine in stage 2 when the ADC shortlist is L2: rerank runs
+    in the SERVING metric. On corpora whose vectors are not
+    unit-norm, L2 and cosine top-k genuinely disagree (the recall
+    ladder measured the exact-L2 rerank capped at 0.63 recall@5
+    against cosine ground truth on the clustered fixture — a metric
+    mismatch, not quantization error), while the L2-ADC shortlist is
+    still a fine candidate GENERATOR; reranking the same shortlist by
+    exact cosine reaches 0.99 (ANN_RECALL.md, floor pinned). Callers
+    serving L2 should use :func:`pq_rerank_topk`'s exact-L2 stage.
+
+    Scale: stage 1's corpus-wide work is over 8-byte codes inside the
+    probed cells only; stage 2 touches |Q| x shortlist rows — the
+    kilobyte shortlist and query frames broadcast against the
+    id-keyed store, so the raw-vector corpus is read once and never
+    shuffles. Recall@k is bounded by the shortlist's coverage;
+    ``shortlist`` (default 20x over-fetch) and ``n_probe`` are the
+    two dials. Inherits stage 1's persisted-assignment lifecycle
+    (`_with_cached_deps`)."""
+    short = ann_topk_ivfpq_residual(
+        df,
+        query_ids,
+        centroids,
+        residual_codebooks,
+        k=shortlist,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    deps = getattr(short, "_cached_deps", [])
+    nrm = dual.norm(vec_col, dual.SPARK)
+    queries = df.where(F.col(id_col).isin(*query_ids)).selectExpr(
+        f"{id_col} AS query_id", f"{vec_col} AS qvec", f"{nrm} AS qn"
+    )
+    cands = df.selectExpr(
+        f"{id_col} AS cand_id", f"{vec_col} AS cvec", f"{nrm} AS cn"
+    )
+    cos = dual.cosine_staged("qvec", "cvec", "qn", "cn", dual.SPARK)
+    exact = (
+        F.broadcast(short.select("query_id", "cand_id"))
+        .join(cands, "cand_id")
+        .join(F.broadcast(queries), "query_id")
+        .selectExpr("query_id", "cand_id", f"{cos} AS cosine")
+    )
+    out = top_k_per_group(
+        exact, ["query_id"], "cosine", k=k, tie_breakers=["cand_id"]
+    )
+    return _with_cached_deps(out, *deps)
+
+
 def cell_population_drift(
     base: DataFrame,
     cur: DataFrame,

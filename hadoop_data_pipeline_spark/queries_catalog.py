@@ -3000,6 +3000,68 @@ def embedding_ann_ivfpq_residual_topk(
     )
 
 
+def _duck_ivfpq_rerank_sql(
+    k: int = 5, shortlist: int = 50, n_probe: int = 2, n_queries: int = 10
+) -> str:
+    """Exact oracle for the production two-stage point: the residual
+    IVF-PQ oracle with ``k=shortlist`` as stage 1, then an exact
+    COSINE rerank of the shortlist (rounded 6, same staging as the
+    Spark side — rerank runs in the serving metric; see
+    ``similarity.ann_topk_ivfpq_rerank``)."""
+    stage1 = _duck_ivfpq_residual_sql(
+        k=shortlist, n_probe=n_probe, n_queries=n_queries
+    )
+    cos = dual.cosine("q.embedding", "c.embedding", D)
+    return f"""
+    WITH short AS ({stage1}),
+    x AS (
+        SELECT sh.query_id, sh.cand_id, {cos} AS cosine
+        FROM short sh
+        JOIN embeddings q ON q.vec_id = sh.query_id
+        JOIN embeddings c ON c.vec_id = sh.cand_id
+    )
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+        ) AS rn FROM x
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "embedding_ann_ivfpq_rerank_topk", oracle=_duck_ivfpq_rerank_sql()
+)
+def embedding_ann_ivfpq_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION ANN operating point (`operators/similarity.py::
+    ann_topk_ivfpq_rerank`): residual IVF-PQ shortlists 50 candidates
+    per query from the probed cells' 8-byte codes, exact cosine
+    reranks to the final 5 — the deployed FAISS/Milvus shape. Rerank
+    runs in the SERVING metric (cosine): on non-unit-norm corpora the
+    exact-L2 rerank of `embedding_pq_rerank_topk` answers a different
+    question, and the recall ladder measured the difference at 0.63
+    vs 0.99 recall@5 on the clustered fixture (ANN_RECALL.md; floor
+    >= 0.8 pinned in tests). Corpus-side work: codes within probed
+    cells + one id-keyed raw-vector fetch of |Q| x 50 rows."""
+    from hadoop_data_pipeline_spark.functions.ivf_centroids import (
+        SF001_CENTROIDS,
+    )
+    from hadoop_data_pipeline_spark.functions.pq_residual_codebooks import (
+        SF001_RESIDUAL_CODEBOOKS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivfpq_rerank(
+        emb,
+        query_ids=list(range(10)),
+        centroids=SF001_CENTROIDS,
+        residual_codebooks=SF001_RESIDUAL_CODEBOOKS,
+        k=5,
+        shortlist=50,
+    )
+
+
 def _duck_kmeans_refine_sql() -> str:
     """Exact oracle for one distributed Lloyd iteration over the
     pinned quantizer: assignment uses the same fold order as the
@@ -6535,6 +6597,8 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/oracle_check.py --strict and tests/test_catalog_oracle.py.
 
 _DRIVER_WINDOW = [
+    # r12-new entries first (never driver-checked)
+    "embedding_ann_ivfpq_rerank_topk",
     # last driver-checked in r1 (staleness outliers)
     "cube_returnflag_linestatus",
     "rollup_revenue",

@@ -704,6 +704,15 @@ def test_ann_recall_floors_clustered(spark):
             sim.ann_topk_ivfpq_residual(cl, qids, cents, rbooks, k=k),
             0.10,
         ),
+        # the PRODUCTION operating point (r12): observed 0.99 —
+        # the >= 0.8 floor is the usability bar the r11 verdict asked
+        # a rung to demonstrate, not a 40%-slack drift floor.
+        "ivfpq_cosine_rerank100": (
+            sim.ann_topk_ivfpq_rerank(
+                cl, qids, cents, rbooks, k=k, shortlist=100
+            ),
+            0.80,
+        ),
     }
     got = {name: recall(df) for name, (df, _) in floors.items()}
     for name, (_, floor) in floors.items():
@@ -711,6 +720,7 @@ def test_ann_recall_floors_clustered(spark):
     # the ladder's shape holds where the fixture makes it observable
     assert got["multiprobe3"] >= got["lsh"]
     assert got["pq_rerank"] >= got["pq"]
+    assert got["ivfpq_cosine_rerank100"] >= got["ivfpq_residual"]
     cl.unpersist()
 
 

@@ -62,6 +62,16 @@ def ladder_variants(sim, emb, qids, k, cents, cbooks, rbooks):
         "ivf-pq residual (2/16 cells)": (
             lambda: sim.ann_topk_ivfpq_residual(emb, qids, cents, rbooks, k=k)
         ),
+        # the PRODUCTION operating point (r12): residual IVF-PQ
+        # shortlist 100 + exact COSINE rerank — rerank in the serving
+        # metric (the exact-L2 rerank rung above answers a different
+        # question on non-unit-norm corpora; its ~0.39-0.63 plateau is
+        # metric mismatch, not quantization error).
+        "ivf-pq residual + cosine rerank (shortlist 100, 2/16 cells)": (
+            lambda: sim.ann_topk_ivfpq_rerank(
+                emb, qids, cents, rbooks, k=k, shortlist=100
+            )
+        ),
     }
 
 

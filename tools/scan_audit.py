@@ -128,6 +128,10 @@ SCAN_BUDGETS: dict[str, dict[str, int]] = {
     # that second corpus read is the operator's defining trade) +
     # the query side; 4 pruned scans total.
     "embedding_pq_rerank_topk": {"embeddings": 4},
+    # IVF-PQ + cosine rerank: stage 1 reads the corpus once into the
+    # persisted assignment cache; stage 2's rerank re-reads raw
+    # vectors by id + the query side (the two-stage trade, as above).
+    "embedding_ann_ivfpq_rerank_topk": {"embeddings": 3},
 }
 
 
