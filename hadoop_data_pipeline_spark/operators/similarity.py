@@ -539,7 +539,16 @@ def hard_negative_pairs(
     byte-identical output to the unsplit form (the oracle contract).
     The band filter then bounds what the per-anchor window top-k
     sorts, so output is at most ``per_anchor`` rows per vector
-    regardless of block density."""
+    regardless of block density.
+
+    Operating guidance (measured, dense 10x fixture — SCALE.md r12):
+    size ``max_block_size`` so a hot block splits AT LEAST ~4 ways.
+    A 5-way split ran 2.5x faster than the unsplit join (15 s vs
+    38 s); a 2-3-way split sits in a boundary zone where a constant
+    per-pair overhead of the extra join-key column roughly cancels
+    the halved pair work — correct output, no win. The cap bounds
+    per-task pair work at ``max_block_size^2`` either way, which is
+    what survives a 100 TB hot label."""
     if block_col is None:
         df = with_bucket(df, vec_col)
         block_col = "bucket"
@@ -555,13 +564,16 @@ def hard_negative_pairs(
                 .alias("__nsub"),
             )
         )
+        # coalesce(nsub, 1): pmod(x, 1) == 0 gives unsplit blocks sub
+        # 0 without a CASE WHEN branch and keeps the join key
+        # non-nullable (the branched form measured ~15% slower on the
+        # dense 10x fixture).
         df = df.join(F.broadcast(oversized), block_col, "left").withColumn(
             "__sub",
-            F.when(F.col("__nsub").isNull(), F.lit(0)).otherwise(
-                F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsub")).cast(
-                    "int"
-                )
-            ),
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.coalesce(F.col("__nsub"), F.lit(1)),
+            ).cast("int"),
         )
     else:
         df = df.withColumn("__sub", F.lit(0))
