@@ -1401,3 +1401,40 @@ def test_unpersist_deps_releases_cache(spark, vecs):
     assert getattr(out2, "_cached_deps", [])
     sim.unpersist_deps(out2)
     assert all(not d.is_cached for d in out2._cached_deps)
+
+
+def test_synthetic_documents_controlled_duplicate_profile(spark):
+    """The native dedup corpus (tools/sf1_native.py's fixture) must
+    hold its contract at any n: deterministic, exact dup count =
+    exact_dup_rate * n with verbatim texts, near-dups within 2 tokens
+    of a base doc, duplicates INHERIT the base lang (lang-blocked
+    pair generators must be able to find them), cluster size bounded."""
+    from collections import Counter
+
+    from hadoop_data_pipeline_spark.functions.synth import (
+        synthetic_document_rows,
+    )
+
+    rows = synthetic_document_rows(n=2000)
+    assert rows == synthetic_document_rows(n=2000)  # deterministic
+    texts = [r[1] for r in rows]
+    langs = {r[0]: r[2] for r in rows}
+    counts = Counter(texts)
+    n_exact_extra = len(texts) - len(counts)
+    assert n_exact_extra == 100  # 5% of 2000
+    assert max(counts.values()) <= 2  # each base duplicated at most once
+    # exact dups inherit lang
+    by_text: dict[str, list[int]] = {}
+    for r in rows:
+        by_text.setdefault(r[1], []).append(r[0])
+    for ids in by_text.values():
+        if len(ids) == 2:
+            assert langs[ids[0]] == langs[ids[1]]
+    # near dups: the last 100 docs differ from SOME base by <= 2 tokens
+    n_base = 2000 - 100 - 100
+    base_sets = [set(t.split()) for t in texts[:n_base]]
+    for t in texts[-100:]:
+        toks = set(t.split())
+        assert any(
+            len(toks ^ b) <= 4 for b in base_sets
+        ), "near-dup not within 2 rewritten tokens of any base"
