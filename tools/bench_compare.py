@@ -1,0 +1,101 @@
+"""Calib-normalized per-query bench comparison — one-command drift
+triage (r11 verdict stretch #8).
+
+The r10/r11 seat-noise adjudications ("did clean_corpus really
+regress, or is this seat 34% slower?") were done by hand in
+BENCH_NOTES.md. This tool does the arithmetic: it loads two
+BENCH_DETAILS.json snapshots (paths or git revisions), divides every
+per-query time by its snapshot's own JVM calibration (bench.py's
+fixed-work probe, the committed seat-speed anchor), and prints the
+normalized new/old ratio per query — a ratio well above 1 on a
+calib-normalized axis is a real regression, not a slow seat.
+
+Usage:
+    python tools/bench_compare.py [OLD] [NEW]
+
+OLD / NEW are either JSON file paths or git revisions (anything
+``git show REV:BENCH_DETAILS.json`` accepts). Defaults: OLD = HEAD's
+committed BENCH_DETAILS.json, NEW = the working-tree file.
+
+Output: summary line (median / p90 normalized ratio, queries over the
+1.3 drift threshold) + a table of the flagged queries and the 5
+biggest improvements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIFT = 1.3  # normalized new/old ratio above this = flag
+MIN_SEC = 0.3  # ignore sub-noise-floor queries (plan-constant trivia)
+
+
+def load(spec: str) -> dict:
+    if os.path.exists(spec):
+        with open(spec) as fh:
+            return json.load(fh)
+    out = subprocess.run(
+        ["git", "show", f"{spec}:BENCH_DETAILS.json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    if out.returncode != 0:
+        raise SystemExit(f"cannot load {spec!r}: {out.stderr.strip()}")
+    return json.loads(out.stdout)
+
+
+def main() -> int:
+    old_spec = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
+    new_spec = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(REPO, "BENCH_DETAILS.json")
+    )
+    old, new = load(old_spec), load(new_spec)
+    c_old = float(old["calib"]["jvm_sec"])
+    c_new = float(new["calib"]["jvm_sec"])
+    shared = sorted(set(old["queries"]) & set(new["queries"]))
+    only_old = set(old["queries"]) - set(new["queries"])
+    only_new = set(new["queries"]) - set(old["queries"])
+
+    rows = []
+    for name in shared:
+        t_old, t_new = old["queries"][name], new["queries"][name]
+        if max(t_old, t_new) < MIN_SEC:
+            continue
+        ratio = (t_new / c_new) / (t_old / c_old)
+        rows.append((ratio, name, t_old, t_new))
+    rows.sort(reverse=True)
+    ratios = [r for r, *_ in rows]
+    med = statistics.median(ratios)
+    p90 = sorted(ratios)[int(0.9 * (len(ratios) - 1))]
+    flagged = [r for r in rows if r[0] > DRIFT]
+    print(
+        f"calib jvm: {c_old:.3f} -> {c_new:.3f} "
+        f"(seat {'slower' if c_new > c_old else 'faster'} x"
+        f"{c_new / c_old:.2f}); {len(rows)} comparable queries "
+        f"(>={MIN_SEC}s), median normalized ratio {med:.3f}, "
+        f"p90 {p90:.3f}, {len(flagged)} over the {DRIFT} drift bar"
+    )
+    if only_old or only_new:
+        print(f"only-old: {sorted(only_old)}  only-new: {sorted(only_new)}")
+    if flagged:
+        print("\n| query | old (s) | new (s) | normalized new/old |")
+        print("|---|---|---|---|")
+        for ratio, name, t_old, t_new in flagged:
+            print(f"| `{name}` | {t_old:.2f} | {t_new:.2f} | {ratio:.2f} |")
+    best = rows[-5:]
+    print("\nbiggest improvements:")
+    for ratio, name, t_old, t_new in reversed(best):
+        print(f"  {name}: {t_old:.2f}s -> {t_new:.2f}s (x{ratio:.2f})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
