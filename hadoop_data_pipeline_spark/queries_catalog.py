@@ -6645,13 +6645,13 @@ _DRIVER_WINDOW = [
     "users_purchase_and_error",
     "users_purchase_no_error",
     "value_remap",
-    # head of the r9 cohort (ages out next round)
+    # head of the r9 cohort (ages out next round; the r12-new entry
+    # above displaced compression_ratio_quality to r13's window)
     "asof_last_purchase_per_click",
     "cdc_emit_changelog_orders",
     "cdc_upsert_orders",
     "chunk_documents_overlap",
     "clicks_before_purchase",
-    "compression_ratio_quality",
 ]
 
 

@@ -128,30 +128,27 @@ def test_gap_stats_window_has_no_python_stage(spark):
 
 def test_driver_window_covers_load_bearing_queries():
     # The round driver oracle-checks only the FIRST 50 registered
-    # queries. The r11 rotation's contract: LEAD with every entry the
-    # driver has never hash-checked (the r10 late additions + this
-    # round's new operators — a green round makes cumulative driver
-    # coverage total), fill the rest with the HEAVIEST
-    # previously-green re-proofs, and spend no slot on a `no_oracle`
-    # row (the sketches/BPE already carry their committed
-    # BOUNDS_r{N}.json verdicts; a driver slot would prove nothing).
+    # queries. The r12+ rotation contract is the STALENESS RULE
+    # (COVERAGE.md): new entries lead, then the stalest cohorts by
+    # CORRECTNESS_r*.json history, no entry's latest driver check
+    # older than 4 rounds, and no slot spent on a `no_oracle` row
+    # (the sketches/BPE already carry their committed BOUNDS_r{N}.json
+    # verdicts; a driver slot would prove nothing).
     names = list(qc.QUERIES)
     first50 = names[:50]
     for required in (
-        # never driver-checked before this window
-        "embedding_ann_multiprobe_topk",
-        "embedding_ann_filtered_topk",
-        "mixture_budget_plan_by_lang",
-        "quantizer_drift_advisory",
-        "decontaminate_corpus",
-        # heaviest previously-green re-proofs
-        "ngram_jaccard_pairs_lang",
-        "clean_corpus",
-        "pagerank_part_supplier",
-        "hard_negative_pairs_embeddings",
-        "prepare_training_shards",
-        "substring_scrub_docs",
-        "dedup_clusters_minhash",
+        # r12-new (never driver-checked)
+        "embedding_ann_ivfpq_rerank_topk",
+        # the r1-stale outliers the r11 verdict flagged
+        "cube_returnflag_linestatus",
+        "rollup_revenue",
+        "customers_with_big_orders",
+        "customers_without_orders",
+        # representatives of the r8 cohort (exactly 4 rounds old)
+        "pricing_summary",
+        "latest_event_per_user_type",
+        "dedup_exact_docs",
+        "embedding_cosine_topk",
     ):
         assert required in first50, required
     # every slot carries an exact value-hash oracle
