@@ -1037,3 +1037,61 @@ def pack_shards(
             " AS shard_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste accounting
+# ---------------------------------------------------------------------------
+
+#: Power-of-two sequence-length bucket boundaries. A CASE ladder, not
+#: ceil(log2(n)): float log at exact powers of two rounds differently
+#: across engines, and an integer ladder is pure ANSI both sides.
+PAD_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def pad_bucket_expr(n_col: str) -> str:
+    """SQL CASE assigning a token count to the smallest power-of-two
+    bucket that holds it (identical text on Spark and DuckDB)."""
+    case = "CASE"
+    for b in PAD_BUCKETS:
+        case += f" WHEN {n_col} <= {b} THEN {b}"
+    return case + f" ELSE {2 * PAD_BUCKETS[-1]} END"
+
+
+def padding_waste_by_bucket(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per length-bucket padding economics of a training batcher:
+    assign every document to its power-of-two token-length bucket and
+    report docs, real token mass, padded capacity (bucket width x
+    docs — what a fixed-shape batch of this bucket actually computes
+    over), and the padding-waste fraction. The standard accounting
+    behind length-bucketed batching: compared against ONE global
+    max-length bucket, the per-bucket waste is what bucketing saves.
+
+    One column-pruned scan into a partial-agg'd GROUP BY over at most
+    ``len(PAD_BUCKETS)+1`` groups — corpus-size-independent output,
+    no window, no second pass."""
+    staged = df.selectExpr(
+        id_col,
+        f"{dual.arr_size(dual.tokens(col, dual.SPARK), dual.SPARK)}"
+        " AS __n",
+    ).selectExpr(id_col, "__n", f"{pad_bucket_expr('__n')} AS bucket")
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.col("bucket"))
+            .cast("bigint")
+            .alias("capacity"),
+        )
+        .selectExpr(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            "capacity",
+            "round(1.0 - cast(sum_tokens as double)"
+            " / cast(capacity as double), 6) AS waste_frac",
+        )
+    )

@@ -212,3 +212,46 @@ def zvalue_expr(
         terms.append(f"((({xcol} % {mask}) {dv} {p}) % 2) * {4**i}")
         terms.append(f"((({ycol} % {mask}) {dv} {p}) % 2) * {2 * 4**i}")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training order: every row gets a
+    reproducible (shard, shard_rank) position derived ONLY from
+    ``(epoch, id)`` — re-running an epoch (crash recovery, ablation
+    reruns, multi-worker sharding) reproduces the exact order, and
+    different epochs get independent permutations, without ever
+    materializing a global sort.
+
+    Why not a global shuffle rank: training order at 100 TB must not
+    need a single totally-ordered window (one-task sort). The
+    md5-derived key IS the order; it is range-free, so position is
+    hierarchical — a worker reads its ``shard`` (hash-pruned), sorts
+    the shard-local ``shard_rank`` (embarrassingly parallel,
+    ``n_shards`` independent sorts), and streams. The full
+    permutation is the concatenation shard 0..n-1.
+
+    Expressible identically in ANSI SQL (md5 + conv), so the order is
+    engine-independent — a DuckDB/Trino consumer derives byte-for-byte
+    the same epoch order (oracle-checked in the catalog).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_data_pipeline_spark.functions import dual
+
+    key = f"md5(concat('ep', cast({epoch} as string), ':', cast({id_col} as string)))"
+    shard = f"cast({dual.hex_int(f'substring({key}, 1, 7)', dual.SPARK)} % {n_shards} as int)"
+    out = df.selectExpr(
+        id_col, f"{shard} AS shard", f"{key} AS __k"
+    )
+    w = Window.partitionBy("shard").orderBy("__k", id_col)
+    return out.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).alias("shard_rank"),
+    )

@@ -3891,6 +3891,75 @@ def _duck_pack_shards(budget: int) -> str:
     """
 
 
+def _duck_padding_waste() -> str:
+    n = dual.arr_size(dual.tokens("text", D), D)
+    return f"""
+    WITH s AS (
+        SELECT doc_id, {n} AS n,
+               {cur.pad_bucket_expr(n)} AS bucket
+        FROM documents
+    )
+    SELECT bucket, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * bucket AS BIGINT) AS capacity,
+           round(1.0 - CAST(sum(n) AS DOUBLE)
+                 / CAST(count(*) * bucket AS DOUBLE), 6) AS waste_frac
+    FROM s GROUP BY bucket
+    """
+
+
+@register("padding_waste_by_length_bucket", oracle=_duck_padding_waste())
+def padding_waste_by_length_bucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bucketed batching economics
+    (`operators/curation.py::padding_waste_by_bucket`): every document
+    assigned to its power-of-two token-length bucket (integer CASE
+    ladder — float log2 rounds differently across engines at exact
+    powers of two), per bucket the real token mass vs the padded batch
+    capacity and the waste fraction. One column-pruned scan into a
+    partial-agg'd GROUP BY over <= 8 groups; output is
+    corpus-size-independent — the accounting a training batcher uses
+    to size its length buckets."""
+    return cur.padding_waste_by_bucket(load_table(spark, sf_dir, "documents"))
+
+
+def _duck_epoch_shuffle(epoch: int = 1, n_shards: int = 8) -> str:
+    key = (
+        f"md5(concat('ep', cast({epoch} as string), ':',"
+        " cast(doc_id as string)))"
+    )
+    shard = f"CAST({dual.hex_int(f'substring(__k, 1, 7)', D)} % {n_shards} AS INT)"
+    return f"""
+    WITH k AS (SELECT doc_id, {key} AS __k FROM documents),
+    s AS (SELECT doc_id, {shard} AS shard, __k FROM k)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY __k, doc_id
+           ) AS INT) AS shard_rank
+    FROM s
+    """
+
+
+@register("epoch_shuffle_order", oracle=_duck_epoch_shuffle())
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order
+    (`operators/layout.py::epoch_shuffle`): every document's
+    reproducible (shard, shard_rank) position for epoch 1, derived
+    only from md5(epoch:id) — crash recovery or an ablation re-run
+    reproduces the exact order, different epochs permute
+    independently, and the engine never builds a global sort: the
+    md5 key is the order, shards sort independently (the window
+    partitions on shard), and the full permutation is shard
+    concatenation. Engine-independent by construction — the DuckDB
+    oracle derives the byte-identical order."""
+    from hadoop_data_pipeline_spark.operators import layout
+
+    return layout.epoch_shuffle(
+        load_table(spark, sf_dir, "documents"), epoch=1, n_shards=8
+    )
+
+
 @register("pack_token_shards", oracle=_duck_pack_shards(2000))
 def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-output shard layout: documents packed into ~2000-token
@@ -6599,6 +6668,8 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     # r12-new entries first (never driver-checked)
     "embedding_ann_ivfpq_rerank_topk",
+    "padding_waste_by_length_bucket",
+    "epoch_shuffle_order",
     # last driver-checked in r1 (staleness outliers)
     "cube_returnflag_linestatus",
     "rollup_revenue",
@@ -6645,13 +6716,12 @@ _DRIVER_WINDOW = [
     "users_purchase_and_error",
     "users_purchase_no_error",
     "value_remap",
-    # head of the r9 cohort (ages out next round; the r12-new entry
-    # above displaced compression_ratio_quality to r13's window)
+    # head of the r9 cohort (ages out next round; the 3 r12-new
+    # entries above displaced chunk_documents_overlap,
+    # clicks_before_purchase and compression_ratio_quality to r13)
     "asof_last_purchase_per_click",
     "cdc_emit_changelog_orders",
     "cdc_upsert_orders",
-    "chunk_documents_overlap",
-    "clicks_before_purchase",
 ]
 
 

@@ -497,3 +497,45 @@ def test_case_builders_quoting_and_empty_edges(spark):
     quoted = cur.split_case_expr("b", {"tr'n": 0.5, "test": 0.5})
     got2 = df.selectExpr(f"{quoted.replace('b <', '0 <')} AS s").collect()
     assert {r.s for r in got2} == {"tr'n"}
+
+
+def test_padding_waste_by_bucket_math(spark):
+    """Hand-checked bucket assignment and waste math: the CASE ladder
+    sends n to the smallest power-of-two bucket >= n, capacity =
+    bucket * docs, waste = 1 - sum/capacity."""
+    df = spark.createDataFrame(
+        [
+            (0, " ".join(["a"] * 10)),   # 10 tokens -> bucket 16
+            (1, " ".join(["a"] * 16)),   # exactly 16 -> bucket 16
+            (2, " ".join(["a"] * 17)),   # 17 -> bucket 32
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.bucket: r for r in cur.padding_waste_by_bucket(df).collect()}
+    assert set(got) == {16, 32}
+    b16 = got[16]
+    assert (b16.n_docs, b16.sum_tokens, b16.capacity) == (2, 26, 32)
+    assert b16.waste_frac == round(1 - 26 / 32, 6)
+    b32 = got[32]
+    assert (b32.n_docs, b32.sum_tokens, b32.capacity) == (1, 17, 32)
+
+
+def test_epoch_shuffle_deterministic_complete_and_epoch_varying(spark):
+    """epoch_shuffle contract: (a) re-running an epoch reproduces the
+    exact (shard, shard_rank) assignment, (b) every doc appears
+    exactly once and each shard's ranks are contiguous 1..n, (c) a
+    different epoch yields a different permutation."""
+    from hadoop_data_pipeline_spark.operators import layout
+
+    docs = spark.range(0, 200).selectExpr("id AS doc_id")
+    e1a = layout.epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+    e1b = layout.epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+    assert sorted(map(tuple, e1a)) == sorted(map(tuple, e1b))
+    assert len(e1a) == 200
+    by_shard: dict[int, list[int]] = {}
+    for r in e1a:
+        by_shard.setdefault(r.shard, []).append(r.shard_rank)
+    for ranks in by_shard.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    e2 = layout.epoch_shuffle(docs, epoch=2, n_shards=4).collect()
+    assert sorted(map(tuple, e2)) != sorted(map(tuple, e1a))

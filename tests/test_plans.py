@@ -793,3 +793,24 @@ def test_scan_audit_counts_and_budgets(spark):
     assert inc["documents"] == SCAN_BUDGETS[
         "incremental_near_dup_new_docs"]["documents"]
     assert DEFAULT_BUDGET == 1
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """epoch_shuffle's window must partition on shard — a training
+    order that needs one totally-ordered partition (empty PARTITION
+    BY) is a single-task sort at 100 TB. Scan stays pruned to the id."""
+    plan = plan_of(spark, "epoch_shuffle_order")
+    assert "partitionBy=[shard" in plan.replace(" ", "").replace(
+        "#", "").lower() or "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+    (scan,) = scans_of(plan)
+    assert "doc_id" in scan and "text" not in scan
+
+
+def test_padding_waste_partial_agg_and_pruned_scan(spark):
+    """padding_waste_by_length_bucket: map-side partial aggregation
+    before the exchange (<= 8 groups), scan reads only the text."""
+    plan = plan_of(spark, "padding_waste_by_length_bucket")
+    assert "partial_count" in plan or "partial_sum" in plan
+    (scan,) = scans_of(plan)
+    assert "text" in scan and "lang" not in scan
