@@ -541,17 +541,27 @@ def hard_negative_pairs(
     sorts, so output is at most ``per_anchor`` rows per vector
     regardless of block density.
 
+    When sub-blocking ACTIVATES, the tagged (id, vec, block, sub)
+    projection is PERSISTED before the pair join (the
+    `ann_topk_ivf` persisted-assignment precedent — both join sides
+    consume it, and leaving the split lineage inline measurably
+    re-evaluates inside the join stage: 66.6 s vs 24.6 s
+    pre-materialized on the dense 10x fixture). A cheap bounded
+    aggregate probes for oversized blocks first, so corpora with
+    none — every fixture, the catalog entry, the stress sweeps —
+    keep the EXACT unsplit two-scan plan and pay only the probe
+    (the same one-aggregate action the r11 guard already paid).
+    Returned frame carries the cache via `_with_cached_deps`.
+
     Operating guidance (measured, dense 10x fixture — SCALE.md r12):
-    size ``max_block_size`` so a hot block splits AT LEAST ~4 ways.
-    A 5-way split ran 2.5x faster than the unsplit join (15 s vs
-    38 s); a 2-3-way split sits in a boundary zone where a constant
-    per-pair overhead of the extra join-key column roughly cancels
-    the halved pair work — correct output, no win. The cap bounds
-    per-task pair work at ``max_block_size^2`` either way, which is
-    what survives a 100 TB hot label."""
+    the cap bounds per-task pair work at ``max_block_size^2``; a
+    5-way split of ~2.2k-dense blocks ran 2.5x faster than the
+    unsplit join even before the persist, and the persist removes
+    the split lineage's join-stage overhead at every split factor."""
     if block_col is None:
         df = with_bucket(df, vec_col)
         block_col = "bucket"
+    deps: list[DataFrame] = []
     if max_block_size is not None:
         oversized = (
             df.groupBy(block_col)
@@ -564,17 +574,25 @@ def hard_negative_pairs(
                 .alias("__nsub"),
             )
         )
-        # coalesce(nsub, 1): pmod(x, 1) == 0 gives unsplit blocks sub
-        # 0 without a CASE WHEN branch and keeps the join key
-        # non-nullable (the branched form measured ~15% slower on the
-        # dense 10x fixture).
-        df = df.join(F.broadcast(oversized), block_col, "left").withColumn(
-            "__sub",
-            F.pmod(
-                F.xxhash64(F.col(id_col)),
-                F.coalesce(F.col("__nsub"), F.lit(1)),
-            ).cast("int"),
-        )
+        if oversized.limit(1).count():
+            # coalesce(nsub, 1): pmod(x, 1) == 0 gives unsplit blocks
+            # sub 0 without a CASE WHEN branch and keeps the join key
+            # non-nullable.
+            df = (
+                df.join(F.broadcast(oversized), block_col, "left")
+                .withColumn(
+                    "__sub",
+                    F.pmod(
+                        F.xxhash64(F.col(id_col)),
+                        F.coalesce(F.col("__nsub"), F.lit(1)),
+                    ).cast("int"),
+                )
+                .select(id_col, vec_col, block_col, "__sub")
+                .persist()
+            )
+            deps.append(df)
+        else:
+            df = df.withColumn("__sub", F.lit(0))
     else:
         df = df.withColumn("__sub", F.lit(0))
     nrm = dual.norm(vec_col, dual.SPARK)
@@ -603,13 +621,14 @@ def hard_negative_pairs(
         .selectExpr("anchor_id", "cand_id", "blk", f"{cos} AS cosine")
         .where((F.col("cosine") >= lo) & (F.col("cosine") < hi))
     )
-    return top_k_per_group(
+    out = top_k_per_group(
         band,
         ["anchor_id"],
         "cosine",
         k=per_anchor,
         tie_breakers=["cand_id"],
     )
+    return _with_cached_deps(out, *deps)
 
 
 def kmeans_refine_stats(

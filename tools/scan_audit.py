@@ -115,12 +115,12 @@ SCAN_BUDGETS: dict[str, dict[str, int]] = {
     "embedding_ann_filtered_topk": {"embeddings": 2},
     "embedding_pq_topk": {"embeddings": 2},
     "embedding_near_dup_pairs": {"embeddings": 2},  # banded self-pairs
-    # anchor side + candidate side + the in-plan oversized-block
-    # sub-blocking pass on each (label-only single-column scans; the
-    # broadcast exchange they feed is AQE-reused at runtime — the r12
-    # rewrite measures FEWER real scan bytes than the r11 eager-guard
-    # form, 2.13 MB vs 2.71 MB at sf0.01).
-    "hard_negative_pairs_embeddings": {"embeddings": 4},
+    # anchor side + candidate side; the sub-blocking probe is an
+    # eager bounded aggregate outside the returned plan, and when it
+    # finds oversized blocks the tagged projection is PERSISTED (the
+    # pair join then reads the cache — operator docstring, SCALE.md
+    # r12).
+    "hard_negative_pairs_embeddings": {"embeddings": 2},
     "embedding_drift_psi_by_cell": {"embeddings": 2},  # base x current
     "quantizer_drift_advisory": {"embeddings": 2},  # base x current
     # PQ rerank: PQ-scan shortlist + exact-rerank join back to the
