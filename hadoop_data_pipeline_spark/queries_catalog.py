@@ -6643,6 +6643,65 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 12b — learned quality filtering (operators/learn.py): the
+# fastText-style classifier step of a curation pipeline, as exact
+# distributed training. Integer arithmetic end to end (hashed-count
+# features, cross-multiplied heuristic labels, lr=1 batch-perceptron
+# updates), so the 3 unrolled epochs admit a value-hash oracle — the
+# fixed-point-PageRank precedent applied to model training.
+# ---------------------------------------------------------------------------
+
+from hadoop_data_pipeline_spark.operators import learn  # noqa: E402
+
+
+@register(
+    "quality_perceptron_weights",
+    oracle=learn.perceptron_oracle_sql(D, output="weights"),
+)
+def quality_perceptron_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training of a learned quality filter
+    (`operators/learn.py::perceptron_weights`): a batch perceptron
+    over hashed bag-of-words counts, labeled by the integer-exact
+    repetition heuristic (2 * distinct > total), 3 epochs, lr=1. The
+    returned model is the (feature, weight) table plus the bias as the
+    ``f = -1`` row — directly inspectable, and every weight is an
+    exact bigint the DuckDB unrolled-epoch oracle reproduces
+    bit-for-bit.
+
+    Scale design: the corpus text is scanned ONCE into a persisted
+    doc x feature count matrix hash-partitioned by doc_id; each epoch
+    is two partitioning-aligned passes over it (margins; misclassified
+    join + per-feature deltas) and the <= 64-integer model syncs
+    through the driver exactly like MLlib gradient descent syncs
+    treeAggregate gradients. Nothing corpus-sized shuffles after the
+    staging repartition and nothing corpus-sized is ever collected."""
+    return learn.perceptron_weights(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_perceptron_doc_scores",
+    oracle=learn.perceptron_oracle_sql(D, output="scores"),
+)
+def quality_perceptron_doc_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The inference half of the learned quality filter
+    (`operators/learn.py::perceptron_doc_scores`): train as above,
+    then score every document with the final model — (doc_id, label,
+    bigint margin score, predicted sign). The per-doc scores are the
+    keep/drop signal a curation pipeline thresholds on; hash-exact
+    against the oracle because training and scoring are all-integer.
+
+    Plan shape (audited): one parquet scan, one intended repartition
+    exchange inside the staged-matrix cache build, and the final
+    per-doc aggregate runs exchange-free on the preserved doc_id
+    partitioning inside one whole-stage-codegen span."""
+    return learn.perceptron_doc_scores(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window
 # The round driver oracle-checks the FIRST 50 registered queries, so
 # registration order is part of the contract. ROTATION (round 12,
@@ -6670,6 +6729,8 @@ _DRIVER_WINDOW = [
     "embedding_ann_ivfpq_rerank_topk",
     "padding_waste_by_length_bucket",
     "epoch_shuffle_order",
+    "quality_perceptron_weights",
+    "quality_perceptron_doc_scores",
     # last driver-checked in r1 (staleness outliers)
     "cube_returnflag_linestatus",
     "rollup_revenue",
@@ -6716,12 +6777,11 @@ _DRIVER_WINDOW = [
     "users_purchase_and_error",
     "users_purchase_no_error",
     "value_remap",
-    # head of the r9 cohort (ages out next round; the 3 r12-new
+    # head of the r9 cohort (ages out next round; the 5 r12-new
     # entries above displaced chunk_documents_overlap,
-    # clicks_before_purchase and compression_ratio_quality to r13)
+    # clicks_before_purchase, compression_ratio_quality,
+    # cdc_emit_changelog_orders and cdc_upsert_orders to r13)
     "asof_last_purchase_per_click",
-    "cdc_emit_changelog_orders",
-    "cdc_upsert_orders",
 ]
 
 
