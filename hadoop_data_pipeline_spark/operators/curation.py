@@ -1039,6 +1039,60 @@ def pack_shards(
     )
 
 
+def chunk_boundary_stats(
+    df: DataFrame,
+    ctx: int = 512,
+    col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """Concat-and-chunk (GPT-style) packing accounting: documents are
+    laid out token-contiguously in deterministic id order and cut into
+    fixed ``ctx``-token context windows; per document, which window
+    its first and last token land in, how many windows it spans, and
+    whether a window boundary cuts through it (the attention-broken
+    fraction a packing strategy trades against padding waste —
+    complements :func:`padding_waste_by_bucket`, which accounts the
+    pad-don't-cut alternative).
+
+    Same hierarchical prefix-sum shape as :func:`pack_shards` (bounded
+    within-bucket windows + a tiny broadcast bucket-offset frame), so
+    no single partition ever sees the whole corpus; the DuckDB oracle
+    uses the equivalent flat window. All-integer arithmetic."""
+    n_expr = dual.arr_size(dual.tokens(col, dual.SPARK), dual.SPARK)
+    bkt = intdiv(id_col, str(bucket_width), dual.SPARK)
+    staged = df.selectExpr(
+        id_col, f"{n_expr} AS n_tokens", f"{bkt} AS __b"
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = staged.withColumn("__cum", F.sum("n_tokens").over(w_in))
+    bucket_totals = staged.groupBy("__b").agg(
+        F.sum("n_tokens").alias("__bs")
+    )
+    # One row per `bucket_width` documents — tiny, so the single
+    # cross-bucket cumulation window is bounded by construction.
+    w_b = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = bucket_totals.withColumn(
+        "__off", F.sum("__bs").over(w_b) - F.col("__bs")
+    ).select("__b", "__off")
+    start = f"{intdiv('__off + __cum - n_tokens', str(ctx), dual.SPARK)}"
+    end = f"{intdiv('__off + __cum - 1', str(ctx), dual.SPARK)}"
+    return within.join(F.broadcast(offsets), "__b").selectExpr(
+        id_col,
+        "CAST(n_tokens AS INT) AS n_tokens",
+        f"CAST({start} AS BIGINT) AS start_chunk",
+        f"CAST({end} AS BIGINT) AS end_chunk",
+        f"CAST({end} - {start} + 1 AS BIGINT) AS chunks_spanned",
+        f"({end} > {start}) AS crosses_boundary",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Length-bucketed batching: padding-waste accounting
 # ---------------------------------------------------------------------------

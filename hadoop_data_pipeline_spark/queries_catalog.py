@@ -6642,6 +6642,53 @@ def csv_roundtrip_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_chunk_boundaries(ctx: int = 512) -> str:
+    n = dual.arr_size(dual.tokens("text", D), D)
+    return f"""
+    WITH s AS (SELECT doc_id, {n} AS n FROM documents),
+    c AS (
+        SELECT doc_id, n,
+               sum(n) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM s
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_tokens,
+           CAST((cum - n) // {ctx} AS BIGINT) AS start_chunk,
+           CAST((cum - 1) // {ctx} AS BIGINT) AS end_chunk,
+           CAST((cum - 1) // {ctx} - (cum - n) // {ctx} + 1 AS BIGINT)
+               AS chunks_spanned,
+           ((cum - 1) // {ctx} > (cum - n) // {ctx}) AS crosses_boundary
+    FROM c
+    """
+
+
+@register(
+    "context_chunk_boundary_stats", oracle=_duck_chunk_boundaries(512)
+)
+def context_chunk_boundary_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Concat-and-chunk packing accounting
+    (`operators/curation.py::chunk_boundary_stats`): tokens laid out
+    contiguously in doc_id order and cut into 512-token context
+    windows; per document its start/end window, span, and whether a
+    window boundary cuts through it. With `padding_waste_by_length_
+    bucket` (pad, never cut) and `pack_token_shards` (whole-doc
+    greedy shards) this completes the three packing strategies a
+    training batcher chooses between, each with exact accounting.
+
+    Scale design: the global running offset is HIERARCHICAL — bounded
+    within-bucket prefix windows plus a broadcast bucket-offset frame
+    with one row per 1000 docs — so no single partition ever sorts
+    the corpus (the oracle uses the equivalent flat window; identical
+    integer arithmetic)."""
+    return cur.chunk_boundary_stats(
+        load_table(spark, sf_dir, "documents"), ctx=512
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 12b — learned quality filtering (operators/learn.py): the
 # fastText-style classifier step of a curation pipeline, as exact
@@ -6731,6 +6778,7 @@ _DRIVER_WINDOW = [
     "epoch_shuffle_order",
     "quality_perceptron_weights",
     "quality_perceptron_doc_scores",
+    "context_chunk_boundary_stats",
     # last driver-checked in r1 (staleness outliers)
     "cube_returnflag_linestatus",
     "rollup_revenue",
@@ -6777,11 +6825,11 @@ _DRIVER_WINDOW = [
     "users_purchase_and_error",
     "users_purchase_no_error",
     "value_remap",
-    # head of the r9 cohort (ages out next round; the 5 r12-new
-    # entries above displaced chunk_documents_overlap,
-    # clicks_before_purchase, compression_ratio_quality,
-    # cdc_emit_changelog_orders and cdc_upsert_orders to r13)
-    "asof_last_purchase_per_click",
+    # The 6 r12-new entries displaced the whole r9-cohort head
+    # (chunk_documents_overlap, clicks_before_purchase,
+    # compression_ratio_quality, cdc_emit_changelog_orders,
+    # cdc_upsert_orders, asof_last_purchase_per_click) to r13 —
+    # checked in r9, they stay within the 4-round staleness bound.
 ]
 
 

@@ -93,6 +93,10 @@ SCAN_BUDGETS: dict[str, dict[str, int]] = {
     "lang_id_confusion": {"documents": 2},  # predicted x labeled
     "keyword_search_bm25": {"documents": 2},  # postings x doc-norms
     "pack_token_shards": {"documents": 2},  # token-counts x text
+    # hierarchical prefix-sum: within-bucket window x bucket totals
+    # (both column-pruned to doc_id + token count, same as
+    # pack_token_shards' two-pass shape)
+    "context_chunk_boundary_stats": {"documents": 2},
     "bpe_tokenize_docs": {"documents": 2},  # train-sample x encode
     "unigram_logprob_quality": {"documents": 3},  # vocab x totals x score
     "curriculum_quality_buckets": {"documents": 3},  # score x bounds x bucket
