@@ -1044,7 +1044,7 @@ def chunk_boundary_stats(
     ctx: int = 512,
     col: str = "text",
     id_col: str = "doc_id",
-    bucket_width: int = 1_000,
+    bucket_width: int = 10_000,
 ) -> DataFrame:
     """Concat-and-chunk (GPT-style) packing accounting: documents are
     laid out token-contiguously in deterministic id order and cut into
@@ -1056,9 +1056,15 @@ def chunk_boundary_stats(
     pad-don't-cut alternative).
 
     Same hierarchical prefix-sum shape as :func:`pack_shards` (bounded
-    within-bucket windows + a tiny broadcast bucket-offset frame), so
-    no single partition ever sees the whole corpus; the DuckDB oracle
-    uses the equivalent flat window. All-integer arithmetic."""
+    within-bucket windows + a broadcast bucket-offset frame), so no
+    single partition ever sees the whole corpus; the DuckDB oracle
+    uses the equivalent flat window. All-integer arithmetic.
+
+    The cross-bucket cumulation IS a global window, but over the
+    1-row-per-``bucket_width``-docs totals frame: a corpus/10^4
+    reduction, two bigints per row — ~100 GB of 100 TB-scale text
+    (~7e10 docs) cumulates over ~7e6 16-byte rows (~100 MB) in one
+    task. Audited in `tests/test_plans.py::BOUNDED_GLOBAL_WINDOWS`."""
     n_expr = dual.arr_size(dual.tokens(col, dual.SPARK), dual.SPARK)
     bkt = intdiv(id_col, str(bucket_width), dual.SPARK)
     staged = df.selectExpr(

@@ -272,6 +272,12 @@ BOUNDED_GLOBAL_WINDOWS = {
     # doubled the corpus scans (test_drift_advisory_plan_shape).
     "embedding_drift_psi_by_cell",
     "quantizer_drift_advisory",
+    # hierarchical prefix-sum's cross-bucket cumulation: the global
+    # window runs on the bucket-TOTALS frame (1 row per 10^4 docs,
+    # two bigints wide — corpus/10^4 row reduction, ~100 MB in one
+    # task even at ~7e10 docs), never on the row-level path. The
+    # within-bucket windows partition by bucket and stay <= 10^4 rows.
+    "context_chunk_boundary_stats",
 }
 
 
