@@ -158,17 +158,24 @@ def fold(arr: str, init: str, lam: str, dialect: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def shingles_from_tokens(toks_col: str, dialect: str, n: int = 2) -> str:
-    """Distinct n-word shingles (default bigrams) from a staged tokens
-    column. Documents with < n tokens yield an empty list in both
-    engines — Spark needs an explicit guard because ``sequence(1, 0)``
-    counts DOWN (DuckDB's ``range(1, 1)`` is empty)."""
+def shingles_from_tokens(
+    toks_col: str, dialect: str, n: int = 2, distinct: bool = True
+) -> str:
+    """n-word shingles (default bigrams, default DISTINCT) from a
+    staged tokens column; ``distinct=False`` keeps every occurrence
+    (needed when counting shingle frequency, e.g. the top-n-gram
+    repetition signal). Documents with < n tokens yield an empty list
+    in both engines — Spark needs an explicit guard because
+    ``sequence(1, 0)`` counts DOWN (DuckDB's ``range(1, 1)`` is
+    empty)."""
     k = n - 1
     size = arr_size(toks_col, dialect)
     idx = index_range("1", f"{size} - {k}", dialect)
     parts = ", ".join(element(toks_col, f"i + {j}", dialect) for j in range(n))
     shingle = f"concat_ws(' ', {parts})"
-    base = arr_distinct(transform(idx, f"i -> {shingle}", dialect), dialect)
+    base = transform(idx, f"i -> {shingle}", dialect)
+    if distinct:
+        base = arr_distinct(base, dialect)
     if dialect == SPARK:
         return (
             f"(CASE WHEN {size} <= {k} THEN cast(array() as array<string>)"

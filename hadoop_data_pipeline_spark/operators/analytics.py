@@ -110,3 +110,87 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch with an EXACT oracle
+# ---------------------------------------------------------------------------
+
+#: Count-min geometry: depth d=4 hash rows, width w=256 buckets.
+#: Overestimate bound: est - true <= 2N/w with prob >= 1 - 2^-d
+#: (Cormode & Muthukrishnan 2005). Unlike the HLL entries (engine
+#: sketch internals differ, so they carry bound oracles), the CMS is
+#: OUR construction with pinned md5 row hashes — deterministic, so
+#: DuckDB rebuilds the identical counter matrix and the driver can
+#: value-hash it exactly.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_hash_expr(
+    key: str, d: str, dialect: str, width: int = CMS_WIDTH
+) -> str:
+    """Row-d bucket of a key: md5('cms<d>:<key>') mod width — the
+    same text semantics in both engines (see functions/dual.py)."""
+    from hadoop_data_pipeline_spark.functions import dual
+
+    concat = (
+        f"concat('cms', cast({d} as string), ':',"
+        f" cast({key} as string))"
+    )
+    return f"CAST({dual.md5_int(concat, dialect)} % {width} AS INT)"
+
+
+def cms_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch build + probe in one plan: the d x w counter
+    matrix over ``key_col`` occurrences, probed for the k true
+    heaviest keys — (key, true_count, cms_estimate, overestimate).
+    ``overestimate >= 0`` always (CMS never undercounts); the entry's
+    test pins the 2N/w bound per row.
+
+    Scale: the build explodes each event into its ``depth`` (row,
+    bucket) cells and partial-aggregates to at most d*w cells — the
+    canonical distributed-sketch shape (tiny shuffle regardless of
+    event volume, no per-key state). The probe side joins the
+    BROADCAST <= d*w-row counter table onto the k anchor keys; events
+    are scanned twice (counters; true top-k), both column-pruned to
+    the key."""
+    from hadoop_data_pipeline_spark.functions import dual
+
+    hashes = F.array(
+        *[
+            F.expr(cms_hash_expr(key_col, str(d), dual.SPARK, width))
+            for d in range(depth)
+        ]
+    )
+    counters = (
+        events.select(F.posexplode(hashes).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = (
+        events.groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.col(key_col))
+        .limit(k)
+    )
+    probes = top.select(
+        key_col, "true_count", F.posexplode(hashes).alias("d", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy(key_col, "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .selectExpr(
+            key_col,
+            "true_count",
+            "cms_estimate",
+            "cast(cms_estimate - true_count as bigint) AS overestimate",
+        )
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_data_pipeline_spark.functions import dual
@@ -211,4 +211,50 @@ def compression_ratio(df: DataFrame, col: str = "text") -> DataFrame:
     return out.withColumn(
         "ratio",
         F.round(F.col("compressed_bytes") / F.col("n_bytes"), 6),
+    )
+
+
+def top_bigram_char_fraction(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition rule (Rae et al. 2021 §A1.1): per document,
+    the most frequent word 2-gram and the fraction of the document's
+    characters its occurrences cover — the signal that catches
+    boilerplate a distinct-token ratio misses (a page repeating
+    "click here" keeps high token diversity elsewhere). Returns
+    (id, top_bigram, n_occurrences, top_bigram_char_frac) for every
+    document with >= 2 tokens; ties break on the lexicographically
+    first bigram. Occurrences may overlap, so the fraction can
+    exceed 1 on degenerate single-token documents — kept uncapped,
+    as in the paper's accounting.
+
+    Plan: explode ALL bigram occurrences (no distinct), count per
+    (doc, gram) — ONE hash exchange with map-side partial counts —
+    then a per-doc row_number window on the same doc-keyed
+    partitioning picks the top gram without a second corpus pass."""
+    staged = df.selectExpr(
+        id_col,
+        f"length(trim({col})) AS __nc",
+        f"{dual.tokens(col, dual.SPARK)} AS __tk",
+    )
+    grams = dual.shingles_from_tokens("__tk", dual.SPARK, n=2, distinct=False)
+    ex = staged.select(
+        id_col, "__nc", F.explode(F.expr(grams)).alias("top_bigram")
+    )
+    cnt = ex.groupBy(id_col, "__nc", "top_bigram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("n_occurrences"), F.col("top_bigram")
+    )
+    return (
+        cnt.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .selectExpr(
+            id_col,
+            "top_bigram",
+            "n_occurrences",
+            "round(cast(n_occurrences * length(top_bigram) as double)"
+            " / cast(__nc as double), 6) AS top_bigram_char_frac",
+        )
     )

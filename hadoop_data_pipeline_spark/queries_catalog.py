@@ -6748,6 +6748,110 @@ def quality_perceptron_doc_scores(
     )
 
 
+def _duck_top_bigram() -> str:
+    grams = dual.shingles_from_tokens("tk", D, n=2, distinct=False)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, length(trim(text)) AS nc,
+               {dual.tokens('text', D)} AS tk
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, nc, unnest({grams}) AS top_bigram FROM t
+    ),
+    cnt AS (
+        SELECT doc_id, nc, top_bigram,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM ex GROUP BY doc_id, nc, top_bigram
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY n_occurrences DESC, top_bigram
+        ) AS rn
+        FROM cnt
+    )
+    SELECT doc_id, top_bigram, n_occurrences,
+           round(CAST(n_occurrences * length(top_bigram) AS DOUBLE)
+                 / CAST(nc AS DOUBLE), 6) AS top_bigram_char_frac
+    FROM r WHERE rn = 1
+    """
+
+
+@register("top_bigram_char_fraction", oracle=_duck_top_bigram())
+def top_bigram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 repetition signal
+    (`operators/text.py::top_bigram_char_fraction`): per document the
+    most frequent word 2-gram and the character fraction its
+    occurrences cover — catches repeated-phrase boilerplate that the
+    distinct-token ratio (`repetition_quality_stats`) misses.
+    Deterministic tie-break on the lexicographically first bigram.
+
+    Plan: one scan, explode all bigram occurrences, ONE hash exchange
+    for the per-(doc, gram) partial-agg'd count, then the per-doc
+    top-1 window rides the same doc-keyed clustering
+    (WindowGroupLimit pushes the rank-1 filter below full sort
+    materialization)."""
+    return tx.top_bigram_char_fraction(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _duck_cms(k: int = 20, depth: int = 4, width: int = 256) -> str:
+    from hadoop_data_pipeline_spark.operators import analytics as an
+
+    h = an.cms_hash_expr("r.user_id", "r.d", D, width)
+    ph = an.cms_hash_expr("t.user_id", "ds.d", D, width)
+    ds = ", ".join(str(d) for d in range(depth))
+    return f"""
+    WITH ds AS (SELECT unnest([{ds}]) AS d),
+    r AS (SELECT e.user_id, ds.d FROM events e, ds),
+    cnt AS (
+        SELECT r.d, {h} AS bucket, CAST(count(*) AS BIGINT) AS c
+        FROM r GROUP BY r.d, {h}
+    ),
+    tru AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+        FROM events GROUP BY user_id
+        ORDER BY true_count DESC, user_id LIMIT {k}
+    ),
+    probe AS (
+        SELECT t.user_id, t.true_count, ds.d, {ph} AS bucket
+        FROM tru t, ds
+    )
+    SELECT p.user_id, p.true_count,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate,
+           CAST(min(c.c) - p.true_count AS BIGINT) AS overestimate
+    FROM probe p JOIN cnt c ON p.d = c.d AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.true_count
+    """
+
+
+@register("cms_heavy_hitter_counts", oracle=_duck_cms())
+def cms_heavy_hitter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates
+    (`operators/analytics.py::cms_heavy_hitters`): the 4 x 256
+    counter matrix over event user_ids, probed for the 20 true
+    heaviest users — true count, CMS estimate, and the (always >= 0)
+    overestimate per user. Third sketch family in the catalog, and
+    unlike the HLL entries it carries an EXACT value-hash oracle:
+    the row hashes are ours (pinned md5), so the sketch is
+    deterministic and DuckDB rebuilds the identical counter matrix —
+    owning the hash turns a sketch from bound-checkable into
+    hash-checkable.
+
+    Scale design: build explodes each event into 4 (row, bucket)
+    cells and partial-aggregates to <= 1024 cells (tiny shuffle at
+    any event volume, the canonical distributed-sketch shape); the
+    probe joins the broadcast counter table. Two column-pruned event
+    scans (counters; true top-k anchor)."""
+    from hadoop_data_pipeline_spark.operators import analytics
+
+    return analytics.cms_heavy_hitters(
+        load_table(spark, sf_dir, "events").select("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # The round driver oracle-checks the FIRST 50 registered queries, so
@@ -6779,6 +6883,8 @@ _DRIVER_WINDOW = [
     "quality_perceptron_weights",
     "quality_perceptron_doc_scores",
     "context_chunk_boundary_stats",
+    "cms_heavy_hitter_counts",
+    "top_bigram_char_fraction",
     # last driver-checked in r1 (staleness outliers)
     "cube_returnflag_linestatus",
     "rollup_revenue",
@@ -6823,13 +6929,16 @@ _DRIVER_WINDOW = [
     "unpivot_part_measures",
     "user_event_gap_stats_window",
     "users_purchase_and_error",
-    "users_purchase_no_error",
-    "value_remap",
-    # The 6 r12-new entries displaced the whole r9-cohort head
+    # The 8 r12-new entries displaced the whole r9-cohort head
     # (chunk_documents_overlap, clicks_before_purchase,
     # compression_ratio_quality, cdc_emit_changelog_orders,
-    # cdc_upsert_orders, asof_last_purchase_per_click) to r13 —
-    # checked in r9, they stay within the 4-round staleness bound.
+    # cdc_upsert_orders, asof_last_purchase_per_click — checked in
+    # r9, within the 4-round bound through r13) AND two r8 entries:
+    # users_purchase_no_error and value_remap go FIRST in the r13
+    # window at a documented ONE-round staleness overage (5 rounds)
+    # — the only entries ever outside the bound, traded for
+    # driver-checking every new entry in its own round; both stay
+    # strict-sweep-checked on every commit meanwhile.
 ]
 
 

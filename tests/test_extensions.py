@@ -1438,3 +1438,31 @@ def test_synthetic_documents_controlled_duplicate_profile(spark):
         assert any(
             len(toks ^ b) <= 4 for b in base_sets
         ), "near-dup not within 2 rewritten tokens of any base"
+
+
+def test_cms_overestimate_bound_and_plan(spark):
+    """CMS published bound: for every probed key,
+    0 <= overestimate <= 2N/w holds with prob >= 1 - 2^-d per key;
+    on the fixed fixture + pinned hashes the outcome is
+    deterministic, so assert the bound outright (all 20 rows).
+    Plan: the counter table must BROADCAST to the probe join."""
+    from hadoop_data_pipeline_spark.operators import analytics as an
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id"
+    )
+    n = ev.count()
+    n_keys = ev.distinct().count()
+    out = an.cms_heavy_hitters(ev)
+    rows = out.collect()
+    assert len(rows) == min(20, n_keys)
+    bound = 2 * n / an.CMS_WIDTH
+    for r in rows:
+        assert r["overestimate"] >= 0, "CMS can never undercount"
+        assert r["cms_estimate"] >= r["true_count"]
+        assert r["overestimate"] <= bound, (
+            f"{r['user_id']}: over {r['overestimate']} > 2N/w {bound}"
+        )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -72,6 +72,9 @@ SCAN_BUDGETS: dict[str, dict[str, int]] = {
     "tombstone_delete_users": {"events": 2},  # tombstones x live
     "incremental_daily_agg_merge": {"events": 2},  # state x delta halves
     "incremental_distinct_users_hll": {"events": 2},  # state x delta
+    # CMS counter build x true-top-k anchor scan, both pruned to the
+    # key column; the counter matrix itself is <= 1024 cells
+    "cms_heavy_hitter_counts": {"events": 2},
     "latest_order_join_form": {"orders": 2},  # J1 join form: max x rows
     "table_diff_orders_drift": {"orders": 2},  # snapshot x snapshot
     "daily_revenue_anomalies": {"orders": 2},  # daily x global stats
