@@ -194,3 +194,71 @@ def cms_heavy_hitters(
             "cast(cms_estimate - true_count as bigint) AS overestimate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting with degree-ordered orientation
+# ---------------------------------------------------------------------------
+
+
+def triangle_participation(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected
+    simple graph given as distinct ``a < b`` edges: (node,
+    n_triangles) for every node in at least one triangle. Each
+    triangle contributes once to each of its three corners.
+
+    Scale design — degree-ordered edge orientation (Suri &
+    Vassilvitskii, WWW'11 "the curse of the last reducer"): orient
+    every edge from its lower-(degree, id) endpoint to the higher
+    one, enumerate wedges only AT the lowest corner (join oriented
+    edges on their source), and close each wedge with the uniquely-
+    oriented third edge. Orientation bounds every node's out-degree
+    by O(sqrt(|E|)) regardless of how skewed the raw degree
+    distribution is — the celebrity node with 10^7 neighbors emits
+    ~zero wedges instead of 10^14 — and each triangle is counted
+    EXACTLY once (at its minimum corner), no /3 correction, no
+    dedup pass. Comparisons are explicit (deg, id) tuples, so the
+    same SQL is exact in both engines at any id magnitude."""
+    ea, eb = F.col(a_col), F.col(b_col)
+    deg = (
+        edges.select(ea.alias("n"))
+        .unionAll(edges.select(eb.alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("n", a_col), a_col)
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.withColumnRenamed("n", b_col).withColumnRenamed(
+                "deg", "db"
+            ),
+            b_col,
+        )
+    )
+    lower = f"(da < db OR (da = db AND {a_col} < {b_col}))"
+    oriented = e.selectExpr(
+        f"CASE WHEN {lower} THEN {a_col} ELSE {b_col} END AS src",
+        f"CASE WHEN {lower} THEN {b_col} ELSE {a_col} END AS dst",
+        f"CASE WHEN {lower} THEN db ELSE da END AS dst_deg",
+    ).persist()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedge_lt = (
+        "(e1.dst_deg < e2.dst_deg"
+        " OR (e1.dst_deg = e2.dst_deg AND e1.dst < e2.dst))"
+    )
+    wedges = e1.join(
+        e2, F.expr("e1.src = e2.src") & F.expr(wedge_lt)
+    ).selectExpr("e1.src AS u", "e1.dst AS v", "e2.dst AS w")
+    closing = oriented.selectExpr("src AS v", "dst AS w")
+    tri = wedges.join(closing, ["v", "w"])
+    corners = (
+        tri.selectExpr("u AS node")
+        .unionAll(tri.selectExpr("v AS node"))
+        .unionAll(tri.selectExpr("w AS node"))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -6797,6 +6797,97 @@ def top_bigram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_MIN_QTY = 45
+
+
+def _duck_triangles(min_qty: int = _TRI_MIN_QTY) -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_quantity >= {min_qty} AND l2.l_quantity >= {min_qty}
+    ),
+    deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs
+        ) GROUP BY n
+    ),
+    e AS (
+        SELECT p.a, p.b, da.deg AS da, db.deg AS db
+        FROM pairs p
+        JOIN deg da ON p.a = da.n JOIN deg db ON p.b = db.n
+    ),
+    o AS (
+        SELECT
+          CASE WHEN (da < db OR (da = db AND a < b)) THEN a ELSE b
+              END AS src,
+          CASE WHEN (da < db OR (da = db AND a < b)) THEN b ELSE a
+              END AS dst,
+          CASE WHEN (da < db OR (da = db AND a < b)) THEN db ELSE da
+              END AS dst_deg
+        FROM e
+    ),
+    wg AS (
+        SELECT e1.src AS u, e1.dst AS v, e2.dst AS x
+        FROM o e1 JOIN o e2 ON e1.src = e2.src
+         AND (e1.dst_deg < e2.dst_deg
+              OR (e1.dst_deg = e2.dst_deg AND e1.dst < e2.dst))
+    ),
+    t AS (SELECT u, v, x FROM wg JOIN o ON wg.v = o.src AND wg.x = o.dst),
+    c AS (
+        SELECT u AS node FROM t
+        UNION ALL SELECT v AS node FROM t
+        UNION ALL SELECT x AS node FROM t
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM c GROUP BY node
+    """
+
+
+@register("copurchase_triangle_counts", oracle=_duck_triangles())
+def copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the bulk co-purchase graph
+    (`operators/analytics.py::triangle_participation`): nodes are
+    parts, edges join parts bought together (same order) in bulk
+    quantities (>= 45), and a part's triangle count — how often two
+    of its co-purchase partners are also bought together — is the
+    basket-analysis clustering signal (dense triangles = a product
+    family, not a chance pairing).
+
+    Scale design: degree-ordered edge ORIENTATION (Suri &
+    Vassilvitskii WWW'11 — "the curse of the last reducer"): wedges
+    are enumerated only at each triangle's minimum-(degree, id)
+    corner, so per-node wedge fanout is bounded by O(sqrt(|E|)) even
+    under celebrity-node skew, each triangle closes via the uniquely
+    oriented third edge, and no triangle is double-counted (no /3
+    correction). Pair generation self-joins WITHIN order keys (per-
+    order fanout bounded by order size); the quantity filter pushes
+    to the parquet scan."""
+    from hadoop_data_pipeline_spark.operators import analytics
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= _TRI_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            F.expr(
+                "l1.l_orderkey = l2.l_orderkey"
+                " AND l1.l_partkey < l2.l_partkey"
+            ),
+        )
+        .selectExpr("l1.l_partkey AS a", "l2.l_partkey AS b")
+        .distinct()
+        .persist()
+    )
+    return analytics.triangle_participation(pairs)
+
+
 def _duck_cms(k: int = 20, depth: int = 4, width: int = 256) -> str:
     from hadoop_data_pipeline_spark.operators import analytics as an
 
@@ -6885,6 +6976,7 @@ _DRIVER_WINDOW = [
     "context_chunk_boundary_stats",
     "cms_heavy_hitter_counts",
     "top_bigram_char_fraction",
+    "copurchase_triangle_counts",
     # last driver-checked in r1 (staleness outliers)
     "cube_returnflag_linestatus",
     "rollup_revenue",
@@ -6928,17 +7020,17 @@ _DRIVER_WINDOW = [
     "union_high_low_value_events",
     "unpivot_part_measures",
     "user_event_gap_stats_window",
-    "users_purchase_and_error",
-    # The 8 r12-new entries displaced the whole r9-cohort head
+    # The 9 r12-new entries displaced the whole r9-cohort head
     # (chunk_documents_overlap, clicks_before_purchase,
     # compression_ratio_quality, cdc_emit_changelog_orders,
     # cdc_upsert_orders, asof_last_purchase_per_click — checked in
-    # r9, within the 4-round bound through r13) AND two r8 entries:
-    # users_purchase_no_error and value_remap go FIRST in the r13
-    # window at a documented ONE-round staleness overage (5 rounds)
-    # — the only entries ever outside the bound, traded for
-    # driver-checking every new entry in its own round; both stay
-    # strict-sweep-checked on every commit meanwhile.
+    # r9, within the 4-round bound through r13) AND three r8
+    # entries: users_purchase_and_error, users_purchase_no_error and
+    # value_remap go FIRST in the r13 window at a documented
+    # ONE-round staleness overage (5 rounds) — the only entries ever
+    # outside the bound, traded for driver-checking every new entry
+    # in its own round; all three stay strict-sweep-checked on every
+    # commit meanwhile.
 ]
 
 

@@ -1466,3 +1466,22 @@ def test_cms_overestimate_bound_and_plan(spark):
         )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_triangle_participation_hand_graph(spark):
+    """Hand-checkable graph: K4 on {1,2,3,4} (4 triangles, every node
+    in exactly 3), a 5-leaf star at hub 10 (0 triangles — the skew
+    node emits no wedges after degree orientation), and one extra
+    triangle {5,6,7}. Each triangle must be counted exactly once per
+    corner — no /3 correction, no double count."""
+    from hadoop_data_pipeline_spark.operators import analytics as an
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    star = [(10, x) for x in (11, 12, 13, 14, 15)]
+    tri = [(5, 6), (5, 7), (6, 7)]
+    edges = spark.createDataFrame(k4 + star + tri, "a long, b long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in an.triangle_participation(edges).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 1}

@@ -75,6 +75,10 @@ SCAN_BUDGETS: dict[str, dict[str, int]] = {
     # CMS counter build x true-top-k anchor scan, both pruned to the
     # key column; the counter matrix itself is <= 1024 cells
     "cms_heavy_hitter_counts": {"events": 2},
+    # co-purchase pair generation is a within-order self-join (both
+    # sides quantity-filtered + pruned to orderkey/partkey); the
+    # graph algorithm itself runs on the persisted pair frame
+    "copurchase_triangle_counts": {"lineitem": 2},
     "latest_order_join_form": {"orders": 2},  # J1 join form: max x rows
     "table_diff_orders_drift": {"orders": 2},  # snapshot x snapshot
     "daily_revenue_anomalies": {"orders": 2},  # daily x global stats
