@@ -262,3 +262,70 @@ def triangle_participation(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows:
+    every directed rule antecedent -> consequent whose pair support
+    meets ``min_pair_support``, with the three classical measures —
+    support (co-occurrence count), confidence (P(consequent |
+    antecedent)) and lift (observed co-occurrence over the
+    independence expectation). The A-priori first rung (frequent
+    pairs), kept exact rather than sampled.
+
+    Scale: baskets dedup to one (basket, item) row, persist once, and
+    every downstream frame derives from that cache — pair generation
+    self-joins WITHIN basket keys (fanout bounded by basket size,
+    never all-pairs across baskets), item counts and the basket total
+    are partial aggregates, and the support floor prunes the pair
+    frame before the two measure joins. Ratios are computed once,
+    rounded identically to the oracle."""
+    b = baskets.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    ).distinct().persist()
+    n_b = b.agg(
+        F.countDistinct("__bk").cast("long").alias("n_baskets")
+    )
+    item = b.groupBy(F.col("__it").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    b1, b2 = b.alias("b1"), b.alias("b2")
+    pair = (
+        b1.join(
+            b2,
+            F.expr("b1.__bk = b2.__bk AND b1.__it < b2.__it"),
+        )
+        .selectExpr("b1.__it AS a", "b2.__it AS c")
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+        .where(F.col("pair_support") >= min_pair_support)
+    )
+    directed = pair.unionByName(
+        pair.selectExpr("c AS a", "a AS c", "pair_support")
+    )
+    return (
+        directed.join(
+            item.selectExpr("item AS a", "cnt AS antecedent_count"), "a"
+        )
+        .join(
+            item.selectExpr("item AS c", "cnt AS consequent_count"), "c"
+        )
+        .crossJoin(F.broadcast(n_b))
+        .selectExpr(
+            "a AS antecedent",
+            "c AS consequent",
+            "pair_support",
+            "antecedent_count",
+            "consequent_count",
+            "round(cast(pair_support as double)"
+            " / cast(antecedent_count as double), 6) AS confidence",
+            "round(cast(pair_support as double) * cast(n_baskets as double)"
+            " / (cast(antecedent_count as double)"
+            "    * cast(consequent_count as double)), 6) AS lift",
+        )
+    )

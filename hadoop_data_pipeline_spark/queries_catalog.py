@@ -6797,6 +6797,75 @@ def top_bigram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_assoc_rules(min_support: int = 2) -> str:
+    # b and pair are MATERIALIZED and the basket total is a scalar
+    # subquery: with the default inlined CTEs DuckDB's join-order
+    # enumerator saw EC=0 estimates at every rung and planned the
+    # final measure joins as CROSS_PRODUCTs — 20+ minutes at the 16x
+    # stress scale vs 1.4 s with real cardinalities. (Spark's side
+    # never had the hazard: the 1-row total is an explicit
+    # broadcast.)
+    return f"""
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+    ),
+    item AS MATERIALIZED (
+        SELECT it AS item, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY it
+    ),
+    pair AS MATERIALIZED (
+        SELECT b1.it AS a, b2.it AS c,
+               CAST(count(*) AS BIGINT) AS pair_support
+        FROM b b1 JOIN b b2
+          ON b1.bk = b2.bk AND b1.it < b2.it
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_support}
+    ),
+    directed AS (
+        SELECT a, c, pair_support FROM pair
+        UNION ALL SELECT c AS a, a AS c, pair_support FROM pair
+    )
+    SELECT d.a AS antecedent, d.c AS consequent, d.pair_support,
+           ia.cnt AS antecedent_count, ic.cnt AS consequent_count,
+           round(CAST(d.pair_support AS DOUBLE)
+                 / CAST(ia.cnt AS DOUBLE), 6) AS confidence,
+           round(CAST(d.pair_support AS DOUBLE)
+                 * CAST((SELECT count(DISTINCT bk) FROM b) AS DOUBLE)
+                 / (CAST(ia.cnt AS DOUBLE) * CAST(ic.cnt AS DOUBLE)),
+                 6) AS lift
+    FROM directed d
+    JOIN item ia ON d.a = ia.item
+    JOIN item ic ON d.c = ic.item
+    """
+
+
+@register("association_rules_copurchase", oracle=_duck_assoc_rules())
+def association_rules_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Market-basket association rules over orders-as-baskets
+    (`operators/analytics.py::association_rules`): every directed
+    part -> part rule with co-purchase support >= 2, with support,
+    confidence and lift — the A-priori frequent-pair rung kept exact.
+    Complements `copurchase_triangle_counts` (graph clustering) with
+    the per-rule recommendation measures.
+
+    Scale design: one (basket, item) dedup persisted and reused by
+    every downstream frame; pair generation self-joins WITHIN basket
+    keys (fanout bounded by basket size); the support floor prunes
+    before the measure joins; the basket total is a broadcast 1-row
+    aggregate."""
+    from hadoop_data_pipeline_spark.operators import analytics
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return analytics.association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey"
+    )
+
+
 _TRI_MIN_QTY = 45
 
 
@@ -6977,6 +7046,7 @@ _DRIVER_WINDOW = [
     "cms_heavy_hitter_counts",
     "top_bigram_char_fraction",
     "copurchase_triangle_counts",
+    "association_rules_copurchase",
     # last driver-checked in r1 (staleness outliers)
     "cube_returnflag_linestatus",
     "rollup_revenue",
@@ -7019,18 +7089,17 @@ _DRIVER_WINDOW = [
     "tumbling_daily_event_stats",
     "union_high_low_value_events",
     "unpivot_part_measures",
-    "user_event_gap_stats_window",
-    # The 9 r12-new entries displaced the whole r9-cohort head
+    # The 10 r12-new entries displaced the whole r9-cohort head
     # (chunk_documents_overlap, clicks_before_purchase,
     # compression_ratio_quality, cdc_emit_changelog_orders,
     # cdc_upsert_orders, asof_last_purchase_per_click — checked in
-    # r9, within the 4-round bound through r13) AND three r8
-    # entries: users_purchase_and_error, users_purchase_no_error and
-    # value_remap go FIRST in the r13 window at a documented
-    # ONE-round staleness overage (5 rounds) — the only entries ever
-    # outside the bound, traded for driver-checking every new entry
-    # in its own round; all three stay strict-sweep-checked on every
-    # commit meanwhile.
+    # r9, within the 4-round bound through r13) AND four r8 entries:
+    # user_event_gap_stats_window, users_purchase_and_error,
+    # users_purchase_no_error and value_remap go FIRST in the r13
+    # window at a documented ONE-round staleness overage (5 rounds)
+    # — the only entries ever outside the bound, traded for
+    # driver-checking every new entry in its own round; all four
+    # stay strict-sweep-checked on every commit meanwhile.
 ]
 
 

@@ -1485,3 +1485,26 @@ def test_triangle_participation_hand_graph(spark):
         for r in an.triangle_participation(edges).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 1}
+
+
+def test_association_rules_hand_values(spark):
+    """Hand-checkable baskets: {x,y,z}, {x,y}, {x}, {y,z} — n=4,
+    counts x=3 y=3 z=2; qualifying pairs (x,y)=2 and (y,z)=2.
+    Confidences and lifts computed by hand."""
+    from hadoop_data_pipeline_spark.operators import analytics as an
+
+    rows = [(1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y"),
+            (3, "x"), (4, "y"), (4, "z")]
+    b = spark.createDataFrame(rows, "basket_id long, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["pair_support"], r["confidence"], r["lift"]
+        )
+        for r in an.association_rules(b).collect()
+    }
+    assert got == {
+        ("x", "y"): (2, 0.666667, 0.888889),
+        ("y", "x"): (2, 0.666667, 0.888889),
+        ("y", "z"): (2, 0.666667, 1.333333),
+        ("z", "y"): (2, 1.0, 1.333333),
+    }
