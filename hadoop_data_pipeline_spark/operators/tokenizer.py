@@ -12,16 +12,18 @@ Spark-first split of the work, stated explicitly:
   shuffle over the corpus (`word_frequencies`): explode whitespace
   tokens, partial-agg count. 100 TB of text passes through exactly
   once.
-* **Merge loop — driver-side, and that is the right design.** BPE
-  merges operate on the word-FREQUENCY table, whose size is bounded
-  by vocabulary (~1-10M rows), not by corpus bytes; every merge
-  iteration rewrites pair counts touched by one merged pair. Running
-  1000 merge rounds as 1000 Spark jobs over a few-MB table would be
-  pure scheduler overhead — the bounded table is collected once
-  (`max_vocab` caps it explicitly, most-frequent-first, so the
-  collect is budgeted, not open-ended) and merged in memory, exactly
-  how production tokenizer trainers consume a pre-aggregated count
-  file.
+* **Merge loop — two interchangeable paths producing the IDENTICAL
+  model (test-pinned equality).** `bpe_train` collects the
+  vocab-bounded frequency table (`max_vocab` caps the collect
+  explicitly) and merges in driver memory — right when the table is
+  a few MB, exactly how production trainers consume a pre-aggregated
+  count file. `bpe_train_spark` (r13) keeps the table distributed:
+  one Spark job per merge round (pair explode -> partial agg ->
+  1-row argmax sync; the driver holds only the merge list) over a
+  persisted symbol frame re-persisted per round — right when the
+  vocabulary itself is too large to collect (fastText-scale 2^20+
+  words). Corpus pass count is 1 in BOTH paths; the loop runs over
+  the frequency table, never the corpus.
 * **Encoding — distributed again.** `bpe_encode` applies the learned
   merge ranks inside an Arrow-batched pandas UDF: per-row greedy
   lowest-rank merging, zero shuffle, corpus-parallel.
@@ -100,6 +102,124 @@ def bpe_train(
             new_seqs.append((out, f))
         seqs = new_seqs
     return merges
+
+
+def bpe_train_spark(
+    word_freqs: DataFrame, n_merges: int = 100, min_freq: int = 2
+) -> list[tuple[str, str]]:
+    """Distributed BPE training: identical merges to :func:`bpe_train`
+    (test-pinned equality), with the per-round adjacent-pair count
+    pushed into Spark (r12 verdict #5 — the driver loop was the
+    slowest driver-side loop in the repo, and at fastText-scale
+    vocabularies a 1-10M-row symbol table stops being collectable).
+
+    Pass accounting, stated exactly:
+
+    * corpus: ZERO additional passes (input is the already-aggregated
+      ``word_frequencies`` table — the corpus was scanned once).
+    * per merge round: ONE Spark job over the persisted symbol frame —
+      adjacent pairs explode from each word's symbol array, partial-
+      aggregate on (a, b), and a single ``max(struct(cnt, a, b))``
+      reduce returns the argmax pair. The driver receives ONE ROW per
+      round (the MLlib treeAggregate precedent); the model it
+      accumulates is just the merge list.
+    * merge application is a lazy column rewrite (an ``aggregate``
+      fold over the symbol array — provably equivalent to the
+      sequential left-to-right scan because a merged token ``a+b``
+      can never equal its own left side ``a``, so it cannot cascade
+      within a round); each round re-persists the tiny frame and
+      unpersists its parent, keeping lineage flat and memory bounded
+      by the vocab cap.
+
+    Tie-break parity: Python's ``max`` on ``(count, (a, b))`` equals
+    Spark's ``max(struct(cnt, a, b))`` because struct ordering is
+    field-by-field and Spark's UTF8 binary string order equals
+    Python's code-point order (UTF-8 byte order is code-point order).
+
+    Use this path when the vocabulary is too large to collect; for
+    small vocabularies :func:`bpe_train` avoids ``n_merges`` rounds of
+    scheduler overhead. Both produce the identical model.
+    """
+    syms = word_freqs.select(
+        F.col("freq").cast("long").alias("freq"),
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(EOW))
+        ).alias("syms"),
+    ).persist()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = syms.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(x, i) -> struct(x AS a, "
+                        "element_at(syms, i + 2) AS b))"
+                    )
+                ).alias("p"),
+            ).select("freq", "p.a", "p.b")
+            best_row = (
+                pairs.groupBy("a", "b")
+                .agg(F.sum("freq").alias("cnt"))
+                .agg(F.max(F.struct("cnt", "a", "b")).alias("best"))
+                .collect()[0]["best"]
+            )
+            if best_row is None or best_row["cnt"] < min_freq:
+                break
+            a, b = best_row["a"], best_row["b"]
+            merges.append((a, b))
+            merged = a + b
+
+            def make_step(a: str, b: str, merged: str):
+                def step(acc, x):
+                    hit = (
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(a))
+                        & (x == F.lit(b))
+                    )
+                    return F.when(
+                        hit,
+                        F.concat(
+                            F.slice(acc, F.lit(1), F.size(acc) - 1),
+                            F.array(F.lit(merged)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x)))
+
+                return step
+
+            nxt = syms.select(
+                "freq",
+                F.aggregate(
+                    "syms",
+                    F.array().cast("array<string>"),
+                    make_step(a, b, merged),
+                ).alias("syms"),
+            ).persist()
+            syms.unpersist()
+            syms = nxt
+    finally:
+        syms.unpersist()
+    return merges
+
+
+def bpe_train_auto(
+    word_freqs: DataFrame,
+    n_merges: int = 100,
+    min_freq: int = 2,
+    collect_threshold: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Adaptive trainer (the ``connected_components`` driver/
+    distributed precedent): count the vocab table first — at or under
+    ``collect_threshold`` rows the driver loop wins (no per-round
+    scheduler overhead; the collect is bounded by the count we just
+    took), above it the Spark-round trainer keeps the table
+    distributed. Both paths produce the identical model
+    (``tests/test_tokenizer.py`` pins equality), so the switch is a
+    pure cost decision, decided by a measurement, not a guess."""
+    if word_freqs.count() <= collect_threshold:
+        return bpe_train(word_freqs, n_merges, min_freq)
+    return bpe_train_spark(word_freqs, n_merges, min_freq)
 
 
 def bpe_encode(

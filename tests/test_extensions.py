@@ -130,15 +130,22 @@ def test_multimodal_feature_extraction(docs):
     }
 
 
-def test_multimodal_decode_raises_without_codec(docs):
-    payloads = mm.attach_fake_payload(docs)
+def test_multimodal_decode_non_netpbm_without_codec(docs):
+    """Non-netpbm payloads without PIL surface a decode_error COLUMN
+    naming the missing codec — never an exception (r13: the old
+    module-level NotImplementedError gate is gone; netpbm decodes
+    pure-python, see tests/test_imagecodec.py)."""
+    payloads = mm.attach_fake_payload(docs)  # utf-8 text, not netpbm
     try:
         import PIL  # noqa: F401
-        pytest.skip("PIL present; stub gate not applicable")
+        pytest.skip("PIL present; fallback gate not applicable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(payloads)
+    rows = mm.decode_image(payloads).collect()
+    assert rows and all(
+        r.decode_error is not None and "PIL" in r.decode_error for r in rows
+    )
+    assert all(r.width is None for r in rows)
 
 
 def test_multimodal_decode_with_codec(spark, docs):
@@ -797,15 +804,21 @@ def test_dedup_within_doc(spark):
     assert got[3].text_dedup == "q" and got[3].dedup_ratio == 0.25
 
 
-def test_multimodal_resize_raises_without_codec(docs):
+def test_multimodal_resize_non_netpbm_without_codec(docs):
+    """Mirror of the decode fallback gate: non-netpbm payloads without
+    PIL land in resize_error, the stage survives (netpbm resizes
+    pure-python — tests/test_imagecodec.py)."""
     payloads = mm.attach_fake_payload(docs)
     try:
         import PIL  # noqa: F401
-        pytest.skip("PIL present; stub gate not applicable")
+        pytest.skip("PIL present; fallback gate not applicable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError):
-        mm.resize_image(payloads)
+    rows = mm.resize_image(payloads).collect()
+    assert rows and all(
+        r.resize_error is not None and "PIL" in r.resize_error for r in rows
+    )
+    assert all(r.payload is None for r in rows)
 
 
 def test_multimodal_resize_with_codec(spark, docs):
@@ -1462,7 +1475,12 @@ def test_cms_overestimate_bound_and_plan(spark):
         assert r["overestimate"] >= 0, "CMS can never undercount"
         assert r["cms_estimate"] >= r["true_count"]
         assert r["overestimate"] <= bound, (
-            f"{r['user_id']}: over {r['overestimate']} > 2N/w {bound}"
+            f"{r['user_id']}: over {r['overestimate']} > 2N/w {bound} — "
+            "NOTE: this is the probabilistic (1 - 2^-d)-per-key CMS "
+            "bound pinned as a regression on the CURRENT fixture + "
+            "hashes; if it fires right after a testdata regeneration "
+            "it may be the probability tail, not a code defect "
+            "(ADVICE r12) — re-derive before debugging the sketch"
         )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan

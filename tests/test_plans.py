@@ -137,18 +137,24 @@ def test_driver_window_covers_load_bearing_queries():
     names = list(qc.QUERIES)
     first50 = names[:50]
     for required in (
-        # r12-new (never driver-checked)
-        "embedding_ann_ivfpq_rerank_topk",
-        # the r1-stale outliers the r11 verdict flagged
-        "cube_returnflag_linestatus",
-        "rollup_revenue",
-        "customers_with_big_orders",
-        "customers_without_orders",
-        # representatives of the r8 cohort (exactly 4 rounds old)
-        "pricing_summary",
-        "latest_event_per_user_type",
-        "dedup_exact_docs",
-        "embedding_cosine_topk",
+        # r13-new (never driver-checked)
+        "image_decode_stats",
+        "image_resize_digest",
+        "image_dhash_signatures",
+        "image_near_dup_phash",
+        # the r8 residue carried at a one-round overage from r12 — the
+        # r12 verdict requires these four to lead the r13 window
+        # (users_purchase_no_error re-pointed to a non-empty survivor
+        # set this round).
+        "users_purchase_no_error",
+        "value_remap",
+        "users_purchase_and_error",
+        "user_event_gap_stats_window",
+        # representatives of the r9 cohort (exactly 4 rounds old)
+        "compression_ratio_quality",
+        "weekly_cohort_retention",
+        "media_frame_digests",
+        "pack_token_shards",
     ):
         assert required in first50, required
     # every slot carries an exact value-hash oracle

@@ -55,3 +55,33 @@ def test_bpe_training_deterministic_under_partitioning(spark):
         tok.word_frequencies(docs.repartition(7)), n_merges=20
     )
     assert m1 == m2 and len(m1) == 20
+
+
+def test_bpe_train_spark_equals_driver_trainer(spark):
+    """The distributed trainer (one Spark job per merge round, 1-row
+    argmax sync) must produce the IDENTICAL merge list as the driver
+    loop — on the textbook corpus (exercising the lexicographic
+    tie-break through struct-max) AND on a real fixture slice
+    (exercising the aggregate-fold merge application across rounds)."""
+    toy_freqs = tok.word_frequencies(_toy(spark))
+    assert tok.bpe_train_spark(toy_freqs, n_merges=8) == tok.bpe_train(
+        toy_freqs, n_merges=8
+    )
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(150)
+    freqs = tok.word_frequencies(docs)
+    m_spark = tok.bpe_train_spark(freqs, n_merges=24)
+    m_driver = tok.bpe_train(freqs, n_merges=24)
+    assert m_spark == m_driver and len(m_spark) == 24
+
+
+def test_bpe_train_spark_min_freq_early_stop(spark):
+    """min_freq stops BOTH trainers at the same round."""
+    df = spark.createDataFrame(
+        [(0, "ab ab cd")], "doc_id bigint, text string"
+    )
+    freqs = tok.word_frequencies(df)
+    assert tok.bpe_train_spark(freqs, n_merges=10, min_freq=2) == (
+        tok.bpe_train(freqs, n_merges=10, min_freq=2)
+    )

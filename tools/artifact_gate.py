@@ -79,6 +79,50 @@ def check_zlib_map() -> list[str]:
     return problems
 
 
+def check_image_lens() -> list[str]:
+    """Same two-sided freshness check as the zlib map, for the image
+    kernel ground truth (``functions/image_lens.py``): exact key-set
+    equality against the distinct fixture texts, plus a deterministic
+    256-entry sample fully re-derived through the pure-python
+    render -> decode -> dHash / stats / resize path (any codec or
+    render change flips it)."""
+    from hadoop_data_pipeline_spark.functions.image_lens import IMAGE_LENS
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from gen_image_lens import lens_row
+
+    problems: list[str] = []
+    texts: dict[str, str] = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        for t in pq.read_table(p, columns=["text"]).column("text").to_pylist():
+            if t is not None:
+                texts[hashlib.md5(t.encode()).hexdigest()] = t
+    if set(texts) != set(IMAGE_LENS):
+        missing = len(set(texts) - set(IMAGE_LENS))
+        extra = len(set(IMAGE_LENS) - set(texts))
+        problems.append(
+            f"IMAGE_LENS key drift: {missing} fixture texts unmapped, "
+            f"{extra} stale keys — rerun tools/gen_image_lens.py"
+        )
+        return problems
+    keys = sorted(IMAGE_LENS)
+    for k in keys[:: max(1, len(keys) // 256)]:
+        got = lens_row(texts[k])
+        if got != IMAGE_LENS[k]:
+            problems.append(
+                f"IMAGE_LENS value drift at {k}: pinned {IMAGE_LENS[k]}, "
+                f"re-derived {got} — render/codec changed; rerun "
+                f"tools/gen_image_lens.py"
+            )
+            break
+    return problems
+
+
 def check_quantizer_shapes() -> list[str]:
     from hadoop_data_pipeline_spark.functions.ivf_centroids import (
         SF001_CENTROIDS,
@@ -121,7 +165,9 @@ def assignment_crc() -> int:
 
 
 def main() -> int:
-    problems = check_zlib_map() + check_quantizer_shapes()
+    problems = (
+        check_zlib_map() + check_image_lens() + check_quantizer_shapes()
+    )
     try:
         crc = assignment_crc()
     except FileNotFoundError as ex:

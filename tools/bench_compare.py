@@ -58,8 +58,26 @@ def main() -> int:
         else os.path.join(REPO, "BENCH_DETAILS.json")
     )
     old, new = load(old_spec), load(new_spec)
-    c_old = float(old["calib"]["jvm_sec"])
-    c_new = float(new["calib"]["jvm_sec"])
+    # Prefer the sustained multi-core calib (r13, bench.py docstring):
+    # the single-thread jvm_sec microbench anti-correlated with real
+    # throughput under this host's CPU-steal pattern (r12 finding —
+    # calib 0.85 -> 0.31 while raw times moved the opposite way). Only
+    # when BOTH snapshots carry jvm_mc_sec is it used, so comparisons
+    # against pre-r13 snapshots stay possible (flagged as weak).
+    if old.get("calib", {}).get("jvm_mc_sec") and new.get("calib", {}).get(
+        "jvm_mc_sec"
+    ):
+        calib_key = "jvm_mc_sec"
+    else:
+        calib_key = "jvm_sec"
+        print(
+            "WARNING: falling back to single-thread jvm_sec calib "
+            "(one snapshot predates jvm_mc_sec) — cross-session "
+            "normalized ratios are DIRECTIONAL ONLY on this host "
+            "(BENCH_NOTES r12 calib-stability finding)"
+        )
+    c_old = float(old["calib"][calib_key])
+    c_new = float(new["calib"][calib_key])
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     only_old = set(old["queries"]) - set(new["queries"])
     only_new = set(new["queries"]) - set(old["queries"])
@@ -77,7 +95,7 @@ def main() -> int:
     p90 = sorted(ratios)[int(0.9 * (len(ratios) - 1))]
     flagged = [r for r in rows if r[0] > DRIFT]
     print(
-        f"calib jvm: {c_old:.3f} -> {c_new:.3f} "
+        f"calib {calib_key}: {c_old:.3f} -> {c_new:.3f} "
         f"(seat {'slower' if c_new > c_old else 'faster'} x"
         f"{c_new / c_old:.2f}); {len(rows)} comparable queries "
         f"(>={MIN_SEC}s), median normalized ratio {med:.3f}, "

@@ -14,9 +14,12 @@ script IS the checklist — run it, and only snapshot on exit 0:
    overflow / float-drift / recursion-valve bugs every sf0.1 check
    passed), plus — over the same built corpus — the Spark sides of
    the oracle-capped STRESS_EXCLUDE entries under structural laws
-5. ``tools/stress_stream.py 8 4`` — the crash-injected streaming
+5. ``tools/stress_stream.py 16 4`` — the crash-injected streaming
    sweep: writer killed mid-batch at scale, replay must stay
-   exactly-once vs the batch reference
+   exactly-once vs the batch reference (16x pinned in r13)
+6. ``tools/task_skew_audit.py`` — per-task straggler shape for the
+   user-keyed queries under the 8x hot-key corpus vs pinned
+   max/median ratio budgets (r13)
 
 Plus a sub-second pinned-artifact drift check (step 0) that runs even
 under ``--skip-pytest``.
@@ -185,14 +188,27 @@ def main() -> int:
                 ],
             )
         )
-        # crash-injected streaming sweep (r9): StreamingPrepSink over
-        # an 8x corpus, writer killed mid-batch at tick 1 and replayed
-        # — survivor set must equal the crash-free batch reference
-        # (exactly-once at scale, ~60s).
+        # crash-injected streaming sweep (r9, widened to 16x in r13 —
+        # the r12 verdict ran 16x by hand and required the gate to pin
+        # it): StreamingPrepSink over a 16x corpus, writer killed
+        # mid-batch at tick 1 and replayed — survivor set must equal
+        # the crash-free batch reference (exactly-once at scale,
+        # ~2 min).
         steps.append(
             (
-                "stress_stream_crash",
-                [sys.executable, "tools/stress_stream.py", "8", "4"],
+                "stress_stream_crash_16x",
+                [sys.executable, "tools/stress_stream.py", "16", "4"],
+            )
+        )
+        # per-task straggler audit (r13, verdict #4): max/median task
+        # duration per material stage for the user-keyed queries on
+        # the 8x hot-key corpus, against the pinned ratio budgets in
+        # tools/task_skew_audit.py — the "curse of the last reducer"
+        # check byte metrics and scan counts cannot see.
+        steps.append(
+            (
+                "task_skew",
+                [sys.executable, "tools/task_skew_audit.py"],
             )
         )
     results = [run(name, cmd) for name, cmd in steps]

@@ -200,6 +200,15 @@ def main() -> int:
         if only and name not in only:
             continue
         n_run += 1
+        # Several catalog pipelines persist bounded intermediate
+        # frames whose lifetime is the lazy result (triangle
+        # orientation, association-rule baskets, perceptron doc x
+        # feature matrix, ...). The query functions cannot unpersist
+        # them — the caller materializes the result — so the DRIVER
+        # seat releases them here, once the previous query's hash is
+        # done, keeping a long 170-query sweep's executor memory flat
+        # (ADVICE r12).
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001

@@ -84,6 +84,7 @@ STRESS_EXCLUDE = {
     "embedding_ann_lsh_topk": "O(n^2) verification oracle",
     "embedding_near_dup_pairs": "O(n^2) cosine pair oracle",
     "fuzzy_name_pairs_part": "O(n^2) blocked-levenshtein oracle",
+    "image_near_dup_phash": "O(n^2) dhash pair oracle",
 }
 
 
@@ -151,6 +152,12 @@ SPARK_ONLY_LAWS: dict[str, tuple[str, object]] = {
         # sub-second entity form the catalog ships).
         "distinct-name pairs are K-invariant: n_K == n_1",
         lambda nK, n1, K: nK == n1,
+    ),
+    "image_near_dup_phash": (
+        # content-addressed render: every copy replays its in-copy
+        # pairs and identical cross-copy images add more.
+        "pairs only grow with copies: n_K >= K*n_1",
+        lambda nK, n1, K: nK >= K * n1,
     ),
 }
 
