@@ -10,20 +10,26 @@ single straggler task when one key owns a third of the data — at
 This tool measures straggler SHAPE directly: it builds the skewed
 stress corpus (tools/stress.py build, 30% single-user hot key on
 events), runs the user-keyed catalog queries that funnel that key,
-and pulls per-stage task-duration quantiles from Spark's
-AppStatusStore (no UI needed). For every material stage (>= MIN_TASKS
-tasks and max task >= FLOOR_SEC — short stages cannot be a straggler
-problem) it asserts
+and pulls per-stage task-duration quantiles plus the stage's total
+executor runtime from Spark's AppStatusStore (works with the UI
+disabled). Every MATERIAL stage (>= MIN_TASKS tasks and max task >=
+FLOOR_MS — smaller stages cannot be a straggler problem at any
+scale multiplier) must satisfy its query's law:
 
-    max_task_duration / median_task_duration <= bound
+* ``ratio`` law (default): ``max_task / median_task <= bound`` —
+  the shape AQE skew-split / salting / partial aggregation is
+  supposed to guarantee for joins and aggregates.
+* ``share`` law (pinned per query): ``max_task / total_stage_work <=
+  bound``. Per-key WINDOWS cannot split a key, so max/median is
+  unbounded by design there; what the operator CAN guarantee is that
+  the last reducer holds no more than the hot key's share of the
+  total work (~30% here) plus overhead — i.e. the stage parallelizes
+  everything except the irreducible key. A regression that
+  concentrates MORE than the key's share (a lost pre-projection, an
+  accidental single-partition sort) fails loudly.
 
-where the bound is DEFAULT_RATIO unless the query has a pinned entry
-in SKEW_RATIO_BUDGETS — the committed exception table below, each pin
-carrying its justification (the SCAN_BUDGETS idiom). Per-key windows
-genuinely cannot split a key: their pinned bounds document the
-measured hot-task shape instead of hiding it, and a REGRESSION (a new
-shuffle that concentrates the key harder, a lost salt, a dropped
-partial aggregate) still fails loudly against the pin.
+Bounds live in SKEW_BUDGETS — the committed exception table below,
+each pin carrying its justification (the SCAN_BUDGETS idiom).
 
 Usage:
     python tools/task_skew_audit.py [copies] [sf_dir] [query ...]
@@ -45,75 +51,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_RATIO = 6.0
-FLOOR_SEC = 1.5  #: stages whose slowest task is under this are immaterial
-MIN_TASKS = 8  #: median of fewer tasks is noise
+FLOOR_MS = 400  #: stages whose slowest task is under this are immaterial
+MIN_TASKS = 8  #: median / share of fewer tasks is noise
 
-#: query -> (max allowed max/median task-duration ratio, justification).
-#: Pins document MEASURED hot-task shapes that are inherent to the
-#: operator (a per-key window cannot split its key); everything else
-#: must stay under DEFAULT_RATIO. Measured 2026-08-16 on the 8x
-#: sf0.1 corpus with the 30% hot user (local[32]).
-SKEW_RATIO_BUDGETS: dict[str, tuple[float, str]] = {
-    "user_event_gap_stats_window": (
-        40.0,
-        "per-user lag window: the hot user's 30% share is one "
-        "partition by definition; state is O(1) per row so the hot "
-        "task is long but memory-bounded (measured ~17x at 8x)",
-    ),
-    "running_sum_per_user": (
-        40.0,
-        "per-user running-sum window — same inherent one-task hot "
-        "key as the gap window (measured ~14x at 8x)",
-    ),
-    "forward_fill_purchase_value": (
-        40.0,
-        "per-user last_value window over the hot key (measured ~13x)",
-    ),
-    "monotonic_violations_user_value": (
-        40.0,
-        "per-user lag window over the hot key",
-    ),
-    "rolling_1h_user_event_stats": (
-        40.0,
-        "per-user range-frame window over the hot key",
-    ),
-    "rolling_7d_user_value": (
-        40.0,
-        "per-user range-frame window over the hot key",
-    ),
-    "daily_value_resample_ffill": (
-        40.0,
-        "per-(user, grid) resample window over the hot key",
-    ),
-    "user_journey_paths": (
-        40.0,
-        "per-user ordered path collect — the hot user's sequence is "
-        "one task's sort buffer; bounded by the per-user cap in the "
-        "operator",
-    ),
-    "event_type_transitions": (
-        40.0,
-        "per-user lag window feeding the transition counts",
-    ),
-    "user_state_history_scd2": (
-        40.0,
-        "per-user SCD2 ordering window over the hot key",
-    ),
-    "debounce_dedup_events": (
-        40.0,
-        "per-(user, type) lag window; the hot user concentrates one "
-        "partition",
-    ),
-    "user_first_last_events": (
-        40.0,
-        "per-user first/last ordering window over the hot key",
-    ),
+#: Hot-key share the --skew build plants (stress.py: event_id%10<3).
+HOT_SHARE = 0.30
+
+#: query -> (law, bound, justification). ``share`` pins document the
+#: inherent hot-task shape of per-key windows (max task <= hot key's
+#: work share + overhead slack); everything else answers to the
+#: default ``ratio`` law. Measured 2026-08-16 on the 8x sf0.1 corpus
+#: with the 30% hot user (local[32], TASK_SKEW.json).
+SKEW_BUDGETS: dict[str, tuple[str, float, str]] = {
+    name: (
+        "share",
+        0.55,
+        "per-user window: the hot user's 30% share is one partition "
+        "by definition; bounded = the hot task holds no more than "
+        "the key's own work share (+overhead) of the stage",
+    )
+    for name in (
+        "user_event_gap_stats_window",
+        "running_sum_per_user",
+        "forward_fill_purchase_value",
+        "monotonic_violations_user_value",
+        "rolling_1h_user_event_stats",
+        "user_first_last_events",
+        "user_journey_paths",
+        "event_type_transitions",
+        "user_state_history_scd2",
+        "debounce_dedup_events",
+        "latest_event_per_user_type",
+    )
 }
 
 #: The audited set: every SKEW_HEADLINE window/agg query whose plan
 #: keys on user_id (the hot dimension) — the queries where a
-#: straggler CAN form — plus the two salting exemplars that must
-#: prove it does NOT form.
+#: straggler CAN form — plus the salting/partial-agg exemplars that
+#: must prove one does NOT form.
 AUDIT_QUERIES = [
     "latest_event_per_user_type",
     "user_event_gap_stats_window",
@@ -134,14 +109,16 @@ AUDIT_QUERIES = [
 
 
 def stage_task_summaries(spark, job_group: str) -> dict[int, dict]:
-    """Per-stage task-duration quantiles for every stage of the jobs
-    in ``job_group``, via AppStatusStore.taskSummary (works with
-    spark.ui.enabled=false; the status store is always populated)."""
+    """Per-stage task-duration quantiles + total executor runtime for
+    every stage of the jobs in ``job_group``, via AppStatusStore
+    (works with spark.ui.enabled=false; the store is always live)."""
     tracker = spark.sparkContext.statusTracker()
     store = spark.sparkContext._jsc.sc().statusStore()
     gw = spark.sparkContext._gateway
     quantiles = gw.new_array(gw.jvm.double, 2)
     quantiles[0], quantiles[1] = 0.5, 1.0
+    no_quantiles = gw.new_array(gw.jvm.double, 0)
+    empty_statuses = gw.jvm.java.util.ArrayList()
     out: dict[int, dict] = {}
     stage_ids: set[int] = set()
     for job_id in tracker.getJobIdsForGroup(job_group):
@@ -149,19 +126,25 @@ def stage_task_summaries(spark, job_group: str) -> dict[int, dict]:
         if info:
             stage_ids.update(info.stageIds)
     for sid in sorted(stage_ids):
-        s_info = tracker.getStageInfo(sid)
-        if s_info is None or s_info.numTasks < 1:
-            continue
         opt = store.taskSummary(sid, 0, quantiles)
         if not opt.isDefined():
             continue  # skipped / reused stage — no tasks ran
         dur = opt.get().duration()
         med_ms, max_ms = float(dur.apply(0)), float(dur.apply(1))
+        n_tasks, total_ms = 0, 0.0
+        sd = store.stageData(sid, False, empty_statuses, False, no_quantiles)
+        for i in range(sd.size()):
+            s = sd.apply(i)
+            if s.attemptId() == 0:
+                n_tasks = int(s.numCompleteTasks())
+                total_ms = float(s.executorRunTime())
         out[sid] = {
-            "tasks": s_info.numTasks,
+            "tasks": n_tasks,
             "med_ms": round(med_ms, 1),
             "max_ms": round(max_ms, 1),
+            "total_ms": round(total_ms, 1),
             "ratio": round(max_ms / med_ms, 2) if med_ms > 0 else None,
+            "share": round(max_ms / total_ms, 3) if total_ms > 0 else None,
         }
     return out
 
@@ -189,41 +172,39 @@ def audit(spark, names: list[str], corpus: str) -> tuple[dict, list[str]]:
             spark.sparkContext.setJobGroup(None, None)
         wall = round(time.perf_counter() - t0, 2)
         stages = stage_task_summaries(spark, group)
-        bound, why = SKEW_RATIO_BUDGETS.get(name, (DEFAULT_RATIO, "default"))
+        law, bound, why = SKEW_BUDGETS.get(
+            name, ("ratio", DEFAULT_RATIO, "default")
+        )
         material = {
             sid: s
             for sid, s in stages.items()
             if s["tasks"] >= MIN_TASKS
-            and s["max_ms"] >= FLOOR_SEC * 1000
-            and s["ratio"] is not None
+            and s["max_ms"] >= FLOOR_MS
+            and s[law] is not None
         }
-        worst = max((s["ratio"] for s in material.values()), default=None)
+        worst = max((s[law] for s in material.values()), default=None)
         results[name] = {
             "wall_sec": wall,
+            "law": law,
             "bound": bound,
-            "worst_ratio": worst,
+            "worst": worst,
             "material_stages": material,
         }
         status = "PASS"
         if worst is not None and worst > bound:
             status = "FAIL"
             offenders = {
-                sid: s for sid, s in material.items() if s["ratio"] > bound
+                sid: s for sid, s in material.items() if s[law] > bound
             }
             failures.append(
-                f"{name}: max/median task ratio {worst} > bound {bound} "
-                f"({why}); stages {offenders}"
+                f"{name}: worst {law} {worst} > bound {bound} ({why}); "
+                f"stages {offenders}"
             )
         print(
-            f"{status:5s} {name}: wall={wall}s worst_ratio="
+            f"{status:5s} {name}: wall={wall}s law={law} worst="
             f"{worst if worst is not None else 'n/a (no material stage)'} "
             f"bound={bound}"
         )
-        if bound > DEFAULT_RATIO and (worst is None or worst < bound / 3):
-            print(
-                f"      note: {name} measured well under its pinned "
-                f"{bound} — consider re-pinning tighter"
-            )
     return results, failures
 
 
@@ -260,7 +241,7 @@ def main() -> int:
         for f in failures:
             print(f"  {f}")
         return 1
-    print(f"task_skew PASS ({len(results)} queries, 0 over ratio budget)")
+    print(f"task_skew PASS ({len(results)} queries, 0 over budget)")
     return 0
 
 
