@@ -104,20 +104,24 @@ def main() -> None:
     # Sustained MULTI-CORE calibs (r13, see module docstring): a fixed
     # 32-partition hash-reduce saturating every executor thread — the
     # contention profile the timed queries actually run under — and an
-    # 8-process Python hash loop. Best-of-2 each: the calib itself
-    # must not absorb its own cold-start.
+    # 8-process Python hash loop. Calibration-of-the-calibration
+    # (measured, BENCH_NOTES r13): a 256M-row probe's wall time swings
+    # 2x WITHIN one session (scheduling jitter + steal bursts), which
+    # is why r12-style single-shot calibs anti-correlated with real
+    # throughput; at 1024M rows the MIN of repeated runs repeats
+    # within ~±3% in-session. So: 1024M rows, best-of-4 min.
     calib_jvm_mc = None
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
-        # pmod keeps the running sum < 2^38 (ANSI mode would throw on
-        # a raw sum of 256M signed-64 hashes); the hash dominates cost.
-        spark.range(0, 256_000_000, 1, 32).selectExpr(
+        # pmod keeps the running sum bounded (ANSI mode would throw on
+        # a raw sum of 1G signed-64 hashes); the hash dominates cost.
+        spark.range(0, 1_024_000_000, 1, 32).selectExpr(
             "sum(pmod(xxhash64(id), 1000))"
         ).collect()
         dt = round(time.perf_counter() - t0, 3)
         calib_jvm_mc = dt if calib_jvm_mc is None else min(calib_jvm_mc, dt)
     try:
-        calib_py_mc = min(_calib_py_multicore(), _calib_py_multicore())
+        calib_py_mc = min(_calib_py_multicore() for _ in range(3))
     except Exception:  # noqa: BLE001 - calib must never fail the bench
         calib_py_mc = -1.0
 
@@ -261,6 +265,10 @@ def main() -> None:
             "jvm_sec": calib_jvm,
             "py_sec": calib_py,
             "jvm_mc_sec": calib_jvm_mc,
+            # workload identity for cross-file normalization: two
+            # snapshots' jvm_mc_sec are comparable ONLY if they timed
+            # the same probe (bench_compare checks this field).
+            "jvm_mc_rows": 1_024_000_000,
             "py_mc_sec": calib_py_mc,
         },
         "reps": reps,
