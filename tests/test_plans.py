@@ -88,6 +88,20 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     assert "__key" in ex or "content_key" in ex  # ...but only digests shuffle
 
 
+def test_image_near_dup_shuffles_ints_not_pixels(spark):
+    """The image near-dup plan's contract at 100 TB: payloads (and
+    the rendered pixel bytes) stay inside the map-side mapInPandas
+    chain; every Exchange carries only the (band_id, band_key) ints
+    or the final (id_a, id_b, hamming) pair rows."""
+    plan = plan_of(spark, "image_near_dup_phash")
+    assert "MapInPandas" in plan  # render + dhash are Arrow kernels
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.split("\n")[0]
+        assert "payload" not in head
+    # lossless banding, never an all-pairs join
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_semi_join_broadcasts(spark):
     plan = plan_of(spark, "order_priority_counts")
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan

@@ -1,8 +1,10 @@
 """Measured-execution audit: run catalog queries and report REAL
-Spark SQL metrics (shuffle bytes written, spill, file-scan bytes) per
-query from the SQLAppStatusStore — the numbers behind the plan-shape
-claims in SCALE.md ("shuffles digests, not text", "broadcast side
-never shuffles", ...).
+Spark execution metrics (shuffle bytes written, spill, input bytes)
+per query from per-STAGE app-status data — the numbers behind the
+plan-shape claims in SCALE.md ("shuffles digests, not text",
+"broadcast side never shuffles", ...). Stage metrics, not SQL node
+metrics: see measure() — AQE re-plans duplicate node accumulators
+and overcounted bytes 4-6x before r13.
 
 Plans show WHAT would shuffle; this shows HOW MUCH did. A refactor
 that keeps the plan shape but silently inflates exchanged bytes (say,
@@ -55,7 +57,21 @@ def parse_bytes(text: str) -> int:
 
 def measure(spark, fn, sf_dir: str) -> dict[str, int]:
     """Execute one catalog query end-to-end (noop sink) and aggregate
-    its SQL metrics from the status store."""
+    its SQL metrics from the status store — summing each ACCUMULATOR
+    at most once.
+
+    r13 fix: under AQE, every adaptive re-plan lists the executed
+    stage's node metrics AGAIN in ``ex.metrics()`` (same accumulator
+    id, repeated entries), so the pre-r13 sum overcounted scan and
+    shuffle bytes by the number of plan iterations — measured 5x on
+    the image near-dup query and 4-6x across the multi-exchange
+    catalog (AQE off: exactly 1x; the single scan accumulator id 146
+    appeared five times). Every pre-r13 METRICS.json byte number for
+    a multi-exchange query carries that inflation; zero-spill claims
+    were unaffected (0 x N = 0). Deduping by accumulator id restores
+    physical truth while keeping the parquet-accurate 'size of files
+    read' node metric (stage-level inputBytes under-reports local-fs
+    parquet reads and was rejected as the fix)."""
     store = spark._jsparkSession.sharedState().statusStore()
     # Track by monotonic executionId, not list POSITION: the status
     # store evicts old entries past spark.sql.ui.retainedExecutions,
@@ -77,12 +93,17 @@ def measure(spark, fn, sf_dir: str) -> dict[str, int]:
             continue
         vals = store.executionMetrics(ex.executionId())
         mets = ex.metrics()
+        seen: set[int] = set()
         for j in range(mets.size()):
             m = mets.apply(j)
             key = METRIC_KEYS.get(m.name())
             if key is None:
                 continue
-            v = vals.get(m.accumulatorId())
+            acc = m.accumulatorId()
+            if acc in seen:
+                continue  # AQE re-plan relisted the same accumulator
+            seen.add(acc)
+            v = vals.get(acc)
             if v.isDefined():
                 out[key] += parse_bytes(v.get())
     return out
