@@ -61,6 +61,9 @@ HEADLINE = (
     # exact substring scrub both chain several shuffle families.
     "prepare_training_shards",
     "substring_scrub_docs",
+    # r13: the image family's pair entry — render + decode + dHash +
+    # lossless banding, the round's new kernel chain, at sf0.1.
+    "image_near_dup_phash",
 )
 
 
