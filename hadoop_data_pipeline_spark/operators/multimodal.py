@@ -146,15 +146,16 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)
 
 
-def image_near_dup_pairs(
+def signature_near_dup_pairs(
     sig: DataFrame,
+    sig_col: str,
     max_hamming: int = 2,
     n_bands: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Image near-duplicate pairs: ids whose 64-bit dHashes differ in
-    <= ``max_hamming`` bits — re-encode noise, small crops, watermark
-    stamps collapse here in a production image-dedup pass.
+    """Near-duplicate pairs over ANY signed-64 perceptual signature
+    column (image dHash, audio energy fingerprint): ids whose
+    signatures differ in <= ``max_hamming`` bits.
 
     Same LOSSLESS pigeonhole banding as
     ``dedup.simhash_near_dup_pairs``, widened to 64 bits: the
@@ -166,20 +167,21 @@ def image_near_dup_pairs(
     sign-filled bit. One shuffle on (band_id, band_key); the Hamming
     test runs inside the bucket lambda so over-distance pairs never
     reach the distinct exchange. At 100 TB this is the whole point:
-    pixels never shuffle, only 2 ints per image do."""
+    pixels/samples never shuffle, only 2 ints per item do."""
     if max_hamming >= n_bands:
         raise ValueError("losslessness needs max_hamming < n_bands")
     if 64 % n_bands:
         raise ValueError("n_bands must divide 64")
     bits_per_band = 64 // n_bands
     mask = (1 << bits_per_band) - 1
-    sig = sig.where(F.col("dhash").isNotNull())
+    sig = sig.where(F.col(sig_col).isNotNull())
     bands = sig.selectExpr(
         id_col,
-        "dhash",
+        sig_col,
         f"""inline(array({", ".join(
             f"struct({b} AS band_id, "
-            f"shiftright(dhash, {b * bits_per_band}) & {mask} AS band_key)"
+            f"shiftright({sig_col}, {b * bits_per_band}) & {mask}"
+            f" AS band_key)"
             for b in range(n_bands)
         )}))""",
     )
@@ -188,7 +190,7 @@ def image_near_dup_pairs(
         .agg(
             F.collect_list(
                 F.struct(
-                    F.col(id_col).alias("id"), F.col("dhash").alias("dh")
+                    F.col(id_col).alias("id"), F.col(sig_col).alias("dh")
                 )
             ).alias("ds")
         )
@@ -204,6 +206,149 @@ def image_near_dup_pairs(
         buckets.select(F.explode(F.expr(pair)).alias("p"))
         .select("p.*")
         .distinct()
+    )
+
+
+def image_near_dup_pairs(
+    sig: DataFrame,
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image near-duplicate pairs: dHashes within ``max_hamming`` bits
+    — re-encode noise, small crops, watermark stamps collapse here in
+    a production image-dedup pass. See
+    :func:`signature_near_dup_pairs` for the lossless banding
+    argument and the 100 TB shape."""
+    return signature_near_dup_pairs(
+        sig, "dhash", max_hamming, n_bands, id_col
+    )
+
+
+def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-audio payload: each document text renders to
+    a PCM16 WAV via :func:`audiocodec.render_tone_audio` (integer
+    square-wave mix, md5-keyed tone per word). The audio twin of
+    :func:`attach_ppm_payload` — decodable clips, so the full decode
+    -> stats -> fingerprint path runs for real; content-addressed, so
+    the pinned oracle map in ``functions/audio_lens.py`` stays valid
+    at every SF and under key-shifted stress corpora."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_data_pipeline_spark.operators import audiocodec as ac
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        ac.render_tone_audio(t) for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.select("doc_id", text_col).mapInPandas(kernel, schema)
+
+
+#: Output of :func:`decode_audio` — exact-integer per-clip stats;
+#: failures are a COLUMN (module rule).
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rate", T.IntegerType(), True),
+        T.StructField("duration_us", T.LongType(), True),
+        T.StructField("amp_mean", T.DoubleType(), True),
+        T.StructField("amp_rms", T.DoubleType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Audio decode via ``mapInPandas``: RIFF/PCM16 payloads parse
+    with the pure-python :mod:`audiocodec` (un-skipped in this
+    codec-less container — the audio counterpart of the r13 netpbm
+    tier); stats come from exact integer sums with floats spent only
+    on the final division, which is what lets ``audio_decode_stats``
+    carry an exact DuckDB oracle. Non-WAV/compressed payloads record
+    a ``decode_error`` naming the missing codec path."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_data_pipeline_spark.operators import audiocodec as ac
+
+        def one(doc_id: int, payload: bytes) -> dict:
+            out = {
+                "doc_id": doc_id,
+                "n_samples": None,
+                "rate": None,
+                "duration_us": None,
+                "amp_mean": None,
+                "amp_rms": None,
+                "decode_error": None,
+            }
+            try:
+                st = ac.audio_sample_stats(bytes(payload))
+                n, s, ss = st["n_samples"], st["s_sum"], st["s_sumsq"]
+                out["n_samples"] = n
+                out["rate"] = st["rate"]
+                out["duration_us"] = st["duration_us"]
+                out["amp_mean"] = s / n
+                out["amp_rms"] = (ss / n) ** 0.5
+            except Exception as exc:  # corrupt/unsupported payloads
+                out["decode_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[f.name for f in AUDIO_SCHEMA.fields],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, AUDIO_SCHEMA)
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fingerprint", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """Per-clip 64-bit energy-difference fingerprint (Haitsma-Kalker
+    shape, signed int64) via ``mapInPandas`` — the perceptual
+    signature that makes audio near-dedup a 2-ints-per-clip
+    relational problem. Undecodable payloads fingerprint to NULL."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_data_pipeline_spark.operators import audiocodec as ac
+
+        def one(payload: bytes) -> int | None:
+            try:
+                return ac.audio_fingerprint64(bytes(payload))
+            except Exception:
+                return None
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fingerprint": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, FINGERPRINT_SCHEMA
     )
 
 

@@ -7162,6 +7162,83 @@ def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_near_dup_pairs(sig, max_hamming=2, n_bands=4)
 
 
+#: Audio render constants shared by the oracle SQL — PCM16 mono,
+#: 4096 samples at 8 kHz (see audiocodec.render_tone_audio).
+_AUD_N = 32 * 128  # 4096
+_AUD_DUR_US = _AUD_N * 1_000_000 // 8000
+
+
+def _audio_lens_cte(cols: str, select: str) -> str:
+    """VALUES CTE over the pinned audio lens map (the image twin)."""
+    from hadoop_data_pipeline_spark.functions.audio_lens import AUDIO_LENS
+
+    rows = ", ".join(
+        f"('{h}', {select.format(fp=fp, s=s, ss=ss)})"
+        for h, (fp, s, ss) in sorted(AUDIO_LENS.items())
+    )
+    return f"amap(h, {cols}) AS (VALUES {rows})"
+
+
+@register(
+    "audio_decode_stats",
+    oracle=f"""
+    WITH {_audio_lens_cte("s, ss", "{s}, {ss}")}
+    SELECT d.doc_id, {_AUD_N} AS n_samples, 8000 AS rate,
+           CAST({_AUD_DUR_US} AS BIGINT) AS duration_us,
+           CAST(i.s AS DOUBLE) / {_AUD_N} AS amp_mean,
+           sqrt(CAST(i.ss AS DOUBLE) / {_AUD_N}.0) AS amp_rms,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM documents d JOIN amap i ON md5(d.text) = i.h
+    """,
+)
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (the netpbm precedent applied to
+    sound): render each document to a PCM16 WAV (integer square-wave
+    mix — no floats in the signal path), then run the production
+    ``decode_audio`` kernel: pure-python RIFF chunk walk, exact
+    integer sample sums, floats spent only at the final division —
+    so DuckDB reproduces identical doubles from the integers pinned
+    in ``functions/audio_lens.py`` (independent non-Spark derivation,
+    drift-gated). n_samples/rate/duration are render constants pinned
+    as literals; mean/RMS are content-dependent. Zero shuffle: two
+    chained ``mapInPandas`` projections over one documents scan.
+
+    4096 / 4096.0 are exact binary divisions, so the cross-engine
+    doubles are bit-identical without any rounding step."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_audio(multimodal.attach_wav_payload(docs))
+
+
+@register(
+    "audio_fingerprint_near_dup",
+    oracle=f"""
+    WITH {_audio_lens_cte("fp", "{fp}")},
+    sig AS (
+        SELECT d.doc_id, i.fp FROM documents d JOIN amap i ON md5(d.text) = i.h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 2
+    """,
+)
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-duplicates: clips whose 64-bit
+    energy-difference fingerprints (Haitsma & Kalker ISMIR'02 shape:
+    sign of adjacent frame-energy deltas over an exact integer frame
+    partition) differ in <= 2 bits — the "same recording, light
+    re-encode" collapse of a production audio-dedup pass. Reuses the
+    generic lossless 4x16-bit banding
+    (``multimodal.signature_near_dup_pairs``): samples never shuffle,
+    2 ints per clip do; the oracle runs the full quadratic scan over
+    the pinned fingerprints (13 pairs at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = multimodal.audio_fingerprints(multimodal.attach_wav_payload(docs))
+    return multimodal.signature_near_dup_pairs(
+        sig, "fingerprint", max_hamming=2, n_bands=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # The round driver oracle-checks the FIRST 50 registered queries, so
@@ -7191,6 +7268,8 @@ _DRIVER_WINDOW = [
     "image_resize_digest",
     "image_dhash_signatures",
     "image_near_dup_phash",
+    "audio_decode_stats",
+    "audio_fingerprint_near_dup",
     # the r8 residue — last driver-checked in r8, carried at a
     # documented one-round staleness overage from r12; the verdict
     # requires these four to LEAD the r13 window.
@@ -7238,28 +7317,28 @@ _DRIVER_WINDOW = [
     "user_state_history_scd2",
     "variant_json_prop_stats",
     "weekly_cohort_retention",
-    # head of the r10 cohort (ages out at r14; pre-paying 6 of its 26
-    # window-eligible entries keeps the r14 budget comfortable).
-    # Alphabetical order, skipping the no-window sketch/BPE entries
-    # (approx_distinct / approx_percentile / incremental_hll / bpe —
-    # rows-only driver slots prove nothing; BOUNDS_r{N}.json carries
-    # their evidence).
+    # head of the r10 cohort (ages out at r14; pre-paying 4 of its 26
+    # window-eligible entries). Alphabetical order, skipping the
+    # no-window sketch/BPE entries (approx_distinct / approx_
+    # percentile / incremental_hll / bpe — rows-only driver slots
+    # prove nothing; BOUNDS_r{N}.json carries their evidence).
     "corpus_mix_sample",
     "customer_spend_decile_by_nation",
     "debounce_dedup_events",
     "disjunctive_brand_revenue",
-    "domain_cap_per_source",
-    "forecast_revenue_change",
-    # CAPACITY RULE (r12 verdict #7): with catalog size C, window W=50
-    # and staleness bound B=4 rounds, a round adding n new entries can
+    # CAPACITY RULE (r12 verdict #7): with window-eligible catalog
+    # size C (total minus the 4 no-window rows), window W=50 and
+    # staleness bound B=4 rounds, a round adding n new entries can
     # recheck W-n old ones, so the bound is feasible iff
-    # C + n <= (W - n) * B. At C=174, n=4: 178 <= 184 — holds with 6
-    # slots of margin (exactly the 6 r10 pre-payments above). Keeping
-    # n <= 7 new entries per round preserves feasibility at the
-    # current catalog size; growth past C=196 requires a wider window
-    # or a longer bound, stated here so the arithmetic is auditable.
-    # r13 staleness ledger: after this window, nothing older than r10
-    # remains unchecked-within-4; the r8 overage is cleared.
+    # C + n <= (W - n) * B. This round: C=170 eligible pre-round,
+    # n=6 (4 image + 2 audio): 176 <= 176 — exactly at the bound,
+    # which the 4 r10 pre-payments above convert into real r14
+    # margin. Keeping n <= 6 new entries per round preserves
+    # feasibility at the current catalog size; growth past C=194
+    # eligible requires a wider window or a longer bound, stated here
+    # so the arithmetic is auditable. r13 staleness ledger: after
+    # this window, nothing older than r10 remains unchecked-within-4;
+    # the r8 overage is cleared.
 ]
 
 

@@ -156,6 +156,8 @@ def test_driver_window_covers_load_bearing_queries():
         "image_resize_digest",
         "image_dhash_signatures",
         "image_near_dup_phash",
+        "audio_decode_stats",
+        "audio_fingerprint_near_dup",
         # the r8 residue carried at a one-round overage from r12 — the
         # r12 verdict requires these four to lead the r13 window
         # (users_purchase_no_error re-pointed to a non-empty survivor

@@ -123,6 +123,46 @@ def check_image_lens() -> list[str]:
     return problems
 
 
+def check_audio_lens() -> list[str]:
+    """Freshness check for the audio ground truth
+    (``functions/audio_lens.py``) — same shape as the image check."""
+    from hadoop_data_pipeline_spark.functions.audio_lens import AUDIO_LENS
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from gen_audio_lens import lens_row
+
+    problems: list[str] = []
+    texts: dict[str, str] = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        for t in pq.read_table(p, columns=["text"]).column("text").to_pylist():
+            if t is not None:
+                texts[hashlib.md5(t.encode()).hexdigest()] = t
+    if set(texts) != set(AUDIO_LENS):
+        missing = len(set(texts) - set(AUDIO_LENS))
+        extra = len(set(AUDIO_LENS) - set(texts))
+        problems.append(
+            f"AUDIO_LENS key drift: {missing} fixture texts unmapped, "
+            f"{extra} stale keys — rerun tools/gen_audio_lens.py"
+        )
+        return problems
+    keys = sorted(AUDIO_LENS)
+    for k in keys[:: max(1, len(keys) // 256)]:
+        got = lens_row(texts[k])
+        if got != AUDIO_LENS[k]:
+            problems.append(
+                f"AUDIO_LENS value drift at {k}: pinned {AUDIO_LENS[k]}, "
+                f"re-derived {got} — render/codec changed; rerun "
+                f"tools/gen_audio_lens.py"
+            )
+            break
+    return problems
+
+
 def check_quantizer_shapes() -> list[str]:
     from hadoop_data_pipeline_spark.functions.ivf_centroids import (
         SF001_CENTROIDS,
@@ -166,7 +206,10 @@ def assignment_crc() -> int:
 
 def main() -> int:
     problems = (
-        check_zlib_map() + check_image_lens() + check_quantizer_shapes()
+        check_zlib_map()
+        + check_image_lens()
+        + check_audio_lens()
+        + check_quantizer_shapes()
     )
     try:
         crc = assignment_crc()

@@ -1,0 +1,94 @@
+"""Generate the pinned audio-kernel ground-truth map.
+
+For every DISTINCT document text across the shipped fixtures, renders
+the deterministic PCM16 WAV (``audiocodec.render_tone_audio``), then
+computes — in plain numpy, no Spark — the values the audio catalog
+entries' DuckDB oracles need:
+
+* ``fp``      — signed 64-bit energy-difference fingerprint
+* ``n``       — sample count (render-constant but pinned anyway)
+* ``s_sum`` / ``s_sumsq`` — exact integer sample sum / sum-of-squares
+
+Keyed by md5(text) — content-addressed (the ``image_lens``
+precedent); ``tools/artifact_gate.py`` re-derives a sample per gate
+run and fails on drift. Run from the repo root whenever the fixtures
+or the render/codec change::
+
+    python tools/gen_audio_lens.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hadoop_data_pipeline_spark.operators import audiocodec as ac  # noqa: E402
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "hadoop_data_pipeline_spark",
+    "functions",
+    "audio_lens.py",
+)
+
+HEADER = '''"""Pinned audio-kernel ground truth per DISTINCT fixture document
+text, keyed by md5(text) (GENERATED — do not edit; regenerate with
+``python tools/gen_audio_lens.py``).
+
+Content-addressed oracle constants for the audio catalog entries:
+DuckDB cannot decode WAV payloads, so the oracles join the documents
+view to this map of independently-derived (plain numpy, no Spark)
+kernel outputs: signed-64 energy-difference fingerprint and exact
+integer sample sum / sum-of-squares. Inner joins turn any unmapped
+text into a row-count mismatch instead of a silent pass.
+"""
+
+#: render constants pinned with the values.
+RENDER_RATE = {rate}
+RENDER_SAMPLES = {n}
+
+#: md5(text-utf8) hex -> (fingerprint signed-64, s_sum, s_sumsq)
+AUDIO_LENS: dict[str, tuple[int, int, int]] = {{
+'''
+
+
+def lens_row(text: str) -> tuple[int, int, int]:
+    payload = ac.render_tone_audio(text)
+    st = ac.audio_sample_stats(payload)
+    return (ac.audio_fingerprint64(payload), st["s_sum"], st["s_sumsq"])
+
+
+def build_map() -> dict[str, tuple[int, int, int]]:
+    rows: dict[str, tuple[int, int, int]] = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        col = pq.read_table(p, columns=["text"]).column("text").to_pylist()
+        for t in col:
+            if t is None:
+                continue
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            if h not in rows:
+                rows[h] = lens_row(t)
+    return rows
+
+
+def main() -> None:
+    rows = build_map()
+    assert rows, "no fixture documents found"
+    with open(OUT, "w") as f:
+        f.write(HEADER.format(rate=ac.RENDER_RATE, n=ac.RENDER_SAMPLES))
+        for h, (fp, s, ss) in sorted(rows.items()):
+            f.write(f'    "{h}": ({fp}, {s}, {ss}),\n')
+        f.write("}\n")
+    print(f"wrote {len(rows)} entries to {OUT}")
+
+
+if __name__ == "__main__":
+    main()

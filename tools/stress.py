@@ -85,6 +85,7 @@ STRESS_EXCLUDE = {
     "embedding_near_dup_pairs": "O(n^2) cosine pair oracle",
     "fuzzy_name_pairs_part": "O(n^2) blocked-levenshtein oracle",
     "image_near_dup_phash": "O(n^2) dhash pair oracle",
+    "audio_fingerprint_near_dup": "O(n^2) fingerprint pair oracle",
 }
 
 
@@ -156,6 +157,11 @@ SPARK_ONLY_LAWS: dict[str, tuple[str, object]] = {
     "image_near_dup_phash": (
         # content-addressed render: every copy replays its in-copy
         # pairs and identical cross-copy images add more.
+        "pairs only grow with copies: n_K >= K*n_1",
+        lambda nK, n1, K: nK >= K * n1,
+    ),
+    "audio_fingerprint_near_dup": (
+        # same content-addressed argument as the image pairs.
         "pairs only grow with copies: n_K >= K*n_1",
         lambda nK, n1, K: nK >= K * n1,
     ),
