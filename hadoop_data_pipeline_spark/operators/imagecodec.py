@@ -154,8 +154,20 @@ def dhash64(arr: np.ndarray) -> int:
     64-bit pattern is mapped to two's-complement signed so it rides in
     a Spark ``LongType`` / DuckDB ``BIGINT`` unchanged — ``xor`` +
     ``bit_count`` give Hamming distance identically in both engines on
-    the signed representation."""
-    grid = box_downsample(luma(arr), DHASH_ROWS, DHASH_COLS + 1)
+    the signed representation.
+
+    Images SMALLER than the grid (production thumbnails can be 1x1)
+    first upscale by exact integer nearest-neighbor repetition to at
+    least 8 x 9 — found by the hypothesis property sweep (a 1x1 image
+    raised instead of hashing); images at or above the grid size are
+    untouched, so every pinned signature is unchanged."""
+    lum = luma(arr)
+    h, w = lum.shape
+    if h < DHASH_ROWS:
+        lum = np.repeat(lum, -(-DHASH_ROWS // h), axis=0)
+    if w < DHASH_COLS + 1:
+        lum = np.repeat(lum, -(-(DHASH_COLS + 1) // w), axis=1)
+    grid = box_downsample(lum, DHASH_ROWS, DHASH_COLS + 1)
     bits = 0
     for r in range(DHASH_ROWS):
         for c in range(DHASH_COLS):
