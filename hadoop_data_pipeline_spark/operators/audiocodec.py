@@ -44,8 +44,23 @@ FP_FRAMES = 65  #: fingerprint frame count (64 adjacent-pair bits)
 
 def encode_wav(samples: np.ndarray, rate: int = RENDER_RATE) -> bytes:
     """Encode mono int16 samples as a canonical 44-byte-header PCM
-    WAV (RIFF little-endian, one ``fmt `` + one ``data`` chunk)."""
-    s = np.asarray(samples, dtype="<i2")
+    WAV (RIFF little-endian, one ``fmt `` + one ``data`` chunk).
+
+    Raises ``ValueError`` on non-integer dtypes or values outside the
+    int16 range — a silent wrap/truncate here would produce a
+    valid-looking but corrupted payload whose downstream stats and
+    fingerprints no longer match the caller's samples (r13 ADVICE)."""
+    s = np.asarray(samples)
+    if not np.issubdtype(s.dtype, np.integer):
+        raise ValueError(
+            f"encode_wav needs integer samples, got dtype {s.dtype}"
+        )
+    if s.size and (int(s.min()) < -32768 or int(s.max()) > 32767):
+        raise ValueError(
+            "samples outside int16 range "
+            f"[{int(s.min())}, {int(s.max())}]; clip before encoding"
+        )
+    s = s.astype("<i2")
     data = s.tobytes()
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
@@ -98,6 +113,8 @@ def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
             f"unsupported WAV layout (fmt={audio_fmt}, ch={channels}, "
             f"bits={bits}); only PCM16 mono is pure-python decodable here"
         )
+    if rate <= 0:
+        raise ValueError(f"non-positive WAV sample rate {rate}")
     if len(data) % 2:
         raise ValueError("odd PCM16 data length")
     return np.frombuffer(data, dtype="<i2"), rate

@@ -296,11 +296,20 @@ def decode_audio(df: DataFrame) -> DataFrame:
             try:
                 st = ac.audio_sample_stats(bytes(payload))
                 n, s, ss = st["n_samples"], st["s_sum"], st["s_sumsq"]
+                if n == 0:
+                    # a structurally-valid WAV with an empty data chunk
+                    # has no defined mean/RMS; raising BEFORE any field
+                    # is assigned keeps the error-row contract (all
+                    # stats NULL + decode_error), matching decode_image
+                    raise ValueError("empty data chunk (0 samples)")
+                # derive every stat into locals first so a failure in
+                # any derivation can never emit a half-filled row
+                mean, rms = s / n, (ss / n) ** 0.5
                 out["n_samples"] = n
                 out["rate"] = st["rate"]
                 out["duration_us"] = st["duration_us"]
-                out["amp_mean"] = s / n
-                out["amp_rms"] = (ss / n) ** 0.5
+                out["amp_mean"] = mean
+                out["amp_rms"] = rms
             except Exception as exc:  # corrupt/unsupported payloads
                 out["decode_error"] = f"{type(exc).__name__}: {exc}"[:200]
             return out
@@ -349,6 +358,224 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         kernel, FINGERPRINT_SCHEMA
+    )
+
+
+def attach_avi_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-video payload: each document text renders
+    to an uncompressed 24-bpp AVI via
+    :func:`videocodec.render_scene_video` (4 frames of the image
+    tier's integer histogram scatter under per-frame seeds; frame 0
+    byte-identical to the image render). The video member of the
+    :func:`attach_ppm_payload` / :func:`attach_wav_payload` family —
+    decodable clips, so the full container-parse -> stats ->
+    per-frame-dHash path runs for real; content-addressed, so the
+    pinned oracle map in ``functions/video_lens.py`` stays valid at
+    every SF and under key-shifted stress corpora."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_data_pipeline_spark.operators import videocodec as vc
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        vc.render_scene_video(t) for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.select("doc_id", text_col).mapInPandas(kernel, schema)
+
+
+#: Output of :func:`decode_video` — exact-integer per-video stats;
+#: failures are a COLUMN (module rule).
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("us_per_frame", T.LongType(), True),
+        T.StructField("duration_us", T.LongType(), True),
+        T.StructField("pixel_mean", T.DoubleType(), True),
+        T.StructField("pixel_std", T.DoubleType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def decode_video(df: DataFrame) -> DataFrame:
+    """Video decode via ``mapInPandas``: uncompressed AVI payloads
+    parse with the pure-python :mod:`videocodec` RIFF walk (the
+    netpbm/WAV precedent completing the codec triad); stats come from
+    exact integer pixel sums across all frames with floats spent only
+    on the final division, which is what lets ``video_decode_stats``
+    carry an exact DuckDB oracle. Compressed/foreign containers
+    record a ``decode_error`` naming the missing codec path. Stats
+    derive into locals before any field is assigned, so an error row
+    is ALWAYS all-NULL stats + decode_error (the r13 ADVICE contract,
+    shared with :func:`decode_audio`)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_data_pipeline_spark.operators import videocodec as vc
+
+        def one(doc_id: int, payload: bytes) -> dict:
+            out = {
+                "doc_id": doc_id,
+                "n_frames": None,
+                "width": None,
+                "height": None,
+                "us_per_frame": None,
+                "duration_us": None,
+                "pixel_mean": None,
+                "pixel_std": None,
+                "decode_error": None,
+            }
+            try:
+                st = vc.video_frame_stats(bytes(payload))
+                n_px = 3 * st["n_frames"] * st["width"] * st["height"]
+                s, ss = st["px_sum"], st["px_sumsq"]
+                mean = s / n_px
+                std = ((ss * n_px - s * s) / (n_px * n_px)) ** 0.5
+                out.update(
+                    n_frames=st["n_frames"],
+                    width=st["width"],
+                    height=st["height"],
+                    us_per_frame=st["us_per_frame"],
+                    duration_us=st["duration_us"],
+                    pixel_mean=mean,
+                    pixel_std=std,
+                )
+            except Exception as exc:  # corrupt/unsupported payloads
+                out["decode_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[f.name for f in VIDEO_SCHEMA.fields],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, VIDEO_SCHEMA)
+
+
+#: Output of :func:`video_frame_dhashes` — one row per decoded frame.
+FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ]
+)
+
+
+def video_frame_dhashes(df: DataFrame) -> DataFrame:
+    """Per-frame 64-bit difference hashes via ``mapInPandas`` — the
+    video-to-frames explode that turns shared-scene detection into a
+    (frame_idx, 2 ints)-per-frame relational problem. Undecodable
+    payloads contribute NO rows (dropped, never a stage failure —
+    downstream pair counts treat them as scene-less)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_data_pipeline_spark.operators import videocodec as vc
+
+        for pdf in batches:
+            out: list[tuple[int, int, int]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    hashes = vc.frame_dhashes(bytes(payload))
+                except Exception:
+                    continue
+                out.extend(
+                    (int(doc_id), k, h) for k, h in enumerate(hashes)
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "dhash"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, FRAME_DHASH_SCHEMA
+    )
+
+
+def video_scene_near_dup_pairs(
+    frame_sig: DataFrame,
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    min_shared_frames: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared-scene video near-duplicates: pairs of videos with at
+    least ``min_shared_frames`` frame indices whose per-frame dHashes
+    differ in <= ``max_hamming`` bits — the "same footage, light
+    re-encode / small overlay" collapse of a production video-dedup
+    pass.
+
+    Plan: the per-frame signature banding is
+    :func:`signature_near_dup_pairs`'s LOSSLESS 16-bit pigeonhole
+    split with ``frame_idx`` added to the bucket key, so candidates
+    only ever pair frames at the SAME index (scene alignment is
+    positional, the fixture's and a fixed-rate sampler's contract);
+    per-frame losslessness then makes the per-pair matched-frame
+    COUNT exact, so the final ``HAVING count >= min_shared_frames``
+    equals the full quadratic scan's answer. Two shuffles total —
+    (frame_idx, band_id, band_key) buckets, then the (id_a, id_b)
+    count — both on ints; pixels and payloads never move. At 100 TB
+    the bucket buffer is O(largest true shared-scene cluster) per
+    (frame, band), the same m any exact pair-emitter pays."""
+    if max_hamming >= n_bands:
+        raise ValueError("losslessness needs max_hamming < n_bands")
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    bits_per_band = 64 // n_bands
+    mask = (1 << bits_per_band) - 1
+    sig = frame_sig.where(F.col("dhash").isNotNull())
+    bands = sig.selectExpr(
+        id_col,
+        "frame_idx",
+        "dhash",
+        f"""inline(array({", ".join(
+            f"struct({b} AS band_id, "
+            f"shiftright(dhash, {b * bits_per_band}) & {mask}"
+            f" AS band_key)"
+            for b in range(n_bands)
+        )}))""",
+    )
+    buckets = (
+        bands.groupBy("frame_idx", "band_id", "band_key")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"), F.col("dhash").alias("dh")
+                )
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
+    )
+    pair = (
+        "flatten(transform(ds, x -> transform(filter(ds, y -> y.id > x.id "
+        f"AND bit_count(x.dh ^ y.dh) <= {max_hamming}), "
+        "y -> struct(x.id AS id_a, y.id AS id_b))))"
+    )
+    frame_matches = (
+        buckets.select(
+            F.col("frame_idx"), F.explode(F.expr(pair)).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "frame_idx")
+        .distinct()  # a pair can match in several bands of one frame
+    )
+    return (
+        frame_matches.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared_frames)
     )
 
 

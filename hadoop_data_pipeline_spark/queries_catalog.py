@@ -7037,8 +7037,10 @@ def cms_heavy_hitter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PRODUCTION kernel (decode_image / resize_image / image_dhash /
 # image_near_dup_pairs) with an exact content-addressed oracle from
 # functions/image_lens.py (the zlib_lens precedent: the map is
-# derived by plain numpy in tools/gen_image_lens.py, independent of
-# any Spark code path, and drift-gated per gate run).
+# derived by plain numpy in tools/gen_image_lens.py — Spark-
+# independent, though it shares the imagecodec kernels; algorithmic
+# correctness is pinned by hand-computed values in
+# tests/test_imagecodec.py — and drift-gated per gate run).
 # ---------------------------------------------------------------------------
 
 #: Render constants shared by the oracle SQL — 32x32 RGB PPM, 3072
@@ -7099,7 +7101,8 @@ def image_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the production ``resize_image`` kernel (netpbm tier:
     exact integer box-mean downsample to max_side=16, re-encoded as
     PPM) and the output payload is md5-digested — byte-exact against
-    the independently derived digests pinned in ``image_lens.py``.
+    the Spark-independently derived digests pinned in
+    ``image_lens.py``.
     The algorithmic pin (hand-computed box means, aspect preservation,
     never-upscale pass-through) lives in tests/test_imagecodec.py;
     this entry pins the DISTRIBUTED path: Arrow batch shapes, binary
@@ -7198,7 +7201,9 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decode_audio`` kernel: pure-python RIFF chunk walk, exact
     integer sample sums, floats spent only at the final division —
     so DuckDB reproduces identical doubles from the integers pinned
-    in ``functions/audio_lens.py`` (independent non-Spark derivation,
+    in ``functions/audio_lens.py`` (Spark-independent numpy derivation
+    sharing the audiocodec kernels; hand pins in
+    tests/test_audiocodec.py carry algorithmic independence;
     drift-gated). n_samples/rate/duration are render constants pinned
     as literals; mean/RMS are content-dependent. Zero shuffle: two
     chained ``mapInPandas`` projections over one documents scan.

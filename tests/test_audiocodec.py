@@ -141,6 +141,41 @@ def test_decode_audio_unskipped(spark):
     assert rows[2].decode_error is not None and rows[2].n_samples is None
 
 
+def test_decode_audio_zero_sample_wav_is_full_error_row(spark):
+    # r13 ADVICE: a structurally-valid WAV with an EMPTY data chunk
+    # must produce the same error-row contract as a corrupt payload —
+    # decode_error set, EVERY stats column NULL (no half-filled rows)
+    empty = ac.encode_wav(np.array([], dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(empty))], "doc_id bigint, payload binary"
+    )
+    [row] = mm.decode_audio(df).collect()
+    assert row.decode_error is not None and "0 samples" in row.decode_error
+    assert row.n_samples is None and row.rate is None
+    assert row.duration_us is None
+    assert row.amp_mean is None and row.amp_rms is None
+
+
+def test_encode_wav_rejects_unrepresentable_input():
+    # r13 ADVICE: silent wrap/truncate corrupted payloads; now loud
+    with pytest.raises(ValueError, match="int16 range"):
+        ac.encode_wav(np.array([40000], dtype=np.int32))
+    with pytest.raises(ValueError, match="int16 range"):
+        ac.encode_wav(np.array([-32769], dtype=np.int64))
+    with pytest.raises(ValueError, match="integer samples"):
+        ac.encode_wav(np.array([0.5, 1.5]))
+    # in-range non-int16 dtypes encode exactly (no behavior change)
+    out, _ = ac.decode_wav(ac.encode_wav(np.array([-32768, 32767])))
+    assert (out == np.array([-32768, 32767], dtype=np.int16)).all()
+
+
+def test_decode_wav_rejects_zero_rate():
+    raw = bytearray(ac.encode_wav(np.array([1, 2], dtype=np.int16), 8000))
+    raw[24:28] = (0).to_bytes(4, "little")  # fmt chunk sample-rate field
+    with pytest.raises(ValueError, match="sample rate"):
+        ac.decode_wav(bytes(raw))
+
+
 def test_attach_wav_payload_and_fingerprints(spark):
     docs = spark.createDataFrame(
         [(1, "key agg row"), (2, "key agg row"), (3, "sort merge join")],

@@ -2,7 +2,11 @@
 
 For every DISTINCT document text across the shipped fixtures, renders
 the deterministic PCM16 WAV (``audiocodec.render_tone_audio``), then
-computes — in plain numpy, no Spark — the values the audio catalog
+computes — in plain numpy, without Spark execution (the map shares
+the audiocodec module with the Spark kernels: it guards against
+Spark-side plumbing drift, while ALGORITHMIC correctness is pinned
+independently by hand-computed values in tests/test_audiocodec.py)
+— the values the audio catalog
 entries' DuckDB oracles need:
 
 * ``fp``      — signed 64-bit energy-difference fingerprint
@@ -42,8 +46,10 @@ text, keyed by md5(text) (GENERATED — do not edit; regenerate with
 
 Content-addressed oracle constants for the audio catalog entries:
 DuckDB cannot decode WAV payloads, so the oracles join the documents
-view to this map of independently-derived (plain numpy, no Spark)
-kernel outputs: signed-64 energy-difference fingerprint and exact
+view to this map of Spark-independent (plain numpy, no Spark
+execution — but SHARING the audiocodec kernels, so algorithmic
+correctness is pinned separately by the hand-computed values in
+tests/test_audiocodec.py) kernel outputs: signed-64 energy-difference fingerprint and exact
 integer sample sum / sum-of-squares. Inner joins turn any unmapped
 text into a row-count mismatch instead of a silent pass.
 """

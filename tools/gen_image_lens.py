@@ -2,7 +2,11 @@
 
 For every DISTINCT document text across the shipped fixtures, renders
 the deterministic PPM payload (``imagecodec.render_histogram_image``),
-then computes — in plain numpy, no Spark — the values the image
+then computes — in plain numpy, without Spark execution (the map
+shares the imagecodec module with the Spark kernels: it guards
+against Spark-side plumbing drift, while ALGORITHMIC correctness is
+pinned independently by hand-computed values in
+tests/test_imagecodec.py) — the values the image
 catalog entries' DuckDB oracles need:
 
 * ``dhash``  — signed 64-bit difference hash of the decoded image
@@ -47,8 +51,10 @@ text, keyed by md5(text) (GENERATED — do not edit; regenerate with
 
 Content-addressed oracle constants for the image catalog entries:
 DuckDB cannot decode netpbm payloads, so the oracles join the
-documents view to this map of independently-derived (plain numpy,
-no Spark) kernel outputs: signed-64 dHash, exact integer pixel
+documents view to this map of Spark-independent (plain numpy, no
+Spark execution — but SHARING the imagecodec kernels, so algorithmic
+correctness is pinned separately by the hand-computed values in
+tests/test_imagecodec.py) kernel outputs: signed-64 dHash, exact integer pixel
 sum / sum-of-squares, and the md5 of the max_side=16 resized payload.
 Keying by text hash keeps one map valid at every scale factor AND
 under key-shifted stress corpora; inner joins turn any unmapped text
