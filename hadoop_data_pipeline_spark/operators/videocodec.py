@@ -1,0 +1,362 @@
+"""Pure-python AVI (RIFF) video codec + per-frame perceptual hashes.
+
+The video member of the multimodal codec triad (image = netpbm r13,
+audio = WAV r13-s2): the container ships no ffmpeg/OpenCV, but an
+UNCOMPRESSED AVI is just nested RIFF lists over raw DIB frames — the
+same chunk walk :mod:`audiocodec` does for WAV — so a complete
+decode / frame-extract / re-encode / per-frame-dHash path runs
+un-skipped everywhere, replacing the byte-stride ``frame_digests``
+stand-in as the engine's real video story.
+
+Container layout implemented (Microsoft AVI RIFF form, public spec):
+
+    RIFF('AVI '
+      LIST('hdrl'
+        'avih'  56-byte MainAVIHeader (usec/frame, total frames, dims)
+        LIST('strl'
+          'strh' 56-byte AVIStreamHeader (fccType 'vids', handler 'DIB ')
+          'strf' 40-byte BITMAPINFOHEADER (24 bpp, BI_RGB uncompressed)))
+      LIST('movi'
+        '00db' raw DIB frame (BGR byte order, rows bottom-up, each
+               row zero-padded to a 4-byte boundary)  x n_frames)
+      'idx1'  16-byte entry per frame (AVIF_HASINDEX standard index)
+
+Every kernel is EXACT-integer until the final statistic (the module
+family's standing recipe): pixel sums and sums-of-squares accumulate
+as Python ints across all frames, the deterministic fixture render
+reuses the image tier's integer histogram scatter (frame k uses
+channel seeds 3k..3k+2, so FRAME 0 IS BYTE-IDENTICAL to the image
+tier's render — a free cross-tier consistency pin), and per-frame
+dHashes are :func:`imagecodec.dhash64` bit patterns — so a plain
+numpy reference derivation reproduces results bit-for-bit and the
+video catalog entries carry exact content-addressed DuckDB oracles
+(``functions/video_lens.py``, the ``image_lens``/``audio_lens``
+precedent).
+
+Scale notes: all kernels are per-row ``mapInPandas`` projections —
+zero shuffle; shared-scene near-dup pairing happens downstream on
+(frame_idx, dhash) ints per frame (``multimodal.
+video_scene_near_dup_pairs``), never on pixels. At 100 TB the codec
+runs inside input splits; only 2 ints per frame ever reach an
+exchange.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from hadoop_data_pipeline_spark.operators import imagecodec as ic
+
+#: Fixture render parameters (frame raster matches the image tier).
+RENDER_W = ic.RENDER_W
+RENDER_H = ic.RENDER_H
+RENDER_FRAMES = 4
+RENDER_US_PER_FRAME = 40_000  # 25 fps
+
+
+def _dib_stride(width: int) -> int:
+    """DIB rows are zero-padded to 4-byte boundaries (BMP/AVI spec)."""
+    return (3 * width + 3) & ~3
+
+
+def _frame_to_dib(frame: np.ndarray) -> bytes:
+    """(H, W, 3) RGB uint8 -> raw 24-bpp DIB bytes: BGR channel
+    order, rows bottom-up, stride-padded. Exact byte inverse of
+    :func:`_dib_to_frame`."""
+    h, w = frame.shape[:2]
+    stride = _dib_stride(w)
+    bgr = frame[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+    return rows.tobytes()
+
+
+def _dib_to_frame(raw: bytes, w: int, h: int) -> np.ndarray:
+    """Raw 24-bpp DIB bytes -> (H, W, 3) RGB uint8."""
+    stride = _dib_stride(w)
+    if len(raw) != stride * h:
+        raise ValueError(
+            f"DIB frame size mismatch: need {stride * h} bytes "
+            f"({w}x{h} @24bpp stride {stride}), have {len(raw)}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    bgr = rows[:, : 3 * w].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()  # top-down rows, BGR -> RGB
+
+
+def encode_avi(
+    frames: np.ndarray, us_per_frame: int = RENDER_US_PER_FRAME
+) -> bytes:
+    """Encode ``(N, H, W, 3)`` RGB uint8 frames as an uncompressed
+    24-bpp AVI ('DIB ' video stream, ``00db`` chunks, standard
+    ``idx1`` index). Raises ``ValueError`` on empty/ill-shaped input
+    or a non-positive frame duration — a silently-wrong container
+    would corrupt every downstream stat (the ``encode_wav`` rule)."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3 or 0 in f.shape:
+        raise ValueError(f"expected non-empty (N,H,W,3) frames, got {f.shape}")
+    if us_per_frame <= 0:
+        raise ValueError(f"non-positive us_per_frame {us_per_frame}")
+    n, h, w = f.shape[:3]
+    frame_bytes = _dib_stride(w) * h
+
+    avih = b"avih" + struct.pack(
+        "<I14I",
+        56,
+        us_per_frame,
+        0,  # dwMaxBytesPerSec (informational)
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,  # dwReserved[4]
+    )
+    strh = b"strh" + struct.pack(
+        "<I4s4sIHHIIIIIIii4h",
+        56,
+        b"vids",
+        b"DIB ",
+        0,  # dwFlags
+        0,  # wPriority
+        0,  # wLanguage
+        0,  # dwInitialFrames
+        us_per_frame,  # dwScale }  rate/scale = frames/sec
+        1_000_000,  # dwRate  }
+        0,  # dwStart
+        n,  # dwLength (in frames)
+        frame_bytes,  # dwSuggestedBufferSize
+        0,  # dwQuality
+        0,  # dwSampleSize (0: one sample per chunk)
+        0,
+        0,
+        w,
+        h,  # rcFrame
+    )
+    strf = b"strf" + struct.pack(
+        "<IIiiHHIIiiII",
+        40,
+        40,  # biSize
+        w,
+        h,  # biWidth, biHeight (>0: bottom-up rows)
+        1,  # biPlanes
+        24,  # biBitCount
+        0,  # biCompression: BI_RGB (uncompressed)
+        frame_bytes,  # biSizeImage
+        0,
+        0,
+        0,
+        0,  # resolution / palette fields
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl"
+    strl += strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl"
+    hdrl += avih + strl
+
+    movi_body = b"movi"
+    idx_entries = []
+    for k in range(n):
+        # idx1 offsets are relative to the 'movi' fourcc (the common
+        # convention: the first chunk header sits at offset 4)
+        idx_entries.append((len(movi_body), frame_bytes))
+        movi_body += b"00db" + struct.pack("<I", frame_bytes)
+        movi_body += _frame_to_dib(f[k])
+        # frame_bytes is stride-padded (stride % 4 == 0), so chunks
+        # are always word-aligned; no pad byte needed
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+
+    idx1 = b"idx1" + struct.pack("<I", 16 * n)
+    for off, size in idx_entries:
+        idx1 += struct.pack("<4sIII", b"00db", 0x10, off, size)
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk_chunks(raw: bytes, pos: int, end: int):
+    """Yield ``(fourcc, list_type_or_None, body_start, body_size)``
+    for each chunk in ``raw[pos:end]`` (the WAV chunk walk, plus RIFF
+    LIST awareness). Raises ``ValueError`` on truncation."""
+    while pos + 8 <= end:
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"LIST":
+            if size < 4:
+                raise ValueError("LIST chunk too small for a type")
+            yield cid, raw[pos + 8 : pos + 12], pos + 12, size - 4
+        else:
+            yield cid, None, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def decode_avi(raw: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed 24-bpp AVI to ``((N, H, W, 3) RGB
+    uint8 frames, us_per_frame)``.
+
+    Walks the RIFF tree (tolerating extra chunks like JUNK/INFO);
+    raises ``ValueError`` for anything that is not an uncompressed
+    24-bpp single-video-stream AVI — callers surface that as a
+    ``decode_error`` COLUMN (one corrupt clip must never kill a
+    1000-executor stage)."""
+    raw = bytes(raw)
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack("<I", raw[4:8])
+    end = min(len(raw), 8 + riff_size)
+
+    avih = None
+    strf = None
+    vids_streams = 0
+    frames_raw: list[bytes] = []
+    for cid, ltype, start, size in _walk_chunks(raw, 12, end):
+        if cid == b"LIST" and ltype == b"hdrl":
+            for hid, hltype, hstart, hsize in _walk_chunks(
+                raw, start, start + size
+            ):
+                if hid == b"avih":
+                    if hsize < 40:
+                        raise ValueError("short avih header")
+                    avih = struct.unpack("<10I", raw[hstart : hstart + 40])
+                elif hid == b"LIST" and hltype == b"strl":
+                    is_vids = False
+                    for sid, _t, sstart, ssize in _walk_chunks(
+                        raw, hstart, hstart + hsize
+                    ):
+                        if sid == b"strh":
+                            if raw[sstart : sstart + 4] == b"vids":
+                                is_vids = True
+                                vids_streams += 1
+                        elif sid == b"strf" and is_vids:
+                            if ssize < 24:
+                                raise ValueError("short strf header")
+                            strf = struct.unpack(
+                                "<IiiHHI", raw[sstart : sstart + 20]
+                            )
+        elif cid == b"LIST" and ltype == b"movi":
+            for mid, _t, mstart, msize in _walk_chunks(
+                raw, start, start + size
+            ):
+                if mid in (b"00db", b"00dc"):
+                    frames_raw.append(raw[mstart : mstart + msize])
+
+    if avih is None:
+        raise ValueError("missing avih main header")
+    if strf is None:
+        raise ValueError("missing video stream format (strh/strf)")
+    if vids_streams != 1:
+        raise ValueError(f"need exactly 1 video stream, found {vids_streams}")
+    us_per_frame, _mbps, _pad, _flags, total_frames = avih[:5]
+    width, height = avih[8], avih[9]
+    _bisize, bi_w, bi_h, _planes, bit_count, compression = strf
+    if compression != 0 or bit_count != 24:
+        raise ValueError(
+            f"unsupported video stream (compression={compression}, "
+            f"bpp={bit_count}); only uncompressed 24-bpp DIB is "
+            "pure-python decodable here"
+        )
+    if bi_h < 0:
+        raise ValueError("top-down DIB (negative height) not supported")
+    if width <= 0 or height <= 0 or (bi_w, bi_h) != (width, height):
+        raise ValueError(
+            f"inconsistent dimensions avih={width}x{height} "
+            f"strf={bi_w}x{bi_h}"
+        )
+    if us_per_frame <= 0:
+        raise ValueError(f"non-positive us_per_frame {us_per_frame}")
+    if not frames_raw:
+        raise ValueError("empty movi list (0 frames)")
+    if total_frames != len(frames_raw):
+        raise ValueError(
+            f"avih dwTotalFrames={total_frames} but movi has "
+            f"{len(frames_raw)} frame chunks"
+        )
+    frames = np.stack(
+        [_dib_to_frame(fr, width, height) for fr in frames_raw]
+    )
+    return frames, int(us_per_frame)
+
+
+def video_frame_stats(raw: bytes) -> dict:
+    """Exact-integer per-video stats: frame count, dims, frame
+    duration, whole-video duration in microseconds, and the integer
+    pixel sum / sum-of-squares across ALL frames (floats are spent
+    only on the caller's final division — both engines compute
+    identical doubles from the pinned integers)."""
+    frames, us_per_frame = decode_avi(raw)
+    flat = frames.astype(np.int64)
+    return {
+        "n_frames": int(frames.shape[0]),
+        "width": int(frames.shape[2]),
+        "height": int(frames.shape[1]),
+        "us_per_frame": us_per_frame,
+        "duration_us": int(frames.shape[0]) * us_per_frame,
+        "px_sum": int(flat.sum()),
+        "px_sumsq": int((flat * flat).sum()),
+    }
+
+
+def frame_dhashes(raw: bytes) -> list[int]:
+    """Per-frame 64-bit difference hashes (signed int64, the
+    :func:`imagecodec.dhash64` bit pattern applied to each decoded
+    frame) — the signature list that makes shared-scene detection a
+    2-ints-per-frame relational problem instead of a pixel problem."""
+    frames, _us = decode_avi(raw)
+    return [ic.dhash64(frames[k]) for k in range(frames.shape[0])]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture render: documents.text -> AVI payload.
+# ---------------------------------------------------------------------------
+
+
+def render_scene_video(
+    text: str,
+    n_frames: int = RENDER_FRAMES,
+    us_per_frame: int = RENDER_US_PER_FRAME,
+) -> bytes:
+    """Deterministic AVI render of a document: frame ``k`` is the
+    image tier's integer histogram scatter
+    (:func:`imagecodec.render_histogram_image` construction) under
+    channel seeds ``3k, 3k+1, 3k+2`` — so frame 0 is BYTE-IDENTICAL
+    to :func:`imagecodec.render_histogram_image`'s raster (a free
+    cross-tier consistency pin), and each subsequent frame is an
+    independent scatter of the same word multiset (a new "scene" of
+    the same content).
+
+    Documents with mostly-shared word multisets — the planted
+    near-duplicate profile — light up mostly-shared cells in EVERY
+    frame, so near-dup documents share near-dup scenes at each frame
+    index: exactly the "same footage, light re-encode" regime a
+    production shared-scene detector targets. Content-addressed:
+    payload depends only on ``text``, so the pinned oracle map stays
+    valid at every SF and under key-shifted stress corpora."""
+    # count occurrences ONCE, then scatter distinct words per seed —
+    # identical cell sums by commutativity, but the 12 seed passes
+    # cost O(distinct words) instead of O(occurrences) each (the
+    # Zipf-shaped corpora make that the dominant render cost)
+    word_counts: dict[str, int] = {}
+    for w in text.split():
+        word_counts[w] = word_counts.get(w, 0) + 1
+    n_cells = RENDER_W * RENDER_H
+    frames = np.zeros((n_frames, RENDER_H, RENDER_W, 3), dtype=np.uint8)
+    for k in range(n_frames):
+        for c in range(3):
+            counts: dict[int, int] = {}
+            for word, cnt in word_counts.items():
+                cell = ic._cell_of(word, 3 * k + c, n_cells)
+                counts[cell] = counts.get(cell, 0) + cnt
+            for cell, cnt in counts.items():
+                frames[k, cell // RENDER_W, cell % RENDER_W, c] = min(
+                    255, ic.RENDER_STEP * cnt
+                )
+    return encode_avi(frames, us_per_frame)

@@ -7245,6 +7245,140 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 14 — REAL video kernels over rendered AVI payloads (r13
+# verdict next #1: complete the multimodal codec triad). The
+# pure-python AVI/RIFF container codec (operators/videocodec.py —
+# uncompressed 24-bpp DIB frames, the WAV chunk walk nested) replaces
+# the byte-stride frame_digests stand-in as the video story: every
+# entry below renders a deterministic 4-frame 32x32 AVI per document
+# (frame 0 byte-identical to the image tier's render), then exercises
+# the PRODUCTION kernel (decode_video / video_frame_dhashes /
+# video_scene_near_dup_pairs) with an exact content-addressed oracle
+# from functions/video_lens.py (Spark-independent numpy derivation
+# sharing the videocodec kernels; hand pins in tests/test_videocodec
+# carry algorithmic independence; drift-gated per gate run).
+# ---------------------------------------------------------------------------
+
+#: Render constants shared by the oracle SQL — 4 frames of 32x32 RGB,
+#: 12288 pixel samples per video (see videocodec.render_scene_video).
+_VID_N_PX = 4 * 32 * 32 * 3
+_VID_DUR_US = 4 * 40_000
+
+
+def _video_lens_cte(cols: str, select: str, materialized: bool = False) -> str:
+    """VALUES CTE over the pinned video lens map, projecting only the
+    columns an oracle needs (the image/audio lens precedent)."""
+    from hadoop_data_pipeline_spark.functions.video_lens import VIDEO_LENS
+
+    rows = ", ".join(
+        f"('{h}', {select.format(d0=d0, d1=d1, d2=d2, d3=d3, s=s, ss=ss)})"
+        for h, (d0, d1, d2, d3, s, ss) in sorted(VIDEO_LENS.items())
+    )
+    mat = "MATERIALIZED " if materialized else ""
+    return f"vmap(h, {cols}) AS {mat}(VALUES {rows})"
+
+
+@register(
+    "video_decode_stats",
+    oracle=f"""
+    WITH {_video_lens_cte("s, ss", "{s}, {ss}")}
+    SELECT d.doc_id, 4 AS n_frames, 32 AS width, 32 AS height,
+           CAST(40000 AS BIGINT) AS us_per_frame,
+           CAST({_VID_DUR_US} AS BIGINT) AS duration_us,
+           CAST(i.s AS DOUBLE) / {_VID_N_PX} AS pixel_mean,
+           sqrt(CAST(CAST(i.ss AS BIGINT) * {_VID_N_PX}
+                     - CAST(i.s AS BIGINT) * CAST(i.s AS BIGINT) AS DOUBLE)
+                / ({_VID_N_PX}.0 * {_VID_N_PX}.0)) AS pixel_std,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM documents d JOIN vmap i ON md5(d.text) = i.h
+    """,
+)
+def video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end, completing the codec triad:
+    render each document to an uncompressed 4-frame AVI, then run the
+    production ``decode_video`` kernel — pure-python RIFF tree walk
+    (avih/strh/strf headers, movi DIB chunks), frame count / dims /
+    timing plus pixel mean/std from exact integer sums across all
+    frames (floats spent only on the final division, so DuckDB
+    reproduces identical doubles from the integers pinned in
+    ``functions/video_lens.py``). Container constants are pinned as
+    literals; the content-dependent stats come from the map. Zero
+    shuffle: two chained ``mapInPandas`` projections over one
+    documents scan — at 100 TB the codec runs per input split and
+    only stat rows move."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_video(multimodal.attach_avi_payload(docs))
+
+
+@register(
+    "video_frame_dhash_signatures",
+    oracle=f"""
+    WITH {_video_lens_cte("d0, d1, d2, d3", "{d0}, {d1}, {d2}, {d3}")}
+    SELECT d.doc_id,
+           unnest([0, 1, 2, 3]) AS frame_idx,
+           unnest([i.d0, i.d1, i.d2, i.d3]) AS dhash
+    FROM documents d JOIN vmap i ON md5(d.text) = i.h
+    """,
+)
+def video_frame_dhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame 64-bit difference hashes for every video (the
+    video-to-frames explode): each decoded frame hashes with the
+    image tier's exact dHash kernel, pinned frame-by-frame against
+    the derivation in ``video_lens.py`` — including the cross-tier
+    law that frame 0's hash equals the image tier's dHash of the same
+    document. This is the signature half of the shared-scene story;
+    the pair half is ``video_scene_near_dup``. Zero shuffle: render
+    -> container decode -> per-frame hash FUSED in one
+    ``mapInPandas`` pass over one documents scan
+    (``video_frame_dhashes_from_text`` — payloads never cross the
+    Arrow boundary; the two-stage binary round trip is pinned by
+    ``video_decode_stats`` and the kernel-equality test), 4 rows out
+    per video."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.video_frame_dhashes_from_text(docs)
+
+
+def _duck_video_scene() -> str:
+    same = " + ".join(
+        f"(CASE WHEN bit_count(xor(a.d{k}, b.d{k})) <= 2 THEN 1 ELSE 0 END)"
+        for k in range(4)
+    )
+    return f"""
+    WITH {_video_lens_cte("d0, d1, d2, d3", "{d0}, {d1}, {d2}, {d3}")},
+    sig AS MATERIALIZED (
+        SELECT d.doc_id, i.d0, i.d1, i.d2, i.d3
+        FROM documents d JOIN vmap i ON md5(d.text) = i.h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({same} AS BIGINT) AS shared_frames
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {same} >= 3
+    """
+
+
+@register("video_scene_near_dup", oracle=_duck_video_scene())
+def video_scene_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-scene video near-duplicates: pairs of videos with >= 3
+    of 4 frame indices whose per-frame dHashes differ in <= 2 bits —
+    the "same footage, light re-encode / small overlay" collapse of a
+    production video-dedup pass (here, documents with near-identical
+    word multisets render near-identical scenes at every index).
+
+    The Spark plan never forms the quadratic scan: per-frame LOSSLESS
+    4x16-bit pigeonhole banding with ``frame_idx`` in the bucket key
+    (``multimodal.video_scene_near_dup_pairs``) shuffles 2 ints per
+    frame, and per-frame losslessness makes the matched-frame COUNT
+    exact, so the banded plan's (pair, count) set equals the oracle's
+    full O(n^2) scan over the pinned signatures — 25 pairs at sf0.01,
+    all 4/4 scenes shared (the fixture's near-dup profile)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = multimodal.video_frame_dhashes_from_text(docs)
+    return multimodal.video_scene_near_dup_pairs(
+        sig, max_hamming=2, n_bands=4, min_shared_frames=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window
 # The round driver oracle-checks the FIRST 50 registered queries, so
 # registration order is part of the contract. ROTATION (round 12,
@@ -7268,82 +7402,79 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/oracle_check.py --strict and tests/test_catalog_oracle.py.
 
 _DRIVER_WINDOW = [
-    # r13-new entries first (never driver-checked)
-    "image_decode_stats",
-    "image_resize_digest",
-    "image_dhash_signatures",
-    "image_near_dup_phash",
-    "audio_decode_stats",
-    "audio_fingerprint_near_dup",
-    # the r8 residue — last driver-checked in r8, carried at a
-    # documented one-round staleness overage from r12; the verdict
-    # requires these four to LEAD the r13 window.
-    # users_purchase_no_error was additionally re-pointed this round
-    # (value-thresholded subtrahend) so its survivor set is non-empty
-    # — its first driver hash with rows > 0.
-    "users_purchase_no_error",
-    "value_remap",
-    "users_purchase_and_error",
-    "user_event_gap_stats_window",
-    # the full r9 cohort (36 entries, exactly 4 rounds old at r13)
-    "asof_last_purchase_per_click",
-    "cdc_emit_changelog_orders",
-    "cdc_upsert_orders",
-    "chunk_documents_overlap",
-    "clicks_before_purchase",
-    "compression_ratio_quality",
-    "cumulative_distinct_users_daily",
-    "customer_order_histogram",
-    "daily_revenue_anomalies",
-    "daily_value_resample_ffill",
-    "event_funnel_conversion",
-    "event_type_transitions",
-    "event_value_histogram",
-    "grouping_sets_revenue",
-    "incremental_daily_agg_merge",
-    "incremental_dedup_new_docs",
-    "json_prop_stats",
-    "jsonl_roundtrip_docs",
-    "media_feature_extract",
-    "media_frame_digests",
-    "min_cost_supplier_per_part",
-    "order_priority_counts",
-    "pack_token_shards",
-    "pii_redaction_stats",
-    "promo_revenue_share",
-    "repetition_quality_stats",
-    "salted_event_type_stats",
-    "small_quantity_part_revenue",
-    "token_vocab_top50",
-    "tombstone_delete_users",
-    "top_supplier_revenue",
-    "train_val_test_split",
-    "user_journey_paths",
-    "user_state_history_scd2",
-    "variant_json_prop_stats",
-    "weekly_cohort_retention",
-    # head of the r10 cohort (ages out at r14; pre-paying 4 of its 26
-    # window-eligible entries). Alphabetical order, skipping the
-    # no-window sketch/BPE entries (approx_distinct / approx_
-    # percentile / incremental_hll / bpe — rows-only driver slots
-    # prove nothing; BOUNDS_r{N}.json carries their evidence).
-    "corpus_mix_sample",
-    "customer_spend_decile_by_nation",
-    "debounce_dedup_events",
-    "disjunctive_brand_revenue",
+    # r14-new entries first (never driver-checked): the video tier
+    "video_decode_stats",
+    "video_frame_dhash_signatures",
+    "video_scene_near_dup",
+    # the full window-eligible r10 cohort (last driver-checked r10,
+    # exactly 4 rounds old at r14 — the staleness bound's hard edge;
+    # 26 entries minus the 4 no-window sketch/BPE rows, minus the 4
+    # pre-paid in r13: corpus_mix_sample, customer_spend_decile_by_
+    # nation, debounce_dedup_events, disjunctive_brand_revenue)
+    "domain_cap_per_source",
+    "forecast_revenue_change",
+    "fuzzy_name_pairs_part",
+    "idle_rich_customers",
+    "k_anonymity_customers",
+    "keyword_search_bm25",
+    "lang_id_confusion",
+    "large_quantity_orders",
+    "latest_event_agg_form",
+    "monthly_revenue_moving_avg",
+    "part_revenue_concentration",
+    "per_source_corpus_stats",
+    "purchases_without_prior_click",
+    "rolling_1h_user_event_stats",
+    "supplier_balance_percentile",
+    "tokenizer_fertility_by_lang",
+    "unigram_logprob_quality",
+    "user_first_last_events",
+    "weighted_sample_per_lang",
+    "within_doc_dedup",
+    "xml_roundtrip_docs",
+    "zorder_bucket_locality",
+    # head of the r11 cohort (ages out at r15; pre-paying 25 of its
+    # 50 entries, alphabetical order)
+    "benchmark_contamination",
+    "bom_rollup_recursive",
+    "clean_corpus",
+    "csv_roundtrip_events_props",
+    "curriculum_quality_buckets",
+    "decontaminate_corpus",
+    "dedup_clusters_minhash",
+    "dominant_supplier_share",
+    "dup_ngram_fraction",
+    "embedding_ann_filtered_topk",
+    "embedding_ann_ivf_topk",
+    "embedding_ann_ivfpq_residual_topk",
+    "embedding_ann_ivfpq_topk",
+    "embedding_ann_multiprobe_topk",
+    "embedding_drift_psi_by_cell",
+    "embedding_near_dup_pairs",
+    "embedding_pq_rerank_topk",
+    "embedding_pq_topk",
+    "hard_negative_pairs_embeddings",
+    "incremental_near_dup_new_docs",
+    "kmeans_refine_cluster_stats",
+    "median_price_by_segment",
+    "minhash_signatures_docs",
+    "mixture_budget_plan_by_lang",
+    "nation_market_share",
     # CAPACITY RULE (r12 verdict #7): with window-eligible catalog
     # size C (total minus the 4 no-window rows), window W=50 and
     # staleness bound B=4 rounds, a round adding n new entries can
     # recheck W-n old ones, so the bound is feasible iff
-    # C + n <= (W - n) * B. This round: C=170 eligible pre-round,
-    # n=6 (4 image + 2 audio): 176 <= 176 — exactly at the bound,
-    # which the 4 r10 pre-payments above convert into real r14
-    # margin. Keeping n <= 6 new entries per round preserves
-    # feasibility at the current catalog size; growth past C=194
-    # eligible requires a wider window or a longer bound, stated here
-    # so the arithmetic is auditable. r13 staleness ledger: after
-    # this window, nothing older than r10 remains unchecked-within-4;
-    # the r8 overage is cleared.
+    # C + n <= (W - n) * B. This round: C=172 eligible pre-round
+    # (176 registered - 4 no-window), n=3 (video tier):
+    # 175 <= 47*4 = 188 — 13 slots of true margin, restored from
+    # r13's exactly-at-the-bound state by the 4 r10 pre-payments and
+    # by adding 3 (not 6) entries. Sustained growth cap stays ~5 new
+    # entries/round at this catalog size; growth past C=194 eligible
+    # requires a wider window or a longer bound, negotiated in
+    # COVERAGE.md before it happens. r14 staleness ledger: after this
+    # window, nothing older than r11 remains unchecked-within-4, and
+    # 25 of the 50 r11-cohort entries are already pre-paid for r15
+    # (r15 must carry the remaining 25 — capacity 25 + n <= 50).
 ]
 
 

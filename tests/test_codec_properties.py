@@ -145,3 +145,64 @@ def test_renders_accept_any_ascii_text(text):
     assert img.shape == (ic.RENDER_H, ic.RENDER_W, 3)
     snd, rate = ac.decode_wav(ac.render_tone_audio(text))
     assert rate == ac.RENDER_RATE and snd.size == ac.RENDER_SAMPLES
+
+
+# ---------------------------------------------------------------------------
+# video tier (r14): AVI container + per-frame kernels
+# ---------------------------------------------------------------------------
+
+from hadoop_data_pipeline_spark.operators import videocodec as vc  # noqa: E402
+
+
+@st.composite
+def frame_stacks(draw):
+    n = draw(st.integers(1, 4))
+    h = draw(st.integers(1, 12))
+    w = draw(st.integers(1, 12))
+    flat = draw(
+        st.lists(
+            st.integers(0, 255), min_size=n * h * w * 3, max_size=n * h * w * 3
+        )
+    )
+    return np.array(flat, dtype=np.uint8).reshape(n, h, w, 3)
+
+
+@SETTINGS
+@given(frame_stacks(), st.integers(1, 10_000_000))
+def test_avi_roundtrip_any_dims(frames, us):
+    dec, got_us = vc.decode_avi(vc.encode_avi(frames, us))
+    assert got_us == us and dec.shape == frames.shape
+    assert (dec == frames).all()
+
+
+@SETTINGS
+@given(frame_stacks())
+def test_video_stats_match_numpy_reference(frames):
+    st_ = vc.video_frame_stats(vc.encode_avi(frames, 1000))
+    flat = frames.astype(np.int64)
+    assert st_["px_sum"] == int(flat.sum())
+    assert st_["px_sumsq"] == int((flat * flat).sum())
+    assert st_["n_frames"] == frames.shape[0]
+    assert st_["duration_us"] == frames.shape[0] * 1000
+
+
+@SETTINGS
+@given(frame_stacks())
+def test_frame_dhashes_agree_with_image_kernel(frames):
+    # the video path must hash each frame EXACTLY as the image tier
+    # would hash the same raster (incl. the sub-grid upscale rule the
+    # r13 sweep fixed) — cross-tier drift here would silently split
+    # the image/video near-dup semantics
+    dh = vc.frame_dhashes(vc.encode_avi(frames, 1))
+    assert dh == [ic.dhash64(frames[k]) for k in range(frames.shape[0])]
+
+
+@SETTINGS
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+def test_video_render_accepts_any_ascii_text(text):
+    frames, us = vc.decode_avi(vc.render_scene_video(text))
+    assert frames.shape == (vc.RENDER_FRAMES, vc.RENDER_H, vc.RENDER_W, 3)
+    assert us == vc.RENDER_US_PER_FRAME
+    # cross-tier pin holds for EVERY text, not just the examples
+    img, _ = ic.decode_netpbm(ic.render_histogram_image(text))
+    assert (frames[0] == img).all()

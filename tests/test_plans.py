@@ -151,26 +151,22 @@ def test_driver_window_covers_load_bearing_queries():
     names = list(qc.QUERIES)
     first50 = names[:50]
     for required in (
-        # r13-new (never driver-checked)
-        "image_decode_stats",
-        "image_resize_digest",
-        "image_dhash_signatures",
-        "image_near_dup_phash",
-        "audio_decode_stats",
-        "audio_fingerprint_near_dup",
-        # the r8 residue carried at a one-round overage from r12 — the
-        # r12 verdict requires these four to lead the r13 window
-        # (users_purchase_no_error re-pointed to a non-empty survivor
-        # set this round).
-        "users_purchase_no_error",
-        "value_remap",
-        "users_purchase_and_error",
-        "user_event_gap_stats_window",
-        # representatives of the r9 cohort (exactly 4 rounds old)
-        "compression_ratio_quality",
-        "weekly_cohort_retention",
-        "media_frame_digests",
-        "pack_token_shards",
+        # r14-new (never driver-checked): the video tier
+        "video_decode_stats",
+        "video_frame_dhash_signatures",
+        "video_scene_near_dup",
+        # representatives of the r10 cohort (exactly 4 rounds old at
+        # r14 — the staleness bound's hard edge; the full 22-entry
+        # window-eligible cohort is in the window, these pin corners)
+        "domain_cap_per_source",
+        "latest_event_agg_form",
+        "within_doc_dedup",
+        "zorder_bucket_locality",
+        # representatives of the r11 cohort head (25 pre-payments
+        # toward the r15 window)
+        "benchmark_contamination",
+        "embedding_ann_ivfpq_topk",
+        "nation_market_share",
     ):
         assert required in first50, required
     # every slot carries an exact value-hash oracle

@@ -163,6 +163,50 @@ def check_audio_lens() -> list[str]:
     return problems
 
 
+def check_video_lens() -> list[str]:
+    """Freshness check for the video ground truth
+    (``functions/video_lens.py``) — same shape as the image/audio
+    checks: exact key-set equality against the distinct fixture
+    texts, plus a deterministic 256-entry sample fully re-derived
+    through the pure-python render -> AVI decode -> per-frame dHash /
+    stats path (any container, codec, or render change flips it)."""
+    from hadoop_data_pipeline_spark.functions.video_lens import VIDEO_LENS
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from gen_video_lens import lens_row
+
+    problems: list[str] = []
+    texts: dict[str, str] = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        for t in pq.read_table(p, columns=["text"]).column("text").to_pylist():
+            if t is not None:
+                texts[hashlib.md5(t.encode()).hexdigest()] = t
+    if set(texts) != set(VIDEO_LENS):
+        missing = len(set(texts) - set(VIDEO_LENS))
+        extra = len(set(VIDEO_LENS) - set(texts))
+        problems.append(
+            f"VIDEO_LENS key drift: {missing} fixture texts unmapped, "
+            f"{extra} stale keys — rerun tools/gen_video_lens.py"
+        )
+        return problems
+    keys = sorted(VIDEO_LENS)
+    for k in keys[:: max(1, len(keys) // 256)]:
+        got = lens_row(texts[k])
+        if got != VIDEO_LENS[k]:
+            problems.append(
+                f"VIDEO_LENS value drift at {k}: pinned {VIDEO_LENS[k]}, "
+                f"re-derived {got} — render/codec changed; rerun "
+                f"tools/gen_video_lens.py"
+            )
+            break
+    return problems
+
+
 def check_quantizer_shapes() -> list[str]:
     from hadoop_data_pipeline_spark.functions.ivf_centroids import (
         SF001_CENTROIDS,
@@ -209,6 +253,7 @@ def main() -> int:
         check_zlib_map()
         + check_image_lens()
         + check_audio_lens()
+        + check_video_lens()
         + check_quantizer_shapes()
     )
     try:
