@@ -240,9 +240,12 @@ def triangle_participation(
     )
     lower = f"(da < db OR (da = db AND {a_col} < {b_col}))"
     # Persisted for the result's lifetime (both wedge sides + the
-    # closing join read it): the caller materializes the lazy result,
-    # so the release point is the driver seat's clearCache-per-query
-    # (oracle_check / bench), not this function.
+    # closing join read it): the returned frame derives from it
+    # lazily, so this function cannot unpersist it. The returned
+    # frame carries the cache via `_with_cached_deps` — one-shot
+    # drivers release it with clearCache-per-query; ITERATIVE callers
+    # must call `queries.unpersist_deps(result)` after materializing
+    # (the r13 verdict's enforcement ask).
     oriented = e.selectExpr(
         f"CASE WHEN {lower} THEN {a_col} ELSE {b_col} END AS src",
         f"CASE WHEN {lower} THEN {b_col} ELSE {a_col} END AS dst",
@@ -263,9 +266,14 @@ def triangle_participation(
         .unionAll(tri.selectExpr("v AS node"))
         .unionAll(tri.selectExpr("w AS node"))
     )
-    return corners.groupBy("node").agg(
+    from hadoop_data_pipeline_spark.operators.queries import (
+        _with_cached_deps,
+    )
+
+    out = corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+    return _with_cached_deps(out, oriented)
 
 
 def association_rules(
@@ -291,7 +299,8 @@ def association_rules(
     rounded identically to the oracle."""
     b = baskets.select(
         F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
-    ).distinct().persist()  # result-lifetime cache; drivers clearCache
+    ).distinct().persist()  # result-lifetime cache: tagged on the
+    # returned frame via `_with_cached_deps` (see triangle_counts)
     n_b = b.agg(
         F.countDistinct("__bk").cast("long").alias("n_baskets")
     )
@@ -312,7 +321,11 @@ def association_rules(
     directed = pair.unionByName(
         pair.selectExpr("c AS a", "a AS c", "pair_support")
     )
-    return (
+    from hadoop_data_pipeline_spark.operators.queries import (
+        _with_cached_deps,
+    )
+
+    out = (
         directed.join(
             item.selectExpr("item AS a", "cnt AS antecedent_count"), "a"
         )
@@ -333,3 +346,4 @@ def association_rules(
             "    * cast(consequent_count as double)), 6) AS lift",
         )
     )
+    return _with_cached_deps(out, b)

@@ -161,7 +161,13 @@ def near_dup_pairs_minhash(
     # hash pipeline runs three times. ~k ints per doc; spills to disk
     # if a 100 TB corpus outgrows executor memory (default level).
     staged = staged_shingle_hashes(df, text_col, id_col).persist()
-    return _near_dup_pairs_from_staged(staged, id_col, threshold)
+    from hadoop_data_pipeline_spark.operators.queries import (
+        _with_cached_deps,
+    )
+
+    return _with_cached_deps(
+        _near_dup_pairs_from_staged(staged, id_col, threshold), staged
+    )
 
 
 def _near_dup_pairs_from_staged(
@@ -354,11 +360,16 @@ def simhash_near_dup_pairs(
         "y -> struct(x.id AS id_a, y.id AS id_b, "
         "bit_count(x.sh ^ y.sh) AS hamming))))"
     )
-    return (
+    out = (
         buckets.select(F.explode(F.expr(pair)).alias("p"))
         .select("p.*")
         .distinct()
     )
+    from hadoop_data_pipeline_spark.operators.queries import (
+        _with_cached_deps,
+    )
+
+    return _with_cached_deps(out, sig)
 
 
 def connected_components(

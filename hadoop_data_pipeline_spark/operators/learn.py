@@ -214,16 +214,23 @@ def perceptron_doc_scores(
     returned frame derives from it lazily, so unpersisting here (the
     way ``perceptron_weights`` does after its last driver sync) would
     recompute the whole staging pipeline at materialization. The
-    driver seat releases it after hashing (``oracle_check``
-    clearCache-per-query)."""
+    returned frame carries the cache via ``_with_cached_deps``:
+    one-shot drivers release it with clearCache-per-query; iterative
+    callers must ``queries.unpersist_deps(result)`` after
+    materializing (the r13 verdict's enforcement ask)."""
+    from hadoop_data_pipeline_spark.operators.queries import (
+        _with_cached_deps,
+    )
+
     xf = _staged_xf(df, col, id_col, n_features)
     w, b = _train(xf, epochs)
-    return _dots(xf, w).selectExpr(
+    out = _dots(xf, w).selectExpr(
         "doc_id",
         "y",
         f"cast(dot + {b} as bigint) AS score",
         f"(CASE WHEN dot + {b} > 0 THEN 1 ELSE -1 END) AS predicted",
     )
+    return _with_cached_deps(out, xf)
 
 
 def perceptron_oracle_sql(

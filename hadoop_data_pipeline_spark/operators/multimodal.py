@@ -24,7 +24,7 @@ extracted features or metadata, never the bytes.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 
@@ -146,6 +146,51 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)
 
 
+def band_subset_rows(
+    sig: DataFrame,
+    sig_col: str,
+    max_hamming: int,
+    n_bands: int,
+    carry_cols: Sequence[str],
+) -> DataFrame:
+    """Emit the LOSSLESS band-subset candidate keys for a signed-64
+    signature column: one row per ``(n_bands - max_hamming)``-subset
+    of bands, ``band_id`` = subset index, ``band_key`` = the subset's
+    band values concatenated into one non-negative long. ``carry_cols``
+    (id, frame_idx, ...) ride along unchanged.
+
+    Shared by :func:`signature_near_dup_pairs` and
+    :func:`video_scene_near_dup_pairs`, and used DIRECTLY by
+    ``tools/task_skew_audit.py``'s largest-bucket histogram — the
+    audit measures exactly the keys the operators shuffle, so the two
+    can never drift."""
+    if not 0 < max_hamming < n_bands:
+        raise ValueError("losslessness needs 0 < max_hamming < n_bands")
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    from itertools import combinations
+
+    bits_per_band = 64 // n_bands
+    mask = (1 << bits_per_band) - 1
+    combos = list(combinations(range(n_bands), n_bands - max_hamming))
+
+    def subset_key(bands_in_combo: tuple[int, ...]) -> str:
+        return " + ".join(
+            f"(shiftright({sig_col}, {b * bits_per_band}) & {mask}) * "
+            f"{1 << (pos * bits_per_band)}"
+            for pos, b in enumerate(bands_in_combo)
+        )
+
+    return sig.where(F.col(sig_col).isNotNull()).selectExpr(
+        *carry_cols,
+        sig_col,
+        f"""inline(array({", ".join(
+            f"struct({i} AS band_id, {subset_key(c)} AS band_key)"
+            for i, c in enumerate(combos)
+        )}))""",
+    )
+
+
 def signature_near_dup_pairs(
     sig: DataFrame,
     sig_col: str,
@@ -181,31 +226,8 @@ def signature_near_dup_pairs(
     pixels/samples never shuffle, only 2 ints per item do, and the
     bucket buffer is O(largest true near-dup cluster), the same m any
     exact pair-emitter pays."""
-    if not 0 < max_hamming < n_bands:
-        raise ValueError("losslessness needs 0 < max_hamming < n_bands")
-    if 64 % n_bands:
-        raise ValueError("n_bands must divide 64")
-    from itertools import combinations
-
-    bits_per_band = 64 // n_bands
-    mask = (1 << bits_per_band) - 1
-    combos = list(combinations(range(n_bands), n_bands - max_hamming))
-    sig = sig.where(F.col(sig_col).isNotNull())
-
-    def subset_key(bands_in_combo: tuple[int, ...]) -> str:
-        return " + ".join(
-            f"(shiftright({sig_col}, {b * bits_per_band}) & {mask}) * "
-            f"{1 << (pos * bits_per_band)}"
-            for pos, b in enumerate(bands_in_combo)
-        )
-
-    bands = sig.selectExpr(
-        id_col,
-        sig_col,
-        f"""inline(array({", ".join(
-            f"struct({i} AS band_id, {subset_key(c)} AS band_key)"
-            for i, c in enumerate(combos)
-        )}))""",
+    bands = band_subset_rows(
+        sig, sig_col, max_hamming, n_bands, [id_col]
     )
     buckets = (
         bands.groupBy("band_id", "band_key")
@@ -613,32 +635,8 @@ def video_scene_near_dup_pairs(
     payloads never move. At 100 TB the bucket buffer is O(largest
     true shared-scene cluster) per (frame, subset), the same m any
     exact pair-emitter pays."""
-    if not 0 < max_hamming < n_bands:
-        raise ValueError("losslessness needs 0 < max_hamming < n_bands")
-    if 64 % n_bands:
-        raise ValueError("n_bands must divide 64")
-    from itertools import combinations
-
-    bits_per_band = 64 // n_bands
-    mask = (1 << bits_per_band) - 1
-    combos = list(combinations(range(n_bands), n_bands - max_hamming))
-
-    def subset_key(bands_in_combo: tuple[int, ...]) -> str:
-        return " + ".join(
-            f"(shiftright(dhash, {b * bits_per_band}) & {mask}) * "
-            f"{1 << (pos * bits_per_band)}"
-            for pos, b in enumerate(bands_in_combo)
-        )
-
-    sig = frame_sig.where(F.col("dhash").isNotNull())
-    bands = sig.selectExpr(
-        id_col,
-        "frame_idx",
-        "dhash",
-        f"""inline(array({", ".join(
-            f"struct({i} AS band_id, {subset_key(c)} AS band_key)"
-            for i, c in enumerate(combos)
-        )}))""",
+    bands = band_subset_rows(
+        frame_sig, "dhash", max_hamming, n_bands, [id_col, "frame_idx"]
     )
     buckets = (
         bands.groupBy("frame_idx", "band_id", "band_key")

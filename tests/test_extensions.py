@@ -1526,3 +1526,56 @@ def test_association_rules_hand_values(spark):
         ("y", "z"): (2, 0.666667, 1.333333),
         ("z", "y"): (2, 1.0, 1.333333),
     }
+
+
+def test_analytics_and_learn_tag_their_caches(spark):
+    """r13 verdict #7: the analytics/learn/dedup persist sites adopt
+    the `_with_cached_deps` lifecycle — the returned frame carries
+    its persisted dependencies and `unpersist_deps` releases them, so
+    iterative library callers cannot silently accumulate one cached
+    corpus-wide frame per call."""
+    from hadoop_data_pipeline_spark.operators import analytics, dedup, learn
+    from hadoop_data_pipeline_spark.operators.queries import unpersist_deps
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    tri = analytics.triangle_participation(edges, "a", "b")
+    tri.collect()
+    assert getattr(tri, "_cached_deps", []) and all(
+        d.is_cached for d in tri._cached_deps
+    )
+    unpersist_deps(tri)
+    assert all(not d.is_cached for d in tri._cached_deps)
+
+    baskets = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x")],
+        "basket_id long, item string",
+    )
+    rules = analytics.association_rules(baskets)
+    rules.collect()
+    assert getattr(rules, "_cached_deps", [])
+    unpersist_deps(rules)
+    assert all(not d.is_cached for d in rules._cached_deps)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3} quality text") for i in range(12)],
+        "doc_id long, text string",
+    )
+    scores = learn.perceptron_doc_scores(docs)
+    scores.collect()
+    assert getattr(scores, "_cached_deps", [])
+    unpersist_deps(scores)
+    assert all(not d.is_cached for d in scores._cached_deps)
+
+    pairs = dedup.near_dup_pairs_minhash(docs)
+    pairs.collect()
+    assert getattr(pairs, "_cached_deps", [])
+    unpersist_deps(pairs)
+    assert all(not d.is_cached for d in pairs._cached_deps)
+
+    spairs = dedup.simhash_near_dup_pairs(docs)
+    spairs.collect()
+    assert getattr(spairs, "_cached_deps", [])
+    unpersist_deps(spairs)
+    assert all(not d.is_cached for d in spairs._cached_deps)

@@ -38,16 +38,36 @@ MIN_SEC = 0.3  # ignore sub-noise-floor queries (plan-constant trivia)
 def load(spec: str) -> dict:
     if os.path.exists(spec):
         with open(spec) as fh:
-            return json.load(fh)
-    out = subprocess.run(
-        ["git", "show", f"{spec}:BENCH_DETAILS.json"],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-    )
-    if out.returncode != 0:
-        raise SystemExit(f"cannot load {spec!r}: {out.stderr.strip()}")
-    return json.loads(out.stdout)
+            snap = json.load(fh)
+    else:
+        out = subprocess.run(
+            ["git", "show", f"{spec}:BENCH_DETAILS.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        if out.returncode != 0:
+            raise SystemExit(f"cannot load {spec!r}: {out.stderr.strip()}")
+        snap = json.loads(out.stdout)
+    # Accept the driver's BENCH_r{N}.json wrapper too (the natural
+    # thing to feed this tool — r13 verdict nit): the bench line
+    # lives under "parsed". The caveat: driver snapshots are
+    # SINGLE-REP timings on the driver's seat, so cross-shape
+    # comparisons are directional; BENCH_DETAILS.json (min-of-2, this
+    # seat) remains the precise anchor.
+    if "parsed" in snap and "queries" not in snap:
+        snap = snap["parsed"]
+        print(
+            "NOTE: unwrapped a BENCH_r{N}.json driver snapshot "
+            "(single-rep timings; treat ratios as directional)"
+        )
+    if "queries" not in snap or "calib" not in snap:
+        raise SystemExit(
+            f"{spec!r} is not a bench snapshot: expected BENCH_DETAILS.json "
+            "shape (queries + calib) or a BENCH_r{N}.json driver wrapper "
+            "(parsed.queries + parsed.calib)"
+        )
+    return snap
 
 
 def main() -> int:

@@ -31,6 +31,16 @@ scale multiplier) must satisfy its query's law:
 Bounds live in SKEW_BUDGETS — the committed exception table below,
 each pin carrying its justification (the SCAN_BUDGETS idiom).
 
+r14 (VERDICT r13 next #4): the audit also covers the BANDED pair
+generators (dedup / perceptual near-dup / shared-scene) — the heavy
+tail there is bucket degeneracy rather than a hot key: the in-bucket
+pair lambda is O(m^2) in the largest band bucket m, and the
+key-shifted stress corpus grows every true dup cluster `copies`-fold.
+Besides the per-stage laws, the audit records a LARGEST-BUCKET
+histogram per family (max / p99 / bucket count / sum of m^2, computed
+with the operators' own key derivations so audit and plan can never
+drift) and pins max-bucket bounds in BUCKET_BOUNDS.
+
 Usage:
     python tools/task_skew_audit.py [copies] [sf_dir] [query ...]
 
@@ -105,7 +115,29 @@ AUDIT_QUERIES = [
     "case_when_agg_per_user",
     "tumbling_daily_event_stats",
     "distinct_user_event_pairs",
+    # the banded heavy tail (r14): bucket degeneracy, not hot keys
+    "near_dup_pairs_minhash",
+    "ngram_jaccard_pairs_lang",
+    "image_near_dup_phash",
+    "audio_fingerprint_near_dup",
+    "video_scene_near_dup",
 ]
+
+#: family -> max allowed LARGEST band bucket on the `copies`-fold
+#: key-shifted corpus. The structural model: text copies are exact,
+#: so every bucket grows exactly `copies`-fold — pins are the
+#: measured 8x sf0.1 values with ~2x headroom (re-pin deliberately,
+#: with a reason, the SCAN_BUDGETS idiom). ngram_postings is the one
+#: EXACT pin: the operator drops posting lists past max_doc_freq, so
+#: a surviving bucket larger than the cap is a correctness bug, not a
+#: perf regression.
+BUCKET_BOUNDS: dict[str, int] = {
+    "image_dhash_pairs": 2000,
+    "audio_fingerprint_pairs": 2000,
+    "video_scene_pairs": 2000,
+    "minhash_lsh": 2000,
+    "ngram_postings_surviving": 100,  # == the catalog entry's cap
+}
 
 
 def stage_task_summaries(spark, job_group: str) -> dict[int, dict]:
@@ -208,6 +240,86 @@ def audit(spark, names: list[str], corpus: str) -> tuple[dict, list[str]]:
     return results, failures
 
 
+def banded_bucket_stats(spark, corpus: str) -> tuple[dict, list[str]]:
+    """Largest-bucket histogram per banded family, computed with the
+    operators' OWN key derivations (multimodal.band_subset_rows /
+    dedup._banded / the staged shingle postings), so the audit
+    measures exactly what the plans shuffle."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_pipeline_spark.operators import dedup
+    from hadoop_data_pipeline_spark.operators import multimodal as mm
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, corpus, "documents")
+    fams: dict[str, tuple] = {}
+    img = mm.image_dhash(mm.attach_ppm_payload(docs))
+    fams["image_dhash_pairs"] = (
+        mm.band_subset_rows(img, "dhash", 2, 4, ["doc_id"]),
+        ["band_id", "band_key"],
+    )
+    aud = mm.audio_fingerprints(mm.attach_wav_payload(docs))
+    fams["audio_fingerprint_pairs"] = (
+        mm.band_subset_rows(aud, "fingerprint", 2, 4, ["doc_id"]),
+        ["band_id", "band_key"],
+    )
+    vid = mm.video_frame_dhashes_from_text(docs)
+    fams["video_scene_pairs"] = (
+        mm.band_subset_rows(vid, "dhash", 2, 4, ["doc_id", "frame_idx"]),
+        ["frame_idx", "band_id", "band_key"],
+    )
+    fams["minhash_lsh"] = (
+        dedup._banded(dedup.minhash_signatures(docs), "doc_id"),
+        ["band_id", "band_key"],
+    )
+    # ngram postings, capped exactly like the catalog entry
+    staged = dedup.staged_shingle_hashes(docs, extra_cols=["lang"])
+    posts = staged.selectExpr(
+        "doc_id", "lang", "explode(array_distinct(__sh)) AS __h"
+    )
+    cap = 100  # the ngram_jaccard_pairs_lang entry's max_doc_freq
+    sizes = posts.groupBy("lang", "__h").count().where(F.col("count") <= cap)
+    results: dict[str, dict] = {}
+    failures: list[str] = []
+    for name, spec in list(fams.items()) + [
+        ("ngram_postings_surviving", (None, None))
+    ]:
+        if name == "ngram_postings_surviving":
+            counts = sizes
+        else:
+            frame, keys = spec
+            counts = frame.groupBy(*keys).count()
+        row = counts.agg(
+            F.max("count").alias("max_m"),
+            F.expr("percentile_approx(count, 0.99)").alias("p99_m"),
+            F.sum(F.when(F.col("count") >= 2, 1).otherwise(0)).alias(
+                "buckets_ge2"
+            ),
+            F.sum(F.col("count") * F.col("count")).alias("sum_m2"),
+        ).collect()[0]
+        stat = {
+            "max_m": int(row.max_m),
+            "p99_m": int(row.p99_m),
+            "buckets_ge2": int(row.buckets_ge2),
+            "sum_m2": int(row.sum_m2),
+        }
+        results[name] = stat
+        bound = BUCKET_BOUNDS[name]
+        status = "PASS"
+        if stat["max_m"] > bound:
+            status = "FAIL"
+            failures.append(
+                f"bucket_histogram {name}: max bucket {stat['max_m']} > "
+                f"bound {bound}"
+            )
+        print(
+            f"{status:5s} bucket:{name}: max={stat['max_m']} "
+            f"p99={stat['p99_m']} buckets>=2={stat['buckets_ge2']} "
+            f"sum_m2={stat['sum_m2']} bound={bound}"
+        )
+    return results, failures
+
+
 def main() -> int:
     import stress
 
@@ -221,7 +333,11 @@ def main() -> int:
     print(f"building {copies}x skewed corpus from {sf_dir} ...")
     stress.build(spark, sf_dir, out_dir, copies, skew=True)
     results, failures = audit(spark, list(names), out_dir)
+    buckets = None
     if not sys.argv[3:]:
+        spark.catalog.clearCache()
+        buckets, bucket_failures = banded_bucket_stats(spark, out_dir)
+        failures.extend(bucket_failures)
         with open(
             os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -230,7 +346,13 @@ def main() -> int:
             "w",
         ) as fh:
             json.dump(
-                {"copies": copies, "sf_dir": sf_dir, "results": results},
+                {
+                    "copies": copies,
+                    "sf_dir": sf_dir,
+                    "results": results,
+                    "bucket_histogram": buckets,
+                    "bucket_bounds": BUCKET_BOUNDS,
+                },
                 fh,
                 indent=1,
                 sort_keys=True,
