@@ -301,3 +301,14 @@ def test_pinned_video_lens_artifact_fresh():
     keys = sorted(VIDEO_LENS)
     for k in keys[:: max(1, len(keys) // 64)]:
         assert lens_row(texts[k]) == VIDEO_LENS[k]
+
+
+def test_scatter_for_kernel_rule(spark):
+    # under-parallel single-split input scatters to defaultParallelism;
+    # an already-wide frame passes through with its partitioning intact
+    docs = spark.range(100).selectExpr("id AS doc_id", "'t' AS text")
+    narrow = docs.coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    assert mm.scatter_for_kernel(narrow).rdd.getNumPartitions() == target
+    wide = docs.repartition(target * 2)
+    assert mm.scatter_for_kernel(wide).rdd.getNumPartitions() == target * 2

@@ -86,6 +86,7 @@ STRESS_EXCLUDE = {
     "fuzzy_name_pairs_part": "O(n^2) blocked-levenshtein oracle",
     "image_near_dup_phash": "O(n^2) dhash pair oracle",
     "audio_fingerprint_near_dup": "O(n^2) fingerprint pair oracle",
+    "video_scene_near_dup": "O(n^2) per-frame dhash pair oracle",
 }
 
 
@@ -162,6 +163,12 @@ SPARK_ONLY_LAWS: dict[str, tuple[str, object]] = {
     ),
     "audio_fingerprint_near_dup": (
         # same content-addressed argument as the image pairs.
+        "pairs only grow with copies: n_K >= K*n_1",
+        lambda nK, n1, K: nK >= K * n1,
+    ),
+    "video_scene_near_dup": (
+        # content-addressed render: copies replay their in-copy pair
+        # set and identical cross-copy videos share all 4 scenes.
         "pairs only grow with copies: n_K >= K*n_1",
         lambda nK, n1, K: nK >= K * n1,
     ),
