@@ -535,6 +535,108 @@ def decode_video(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(kernel, VIDEO_SCHEMA)
 
 
+#: Output of :func:`decimate_audio` / :func:`decimate_video` — the
+#: transformed payload's identity (md5 + shape constants); failures
+#: are a COLUMN (module rule), with the atomic all-NULL contract.
+DECIMATE_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rate", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("decimate_error", T.StringType(), True),
+    ]
+)
+
+
+def decimate_audio(df: DataFrame, factor: int = 4) -> DataFrame:
+    """Audio decimation via ``mapInPandas``: keep every ``factor``-th
+    sample, re-encode at ``rate // factor``
+    (:func:`audiocodec.decimate_wav`) — the bandwidth-reduction step a
+    training pipeline runs BEFORE payloads reach a shard writer
+    (output bytes shrink ~``factor``-fold, so run this ahead of any
+    payload shuffle; the audio twin of :func:`resize_image`). Error
+    rows are all-NULL stats + ``decimate_error``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_data_pipeline_spark.operators import audiocodec as ac
+
+        def one(doc_id: int, payload: bytes) -> dict:
+            out = {
+                "doc_id": doc_id,
+                "n_samples": None,
+                "rate": None,
+                "payload": None,
+                "decimate_error": None,
+            }
+            try:
+                dec, n = ac.decimate_wav(bytes(payload), factor)
+                _samples, rate = ac.decode_wav(dec)
+                out.update(n_samples=n, rate=rate, payload=dec)
+            except Exception as exc:  # corrupt/unsupported payloads
+                out["decimate_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[f.name for f in DECIMATE_AUDIO_SCHEMA.fields],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, DECIMATE_AUDIO_SCHEMA
+    )
+
+
+DECIMATE_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("us_per_frame", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("decimate_error", T.StringType(), True),
+    ]
+)
+
+
+def decimate_video(df: DataFrame, keep_every: int = 2) -> DataFrame:
+    """Video frame-rate decimation via ``mapInPandas``: keep every
+    ``keep_every``-th frame, duration-preserving re-encode
+    (:func:`videocodec.decimate_avi`) — the video tier's transform
+    stage (decode / TRANSFORM / signature / near-dup now mirrors the
+    image tier's decode / resize / dHash / near-dup). Error rows are
+    all-NULL stats + ``decimate_error``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_data_pipeline_spark.operators import videocodec as vc
+
+        def one(doc_id: int, payload: bytes) -> dict:
+            out = {
+                "doc_id": doc_id,
+                "n_frames": None,
+                "us_per_frame": None,
+                "payload": None,
+                "decimate_error": None,
+            }
+            try:
+                dec, n = vc.decimate_avi(bytes(payload), keep_every)
+                _frames, us = vc.decode_avi(dec)
+                out.update(n_frames=n, us_per_frame=us, payload=dec)
+            except Exception as exc:  # corrupt/unsupported payloads
+                out["decimate_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[f.name for f in DECIMATE_VIDEO_SCHEMA.fields],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, DECIMATE_VIDEO_SCHEMA
+    )
+
+
 #: Output of :func:`video_frame_dhashes` — one row per decoded frame.
 FRAME_DHASH_SCHEMA = T.StructType(
     [

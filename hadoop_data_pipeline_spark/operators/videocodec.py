@@ -286,6 +286,20 @@ def decode_avi(raw: bytes) -> tuple[np.ndarray, int]:
     return frames, int(us_per_frame)
 
 
+def decimate_avi(raw: bytes, keep_every: int) -> tuple[bytes, int]:
+    """Frame-rate decimation: keep every ``keep_every``-th frame and
+    re-encode with ``us_per_frame * keep_every`` so the clip's wall
+    duration is preserved (the "sample 1 frame per second" bandwidth
+    reduction a training pipeline runs BEFORE payloads ever reach a
+    shuffle; the video twin of :func:`audiocodec.decimate_wav`).
+    Returns ``(payload, n_frames_kept)``."""
+    if keep_every < 1:
+        raise ValueError("keep_every must be >= 1")
+    frames, us = decode_avi(raw)
+    kept = frames[::keep_every]
+    return encode_avi(kept, us * keep_every), int(kept.shape[0])
+
+
 def video_frame_stats(raw: bytes) -> dict:
     """Exact-integer per-video stats: frame count, dims, frame
     duration, whole-video duration in microseconds, and the integer

@@ -7176,8 +7176,8 @@ def _audio_lens_cte(cols: str, select: str) -> str:
     from hadoop_data_pipeline_spark.functions.audio_lens import AUDIO_LENS
 
     rows = ", ".join(
-        f"('{h}', {select.format(fp=fp, s=s, ss=ss)})"
-        for h, (fp, s, ss) in sorted(AUDIO_LENS.items())
+        f"('{h}', {select.format(fp=fp, s=s, ss=ss, dm=repr(dm))})"
+        for h, (fp, s, ss, dm) in sorted(AUDIO_LENS.items())
     )
     return f"amap(h, {cols}) AS (VALUES {rows})"
 
@@ -7271,8 +7271,9 @@ def _video_lens_cte(cols: str, select: str, materialized: bool = False) -> str:
     from hadoop_data_pipeline_spark.functions.video_lens import VIDEO_LENS
 
     rows = ", ".join(
-        f"('{h}', {select.format(d0=d0, d1=d1, d2=d2, d3=d3, s=s, ss=ss)})"
-        for h, (d0, d1, d2, d3, s, ss) in sorted(VIDEO_LENS.items())
+        f"('{h}', "
+        f"{select.format(d0=d0, d1=d1, d2=d2, d3=d3, s=s, ss=ss, dm=repr(dm))})"
+        for h, (d0, d1, d2, d3, s, ss, dm) in sorted(VIDEO_LENS.items())
     )
     mat = "MATERIALIZED " if materialized else ""
     return f"vmap(h, {cols}) AS {mat}(VALUES {rows})"
@@ -7378,6 +7379,69 @@ def video_scene_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_decimate_digest",
+    oracle=f"""
+    WITH {_audio_lens_cte("dm", "{dm}")}
+    SELECT d.doc_id, CAST({_AUD_N // 4} AS BIGINT) AS n_samples,
+           2000 AS rate, i.dm AS dec_md5
+    FROM documents d JOIN amap i ON md5(d.text) = i.h
+    """,
+)
+def audio_decimate_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio transform end-to-end (the audio tier's previously
+    missing TRANSFORM stage — each tier now runs decode / transform /
+    signature / near-dup): rendered PCM16 WAVs run through the
+    production ``decimate_audio`` kernel (keep every 4th sample,
+    re-encode at rate/4 — the bandwidth reduction a pipeline applies
+    BEFORE payloads reach a shard writer) and the output payload is
+    md5-digested — byte-exact against the digests pinned in
+    ``functions/audio_lens.py``. n_samples/rate are render constants
+    pinned as literals. Two chained ``mapInPandas`` stages over one
+    documents scan — this entry also pins the audio BINARY round trip
+    (payload JVM->Python->JVM->Python), the ``image_resize_digest``
+    recipe."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = multimodal.decimate_audio(
+        multimodal.attach_wav_payload(docs), factor=4
+    )
+    return dec.select(
+        "doc_id", "n_samples", "rate", F.md5("payload").alias("dec_md5")
+    )
+
+
+@register(
+    "video_decimate_digest",
+    oracle=f"""
+    WITH {_video_lens_cte("dm", "{dm}")}
+    SELECT d.doc_id, 2 AS n_frames,
+           CAST(80000 AS BIGINT) AS us_per_frame, i.dm AS dec_md5
+    FROM documents d JOIN vmap i ON md5(d.text) = i.h
+    """,
+)
+def video_decimate_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video transform end-to-end: rendered 4-frame AVIs run
+    through the production ``decimate_video`` kernel (keep every 2nd
+    frame, duration-preserving re-encode at 2x the frame interval —
+    the "sample fewer frames" bandwidth reduction of a multimodal
+    training pipeline) and the output payload is md5-digested —
+    byte-exact against ``functions/video_lens.py``. Frame count and
+    interval are render constants pinned as literals. Two chained
+    ``mapInPandas`` stages over one documents scan, pinning the video
+    BINARY round trip like ``audio_decimate_digest`` /
+    ``image_resize_digest`` do for their tiers."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = multimodal.decimate_video(
+        multimodal.attach_avi_payload(docs), keep_every=2
+    )
+    return dec.select(
+        "doc_id",
+        "n_frames",
+        "us_per_frame",
+        F.md5("payload").alias("dec_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # The round driver oracle-checks the FIRST 50 registered queries, so
@@ -7403,9 +7467,12 @@ def video_scene_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_WINDOW = [
     # r14-new entries first (never driver-checked): the video tier
+    # plus the audio/video transform-stage digests
     "video_decode_stats",
     "video_frame_dhash_signatures",
     "video_scene_near_dup",
+    "audio_decimate_digest",
+    "video_decimate_digest",
     # the full window-eligible r10 cohort (last driver-checked r10,
     # exactly 4 rounds old at r14 — the staleness bound's hard edge;
     # 26 entries minus the 4 no-window sketch/BPE rows, minus the 4
@@ -7458,23 +7525,22 @@ _DRIVER_WINDOW = [
     "kmeans_refine_cluster_stats",
     "median_price_by_segment",
     "minhash_signatures_docs",
-    "mixture_budget_plan_by_lang",
-    "nation_market_share",
     # CAPACITY RULE (r12 verdict #7): with window-eligible catalog
     # size C (total minus the 4 no-window rows), window W=50 and
     # staleness bound B=4 rounds, a round adding n new entries can
     # recheck W-n old ones, so the bound is feasible iff
     # C + n <= (W - n) * B. This round: C=172 eligible pre-round
-    # (176 registered - 4 no-window), n=3 (video tier):
-    # 175 <= 47*4 = 188 — 13 slots of true margin, restored from
-    # r13's exactly-at-the-bound state by the 4 r10 pre-payments and
-    # by adding 3 (not 6) entries. Sustained growth cap stays ~5 new
+    # (176 registered - 4 no-window), n=5 (3 video tier + 2
+    # transform-stage digests): 177 <= 45*4 = 180 — 3 slots of
+    # margin, restored from r13's exactly-at-the-bound state by the
+    # 4 r10 pre-payments. Sustained growth cap is now ~4 new
     # entries/round at this catalog size; growth past C=194 eligible
     # requires a wider window or a longer bound, negotiated in
     # COVERAGE.md before it happens. r14 staleness ledger: after this
     # window, nothing older than r11 remains unchecked-within-4, and
-    # 25 of the 50 r11-cohort entries are already pre-paid for r15
-    # (r15 must carry the remaining 25 — capacity 25 + n <= 50).
+    # 23 of the 50 r11-cohort entries are pre-paid for r15 (r15 must
+    # carry the remaining 27 — capacity 27 + n <= 50, n <= ~4 with
+    # the C-bound the binding constraint).
 ]
 
 

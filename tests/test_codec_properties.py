@@ -206,3 +206,13 @@ def test_video_render_accepts_any_ascii_text(text):
     # cross-tier pin holds for EVERY text, not just the examples
     img, _ = ic.decode_netpbm(ic.render_histogram_image(text))
     assert (frames[0] == img).all()
+
+
+@SETTINGS
+@given(frame_stacks(), st.integers(1, 6))
+def test_decimate_avi_is_frame_stride_slice(frames, k):
+    raw = vc.encode_avi(frames, 1000)
+    dec, n = vc.decimate_avi(raw, k)
+    out, us = vc.decode_avi(dec)
+    assert n == len(frames[::k]) and (out == frames[::k]).all()
+    assert us == 1000 * k  # wall duration preserved for every stride

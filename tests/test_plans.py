@@ -151,10 +151,13 @@ def test_driver_window_covers_load_bearing_queries():
     names = list(qc.QUERIES)
     first50 = names[:50]
     for required in (
-        # r14-new (never driver-checked): the video tier
+        # r14-new (never driver-checked): the video tier + the
+        # audio/video transform-stage digests
         "video_decode_stats",
         "video_frame_dhash_signatures",
         "video_scene_near_dup",
+        "audio_decimate_digest",
+        "video_decimate_digest",
         # representatives of the r10 cohort (exactly 4 rounds old at
         # r14 — the staleness bound's hard edge; the full 22-entry
         # window-eligible cohort is in the window, these pin corners)
@@ -162,11 +165,11 @@ def test_driver_window_covers_load_bearing_queries():
         "latest_event_agg_form",
         "within_doc_dedup",
         "zorder_bucket_locality",
-        # representatives of the r11 cohort head (25 pre-payments
+        # representatives of the r11 cohort head (23 pre-payments
         # toward the r15 window)
         "benchmark_contamination",
         "embedding_ann_ivfpq_topk",
-        "nation_market_share",
+        "minhash_signatures_docs",
     ):
         assert required in first50, required
     # every slot carries an exact value-hash oracle

@@ -312,3 +312,52 @@ def test_scatter_for_kernel_rule(spark):
     assert mm.scatter_for_kernel(narrow).rdd.getNumPartitions() == target
     wide = docs.repartition(target * 2)
     assert mm.scatter_for_kernel(wide).rdd.getNumPartitions() == target * 2
+
+
+def test_decimate_avi_keeps_strided_frames_and_duration():
+    rng = np.random.default_rng(11)
+    f = rng.integers(0, 256, (4, 6, 6, 3), dtype=np.uint8)
+    raw = vc.encode_avi(f, 40_000)
+    dec, n = vc.decimate_avi(raw, 2)
+    frames, us = vc.decode_avi(dec)
+    assert n == 2 and us == 80_000  # duration-preserving: 4*40k == 2*80k
+    assert (frames == f[::2]).all()
+    # keep_every=1 is a lossless re-encode
+    same, n1 = vc.decimate_avi(raw, 1)
+    assert n1 == 4 and same == raw
+    with pytest.raises(ValueError):
+        vc.decimate_avi(raw, 0)
+
+
+def test_decimate_video_kernel_and_error_rows(spark):
+    f = np.full((4, 2, 2, 3), 7, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(vc.encode_avi(f, 40_000))), (2, bytearray(b"junk"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.decimate_video(df, keep_every=2).collect()}
+    ok = rows[1]
+    assert (ok.n_frames, ok.us_per_frame) == (2, 80_000)
+    expected, _ = vc.decimate_avi(vc.encode_avi(f, 40_000), 2)
+    assert bytes(ok.payload) == expected
+    bad = rows[2]
+    assert bad.decimate_error is not None
+    assert bad.n_frames is None and bad.payload is None
+
+
+def test_decimate_audio_kernel_and_error_rows(spark):
+    from hadoop_data_pipeline_spark.operators import audiocodec as ac
+
+    s = np.arange(-8, 8, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(ac.encode_wav(s, 8000))), (2, bytearray(b"junk"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.decimate_audio(df, factor=4).collect()}
+    ok = rows[1]
+    assert (ok.n_samples, ok.rate) == (4, 2000)
+    expected, _ = ac.decimate_wav(ac.encode_wav(s, 8000), 4)
+    assert bytes(ok.payload) == expected
+    bad = rows[2]
+    assert bad.decimate_error is not None
+    assert bad.n_samples is None and bad.payload is None

@@ -12,6 +12,8 @@ entries' DuckDB oracles need:
 * ``fp``      — signed 64-bit energy-difference fingerprint
 * ``n``       — sample count (render-constant but pinned anyway)
 * ``s_sum`` / ``s_sumsq`` — exact integer sample sum / sum-of-squares
+* ``dec_md5`` — md5 hex of the factor-4 ``decimate_wav`` payload
+  (r14: pins the audio transform stage byte-exactly)
 
 Keyed by md5(text) — content-addressed (the ``image_lens``
 precedent); ``tools/artifact_gate.py`` re-derives a sample per gate
@@ -49,28 +51,43 @@ DuckDB cannot decode WAV payloads, so the oracles join the documents
 view to this map of Spark-independent (plain numpy, no Spark
 execution — but SHARING the audiocodec kernels, so algorithmic
 correctness is pinned separately by the hand-computed values in
-tests/test_audiocodec.py) kernel outputs: signed-64 energy-difference fingerprint and exact
-integer sample sum / sum-of-squares. Inner joins turn any unmapped
+tests/test_audiocodec.py) kernel outputs: signed-64 energy-difference
+fingerprint, exact integer sample sum / sum-of-squares, and the md5
+of the factor-4 decimated payload. Inner joins turn any unmapped
 text into a row-count mismatch instead of a silent pass.
 """
+
+#: decimation factor pinned into ``dec_md5``.
+DECIMATE_FACTOR = {factor}
 
 #: render constants pinned with the values.
 RENDER_RATE = {rate}
 RENDER_SAMPLES = {n}
 
-#: md5(text-utf8) hex -> (fingerprint signed-64, s_sum, s_sumsq)
-AUDIO_LENS: dict[str, tuple[int, int, int]] = {{
+#: md5(text-utf8) hex -> (fingerprint signed-64, s_sum, s_sumsq,
+#: dec_md5)
+AUDIO_LENS: dict[str, tuple[int, int, int, str]] = {{
 '''
 
+DECIMATE_FACTOR = 4
 
-def lens_row(text: str) -> tuple[int, int, int]:
+
+def lens_row(text: str) -> tuple[int, int, int, str]:
+    import hashlib as _h
+
     payload = ac.render_tone_audio(text)
     st = ac.audio_sample_stats(payload)
-    return (ac.audio_fingerprint64(payload), st["s_sum"], st["s_sumsq"])
+    dec, _n = ac.decimate_wav(payload, DECIMATE_FACTOR)
+    return (
+        ac.audio_fingerprint64(payload),
+        st["s_sum"],
+        st["s_sumsq"],
+        _h.md5(dec).hexdigest(),
+    )
 
 
-def build_map() -> dict[str, tuple[int, int, int]]:
-    rows: dict[str, tuple[int, int, int]] = {}
+def build_map() -> dict[str, tuple[int, int, int, str]]:
+    rows: dict[str, tuple[int, int, int, str]] = {}
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         p = f"/root/testdata/{sf}/documents.parquet"
         if not os.path.exists(p):
@@ -89,9 +106,14 @@ def main() -> None:
     rows = build_map()
     assert rows, "no fixture documents found"
     with open(OUT, "w") as f:
-        f.write(HEADER.format(rate=ac.RENDER_RATE, n=ac.RENDER_SAMPLES))
-        for h, (fp, s, ss) in sorted(rows.items()):
-            f.write(f'    "{h}": ({fp}, {s}, {ss}),\n')
+        f.write(
+            HEADER.format(
+                rate=ac.RENDER_RATE, n=ac.RENDER_SAMPLES,
+                factor=DECIMATE_FACTOR,
+            )
+        )
+        for h, (fp, s, ss, dm) in sorted(rows.items()):
+            f.write(f'    "{h}": ({fp}, {s}, {ss}, "{dm}"),\n')
         f.write("}\n")
     print(f"wrote {len(rows)} entries to {OUT}")
 

@@ -12,6 +12,8 @@ video catalog entries' DuckDB oracles need:
 * ``dh0..dh3`` — signed 64-bit per-frame difference hashes
 * ``px_sum`` / ``px_sumsq`` — exact integer pixel sum /
   sum-of-squares across all frames
+* ``dec_md5`` — md5 hex of the keep-every-2 ``decimate_avi`` payload
+  (r14: pins the video transform stage byte-exactly)
 
 Keyed by md5(text) — content-addressed (the ``image_lens`` /
 ``audio_lens`` precedent); ``tools/artifact_gate.py`` re-derives a
@@ -50,10 +52,14 @@ view to this map of Spark-independent (plain numpy, no Spark
 execution — but SHARING the videocodec kernels, so algorithmic
 correctness is pinned separately by the hand-computed values in
 tests/test_videocodec.py) kernel outputs: four signed-64 per-frame
-dHashes and the exact integer pixel sum / sum-of-squares across all
-frames. Inner joins turn any unmapped text into a row-count mismatch
-instead of a silent pass.
+dHashes, the exact integer pixel sum / sum-of-squares across all
+frames, and the md5 of the keep-every-2 decimated payload. Inner
+joins turn any unmapped text into a row-count mismatch instead of a
+silent pass.
 """
+
+#: decimation stride pinned into ``dec_md5``.
+DECIMATE_KEEP_EVERY = {keep}
 
 #: render constants pinned with the values.
 RENDER_FRAMES = {n_frames}
@@ -61,21 +67,27 @@ RENDER_US_PER_FRAME = {us_per_frame}
 RENDER_W = {w}
 RENDER_H = {h}
 
-#: md5(text-utf8) hex -> (dh0, dh1, dh2, dh3, px_sum, px_sumsq)
-VIDEO_LENS: dict[str, tuple[int, int, int, int, int, int]] = {{
+#: md5(text-utf8) hex -> (dh0, dh1, dh2, dh3, px_sum, px_sumsq,
+#: dec_md5)
+VIDEO_LENS: dict[str, tuple[int, int, int, int, int, int, str]] = {{
 '''
 
+DECIMATE_KEEP_EVERY = 2
 
-def lens_row(text: str) -> tuple[int, int, int, int, int, int]:
+
+def lens_row(text: str) -> tuple[int, int, int, int, int, int, str]:
+    import hashlib as _h
+
     payload = vc.render_scene_video(text)
     st = vc.video_frame_stats(payload)
     dh = vc.frame_dhashes(payload)
     assert len(dh) == vc.RENDER_FRAMES
-    return (*dh, st["px_sum"], st["px_sumsq"])
+    dec, _n = vc.decimate_avi(payload, DECIMATE_KEEP_EVERY)
+    return (*dh, st["px_sum"], st["px_sumsq"], _h.md5(dec).hexdigest())
 
 
-def build_map() -> dict[str, tuple[int, int, int, int, int, int]]:
-    rows: dict[str, tuple[int, int, int, int, int, int]] = {}
+def build_map() -> dict[str, tuple]:
+    rows: dict[str, tuple] = {}
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         p = f"/root/testdata/{sf}/documents.parquet"
         if not os.path.exists(p):
@@ -100,6 +112,7 @@ def main() -> None:
                 us_per_frame=vc.RENDER_US_PER_FRAME,
                 w=vc.RENDER_W,
                 h=vc.RENDER_H,
+                keep=DECIMATE_KEEP_EVERY,
             )
         )
         for h, vals in sorted(rows.items()):
