@@ -31,9 +31,14 @@ put real authn/z in front before exposing beyond localhost.
 
 from __future__ import annotations
 
+import base64
+import datetime
+import decimal
 import json
+import posixpath
 import re
 import threading
+from collections.abc import Sequence
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -49,16 +54,43 @@ MAX_SQL_ROWS = 1000
 _SELECT_RE = re.compile(r"^\s*(select|with)\b", re.IGNORECASE)
 
 
+def _json_default(obj: object) -> str:
+    """Serialize the Spark row types ``json`` has no encoding for:
+    dates/timestamps to ISO-8601, decimals to their exact string form,
+    binary to base64. Anything else falls back to ``str`` rather than
+    500-ing the whole response."""
+    if isinstance(obj, (datetime.date, datetime.datetime)):
+        return obj.isoformat()
+    if isinstance(obj, decimal.Decimal):
+        return str(obj)
+    if isinstance(obj, (bytes, bytearray)):
+        return base64.b64encode(bytes(obj)).decode("ascii")
+    return str(obj)
+
+
+def _normalize_fs_path(p: str) -> str:
+    """Collapse ``.``/``..`` in the path component (scheme and
+    authority preserved) so the allowed-roots prefix check cannot be
+    escaped with ``/ok/../../etc`` tricks. Mirrors what Hadoop's
+    ``Path`` normalization does before the filesystem sees the path."""
+    parsed = urlparse(p)
+    if parsed.scheme:
+        path = posixpath.normpath(parsed.path or "/")
+        return f"{parsed.scheme}://{parsed.netloc}{path}"
+    return posixpath.normpath(p)
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "hdp-spark-api/1.0"
 
     # the server instance injects these
     spark: SparkSession
     fs: FS
+    allowed_roots: tuple[str, ...] = ()
 
     # -- plumbing ---------------------------------------------------------
     def _json(self, code: int, payload: dict) -> None:
-        body = json.dumps(payload).encode("utf-8")
+        body = json.dumps(payload, default=_json_default).encode("utf-8")
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
@@ -86,6 +118,18 @@ class _Handler(BaseHTTPRequestHandler):
         p = self._params().get("path")
         if not p:
             self._error(400, "missing required query parameter: path")
+            return None
+        if self.allowed_roots:
+            norm = _normalize_fs_path(p)
+            if not any(
+                norm == root.rstrip("/")
+                or norm.startswith(root.rstrip("/") + "/")
+                for root in self.allowed_roots
+            ):
+                self._error(
+                    403, f"path outside the allowed roots: {norm}"
+                )
+                return None
         return p
 
     # -- verbs ------------------------------------------------------------
@@ -152,8 +196,21 @@ class _Handler(BaseHTTPRequestHandler):
                     sql = json.loads(raw).get("sql", "")
                 except (json.JSONDecodeError, AttributeError):
                     sql = raw  # raw-text body is accepted too
-                if not _SELECT_RE.match(guards.clean_sql(sql or "")):
+                cleaned = guards.clean_sql(sql or "")
+                if not _SELECT_RE.match(cleaned):
                     self._error(400, "only SELECT/WITH statements are served")
+                    return
+                # The prefix check alone is bypassable (a CTE can
+                # front DML), so the real decision is the parsed-plan
+                # walk: any write/DDL/command node anywhere in the
+                # tree refuses the statement (guards.non_query_nodes).
+                bad = guards.non_query_nodes(self.spark, cleaned)
+                if bad:
+                    self._error(
+                        400,
+                        "only pure queries are served; statement "
+                        f"contains {', '.join(bad)}",
+                    )
                     return
                 df, final_sql = guards.run_with_repair(self.spark, sql)
                 rows = df.limit(MAX_SQL_ROWS).collect()
@@ -201,10 +258,19 @@ class PipelineHTTPServer:
     """
 
     def __init__(self, spark: SparkSession, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0,
+                 allowed_roots: Sequence[str] | None = None):
+        """``allowed_roots``: optional path-prefix allowlist for every
+        ``/fs/*`` endpoint (normalized before comparison, so ``..``
+        segments cannot escape it); requests outside it get 403. Leave
+        ``None`` only for localhost dev — one recursive DELETE can
+        otherwise remove the warehouse."""
         self._spark = spark
         self._host = host
         self._port = port
+        self._allowed_roots = tuple(
+            _normalize_fs_path(r) for r in (allowed_roots or ())
+        )
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -212,6 +278,7 @@ class PipelineHTTPServer:
         handler = type("BoundHandler", (_Handler,), {})
         handler.spark = self._spark
         handler.fs = FS(self._spark)
+        handler.allowed_roots = self._allowed_roots
         self._httpd = ThreadingHTTPServer((self._host, self._port), handler)
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True

@@ -100,6 +100,59 @@ def plan_has_bad_remaining_sum(
     return bool(sums_amount and filters_remaining and not takes_latest)
 
 
+#: Parsed-plan node classes that make a statement a write / DDL /
+#: session-mutating command rather than a pure query. Matched against
+#: the Catalyst class SIMPLE name of every node in the parsed tree:
+#: commands and DML parse to ``*Command`` / ``*Statement`` nodes or to
+#: nodes with these prefixes (``InsertIntoStatement``, ``InsertIntoDir``,
+#: ``CreateTableAsSelect``, ``DropTable``, ``SetCommand``, ...), while
+#: pure-query nodes (Project/Aggregate/Join/UnresolvedWith/GlobalLimit/
+#: Distinct/Sample/Offset/...) match none of the anchored prefixes.
+_NON_QUERY_NODE_RE = re.compile(
+    r"^(Insert|Create|Drop|Delete|Update|Merge|Alter|Truncate|Cache"
+    r"|Uncache|Refresh|Repair|Analyze|Set|Reset|Use|Show|Describe"
+    r"|Load|Add|Write|Call|Comment|Declare|Execute|Explain|Vacuum)"
+    r"|Command$|Statement$"
+)
+
+
+def non_query_nodes(spark: SparkSession, sql: str) -> list[str]:
+    """Walk the PARSED (never executed) logical plan and return the
+    class names of any write / DDL / command nodes — empty for a pure
+    query. This is the serving-path write guard: a ``^SELECT|WITH``
+    prefix check alone is bypassable because Spark SQL accepts CTEs
+    before DML (``WITH t AS (SELECT 1) INSERT INTO tbl SELECT * FROM
+    t`` parses to root ``UnresolvedWith`` with an
+    ``InsertIntoStatement`` child — verified on pyspark 4.1), so the
+    decision must come from the tree, not the first token.
+
+    Unparsable SQL returns ``[]``: it cannot execute either, and
+    letting execution raise keeps the real ``ParseException`` message.
+    Walks ``children`` and ``innerChildren`` so CTE definitions and
+    subqueries are covered; parsed trees are shallow (no driver-side
+    blowup), and parsing — unlike ``spark.sql`` — never runs commands
+    eagerly, so the check itself cannot trigger the write it guards.
+    """
+    try:
+        parsed = (
+            spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        )
+    except Exception:
+        return []
+    seen: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if _NON_QUERY_NODE_RE.search(name) and name not in seen:
+            seen.append(name)
+        for coll in (node.children(), node.innerChildren()):
+            for i in range(coll.size()):
+                walk(coll.apply(i))
+
+    walk(parsed)
+    return seen
+
+
 def run_with_repair(
     spark: SparkSession,
     sql: str,

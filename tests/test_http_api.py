@@ -96,3 +96,61 @@ def test_sql_endpoint_guarded(server):
     # execution errors surface as structured 500s, not hung sockets
     code, detail = _err(f"{base}/sql", "POST", b"SELECT * FROM no_such")
     assert code == 500
+
+
+def test_sql_write_statements_refused_behind_cte(server):
+    """A CTE prefix satisfies the ^WITH regex, so the parsed-plan walk
+    is what must refuse write statements (the ADVICE r14 bypass)."""
+    base, _ = server
+    for stmt in (
+        b"WITH t AS (SELECT 1 AS x) INSERT INTO api_rows "
+        b"SELECT x, 'z', 0.0 FROM t",
+        b"WITH t AS (SELECT 1 AS x) INSERT OVERWRITE DIRECTORY "
+        b"'/tmp/api_bypass' USING parquet SELECT * FROM t",
+    ):
+        code, detail = _err(f"{base}/sql", "POST", stmt)
+        assert code == 400 and "Insert" in detail["detail"], detail
+    # the table the INSERT aimed at is untouched
+    out = _req(f"{base}/sql", "POST", b"SELECT COUNT(*) AS n FROM api_rows")
+    assert out["rows"] == [[3]]
+
+
+def test_sql_serializes_dates_decimals_binary(server):
+    """Date / timestamp / decimal / binary columns must serialize, not
+    500 (the fixture schema has date columns — ADVICE r14 #2)."""
+    base, _ = server
+    out = _req(
+        f"{base}/sql", "POST",
+        b"SELECT DATE'2024-03-01' AS d,"
+        b" TIMESTAMP'2024-03-01 12:30:00' AS ts,"
+        b" CAST(1.50 AS DECIMAL(10,2)) AS dec,"
+        b" CAST('ab' AS BINARY) AS bin",
+    )
+    (row,) = out["rows"]
+    assert row[0] == "2024-03-01"
+    assert row[1].startswith("2024-03-01T12:30:00")
+    assert row[2] == "1.50"
+    assert row[3] == "YWI="  # base64("ab")
+
+
+def test_fs_allowed_roots_fence(spark, tmp_path_factory):
+    """With allowed_roots set, /fs requests outside the fence get 403
+    — including ``..`` escapes — while inside-the-fence ops work."""
+    root = tmp_path_factory.mktemp("fenced")
+    srv = PipelineHTTPServer(spark, allowed_roots=[f"file://{root}"])
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        ok = f"file://{root}/a.txt"
+        _req(f"{base}/fs/upload?path={ok}", "POST", b"inside")
+        assert _req(f"{base}/fs/status?path={ok}")["exists"] is True
+        code, detail = _err(f"{base}/fs/read?path=file:///etc/hostname")
+        assert code == 403 and "allowed roots" in detail["detail"]
+        # ..-escape past the fence is normalized away, then refused
+        sneak = f"file://{root}/../../../etc/hostname"
+        code, _ = _err(f"{base}/fs/read?path={sneak}")
+        assert code == 403
+        code, _ = _err(f"{base}/fs/delete?path=file:///etc", "DELETE")
+        assert code == 403
+    finally:
+        srv.stop()

@@ -185,3 +185,34 @@ def test_run_with_repair_plan_lint_preemptive(spark, long_view):
     df, _ = guards.run_with_repair(spark, bad, fixer=fixer)
     assert df.collect()[0]["s"] == 10.0
     assert calls and "point-in-time" in calls[0]
+
+
+def test_non_query_nodes_pure_queries_pass(spark):
+    for sql in (
+        "SELECT 1",
+        "WITH t AS (SELECT 1 AS x) SELECT * FROM t",
+        "SELECT * FROM (SELECT 1) q ORDER BY 1 LIMIT 5",
+        "(SELECT 1) UNION (SELECT 2)",
+        "VALUES (1),(2)",
+        "SELECT 1 OFFSET 0",  # Offset node: 'Set' substring must not trip
+    ):
+        assert guards.non_query_nodes(spark, sql) == [], sql
+
+
+def test_non_query_nodes_flags_writes_anywhere_in_tree(spark):
+    cases = {
+        "WITH t AS (SELECT 1) INSERT INTO x SELECT * FROM t":
+            "InsertIntoStatement",
+        "INSERT OVERWRITE DIRECTORY '/tmp/z' USING parquet SELECT 1":
+            "InsertIntoDir",
+        "CREATE TABLE x AS SELECT 1": "CreateTableAsSelect",
+        "DROP TABLE x": "DropTable",
+        "EXPLAIN SELECT 1": "ExplainCommand",
+        "SET spark.x=1": "SetCommand",
+        "CACHE TABLE x": "CacheTable",
+    }
+    for sql, node in cases.items():
+        assert node in guards.non_query_nodes(spark, sql), sql
+    # unparsable SQL is not flagged here: it cannot execute either, and
+    # the later ParseException carries the real message
+    assert guards.non_query_nodes(spark, "SELEKT banana !!") == []

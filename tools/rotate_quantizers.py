@@ -130,16 +130,25 @@ def verify() -> int:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if "--verify-only" in sys.argv:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Quantizer artifact rotation (see module docstring)"
+    )
+    parser.add_argument("fit_dir", nargs="?", default=None,
+                        help="snapshot directory to re-fit against")
+    parser.add_argument("--baseline", default=DEFAULT_BASELINE,
+                        help="drift-advisory baseline snapshot")
+    parser.add_argument("--verify-only", action="store_true",
+                        help="run artifact_gate + recall ladder only")
+    opts = parser.parse_args()
+    if opts.verify_only:
         return verify()
-    if not args:
+    if opts.fit_dir is None:
         print(__doc__)
         return 2
-    fit_dir = args[0]
-    baseline = DEFAULT_BASELINE
-    if "--baseline" in sys.argv:
-        baseline = sys.argv[sys.argv.index("--baseline") + 1]
+    fit_dir = opts.fit_dir
+    baseline = opts.baseline
     status = advisory(baseline, fit_dir)
     if status == "stable":
         print(
