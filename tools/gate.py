@@ -214,6 +214,19 @@ def main() -> int:
                 [sys.executable, "tools/task_skew_audit.py"],
             )
         )
+        # measured shuffle/spill/scan bytes for EVERY catalog query →
+        # METRICS.json (r14 verdict #2: the audit previously ran by
+        # hand and silently staled — the r14 binary-payload entries
+        # shipped with no committed byte measurements). Fails on any
+        # query error or on coverage < len(QUERIES); spills at
+        # standard memory are reported in the output (expected zero —
+        # the deliberate pressure run lives in tools/spill_rehearsal.py).
+        steps.append(
+            (
+                "metrics_audit",
+                [sys.executable, "tools/metrics_audit.py"],
+            )
+        )
     results = [run(name, cmd) for name, cmd in steps]
     all_ok = all(ok for _, ok, _, _ in results)
 

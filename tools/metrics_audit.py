@@ -109,7 +109,7 @@ def measure(spark, fn, sf_dir: str) -> dict[str, int]:
     return out
 
 
-def main() -> None:
+def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
     from hadoop_data_pipeline_spark.session import get_session
@@ -120,12 +120,14 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     names = only or list(qc.QUERIES)
     results: dict[str, dict[str, int]] = {}
+    failed: list[str] = []
     for name in names:
         spark.catalog.clearCache()
         try:
             results[name] = measure(spark, qc.QUERIES[name], sf_dir)
         except Exception as ex:  # noqa: BLE001
             print(f"{name}: FAILED {ex}", file=sys.stderr)
+            failed.append(name)
             continue
         r = results[name]
         print(
@@ -140,8 +142,30 @@ def main() -> None:
         with open(path, "w") as fh:
             json.dump({"sf_dir": sf_dir, "queries": results}, fh, indent=1,
                       sort_keys=True)
-        print(f"wrote {path}: {len(results)} queries")
+        spilled = sorted(
+            n for n, r in results.items() if r["spill_bytes"] > 0
+        )
+        print(
+            f"wrote {path}: {len(results)}/{len(qc.QUERIES)} queries, "
+            f"{len(spilled)} with spill"
+            + (f" ({', '.join(spilled)})" if spilled else "")
+        )
+    # Gate contract (r14 verdict #2): full-catalog runs must cover
+    # EVERY registered query — a new entry with no committed metrics
+    # is exactly how the r14 binary-payload movers escaped the
+    # zero-spill audit. Spills at standard memory are reported above,
+    # not failed here: the spill-rehearsal tool owns that behavior.
+    if failed:
+        return 1
+    if not only and len(results) != len(qc.QUERIES):
+        print(
+            f"coverage gap: measured {len(results)} of "
+            f"{len(qc.QUERIES)} registered queries",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
