@@ -253,6 +253,176 @@ def signature_near_dup_pairs(
     )
 
 
+def write_signature_index_bucketed(
+    sig: DataFrame,
+    table: str,
+    sig_col: str = "dhash",
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    frame_col: str | None = None,
+    n_buckets: int = 8,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the band-subset index of a signature corpus as a
+    parquet table BUCKETED by ``band_key`` — the media tiers' version
+    of the text pipeline's persisted MinHash band index
+    (``dedup.write_band_index_bucketed``): each ingest run stores the
+    band rows of the clips it ADMITTED (``mode="append"``), and every
+    future probe joins the stored layout with NO index-side exchange.
+
+    Row shape: ``(id, [frame_idx,] signature, band_id, band_key)`` —
+    the signature rides along (8 bytes) so the probe's Hamming
+    verification never touches payloads. ~C(n_bands, n_bands -
+    max_hamming) rows per signature: a ~1e-5 fraction of a 100 TB
+    media corpus."""
+    from hadoop_data_pipeline_spark.sources.bucketing import write_bucketed
+
+    carry = [id_col] + ([frame_col] if frame_col else [])
+    bands = band_subset_rows(sig, sig_col, max_hamming, n_bands, carry)
+    write_bucketed(
+        bands, table, ["band_key"], n_buckets,
+        sort_cols=["band_key"], path=path, mode=mode,
+    )
+
+
+def _probe_signature_bands(
+    bands_new: DataFrame,
+    idx_bands: DataFrame,
+    sig_col: str,
+    max_hamming: int,
+    id_col: str,
+    frame_col: str | None,
+    min_shared_frames: int | None,
+) -> DataFrame:
+    """Shared probe core: join NEW band rows against INDEX band rows
+    on ``band_key`` ALONE, with ``band_id`` (and frame) equality as
+    post-join ARITHMETIC filters — a plain ``==`` becomes a second
+    equi-join key and the planner then disables the bucketed index
+    scan (the ``probe_candidates_bucketed`` lesson, dedup.py). Same
+    candidate set either way: a cross-band key collision implies the
+    subsets' band values are identical, and the Hamming verification
+    is exact regardless."""
+    carry_new = [F.col(id_col).alias("id_new")] + (
+        [F.col(frame_col).alias("__f_new")] if frame_col else []
+    )
+    bn = bands_new.select(
+        *carry_new,
+        F.col(sig_col).alias("__sig_new"),
+        F.col("band_id").alias("__bid_new"),
+        "band_key",
+    )
+    carry_idx = [F.col(id_col).alias("id_other")] + (
+        [F.col(frame_col)] if frame_col else []
+    )
+    ix = idx_bands.select(
+        *carry_idx,
+        F.col(sig_col).alias("__sig_idx"),
+        "band_id",
+        "band_key",
+    )
+    verified = (
+        bn.join(ix, "band_key")
+        .where(F.expr("__bid_new - band_id = 0"))
+        .where(F.expr(f"bit_count(__sig_new ^ __sig_idx) <= {max_hamming}"))
+    )
+    if frame_col:
+        frames = (
+            verified.where(F.expr(f"__f_new - {frame_col} = 0"))
+            .select("id_new", "id_other",
+                    F.col("__f_new").alias(frame_col))
+            .distinct()  # a frame pair can match in several subsets
+        )
+        out = frames.groupBy("id_new", "id_other").agg(
+            F.count("*").alias("shared_frames")
+        )
+        if min_shared_frames is not None:
+            out = out.where(F.col("shared_frames") >= min_shared_frames)
+        return out
+    return (
+        verified.select(
+            "id_new", "id_other",
+            F.expr("bit_count(__sig_new ^ __sig_idx)").alias("hamming"),
+        )
+        .distinct()  # hamming is pair-deterministic, so distinct is safe
+    )
+
+
+def probe_signature_pairs(
+    new_sig: DataFrame,
+    index_sig: DataFrame,
+    sig_col: str = "dhash",
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    frame_col: str | None = None,
+    min_shared_frames: int | None = None,
+) -> DataFrame:
+    """Incremental media near-dup probe, in-plan form: NEW signatures
+    (today's ingest batch) against an existing corpus's signatures —
+    the daily-ingest shape where new clips dedup against yesterday's
+    index rather than the corpus against itself. Returns matched
+    CROSS pairs only: ``(id_new, id_other, hamming)``, or with
+    ``frame_col`` the video-scene form ``(id_new, id_other,
+    shared_frames)`` where frames match positionally (the
+    :func:`video_scene_near_dup_pairs` contract). Within-batch pairs
+    are the batch operator's job; callers needing admission semantics
+    anti-join the result off the new batch.
+
+    Both sides band via the same LOSSLESS subset pigeonhole
+    (:func:`band_subset_rows`), so the pair set EQUALS the quadratic
+    new x index scan's — same argument, same property tests. The new
+    batch is bounded (a day's ingest), so its band rows broadcast
+    under AQE and the index side never shuffles; at index sizes where
+    even that join must pre-place, use
+    :func:`probe_signature_index_bucketed` over a PERSISTED index —
+    the corpus side is then a bucketed parquet scan of stored band
+    rows: never re-banded, never exchanged."""
+    bands_new = band_subset_rows(
+        new_sig, sig_col, max_hamming, n_bands,
+        [id_col] + ([frame_col] if frame_col else []),
+    )
+    idx_bands = band_subset_rows(
+        index_sig, sig_col, max_hamming, n_bands,
+        [id_col] + ([frame_col] if frame_col else []),
+    )
+    return _probe_signature_bands(
+        bands_new, idx_bands, sig_col, max_hamming, id_col,
+        frame_col, min_shared_frames,
+    )
+
+
+def probe_signature_index_bucketed(
+    spark,
+    new_sig: DataFrame,
+    index_table: str,
+    sig_col: str = "dhash",
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    frame_col: str | None = None,
+    min_shared_frames: int | None = None,
+) -> DataFrame:
+    """:func:`probe_signature_pairs` against a PERSISTED band index
+    (:func:`write_signature_index_bucketed`): the index side is a
+    bucketed parquet scan of stored ``(id, [frame,] sig, band_id,
+    band_key)`` rows — the corpus is never re-banded (its payloads
+    were hashed once, on admission), and because ``band_key`` is both
+    the bucket column and the sole join key, the sort-merge join
+    reads the index with NO exchange: each daily probe shuffles only
+    the new batch's band rows. Identical pairs to the in-plan form —
+    pinned by a round-trip test."""
+    bands_new = band_subset_rows(
+        new_sig, sig_col, max_hamming, n_bands,
+        [id_col] + ([frame_col] if frame_col else []),
+    )
+    return _probe_signature_bands(
+        bands_new, spark.table(index_table), sig_col, max_hamming,
+        id_col, frame_col, min_shared_frames,
+    )
+
+
 def image_near_dup_pairs(
     sig: DataFrame,
     max_hamming: int = 2,

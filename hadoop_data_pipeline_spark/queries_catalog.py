@@ -7442,6 +7442,97 @@ def video_decimate_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_incremental_video_probe() -> str:
+    """Oracle for the incremental video probe: quadratic new x index
+    scan over the pinned per-frame dHashes, split at the same
+    ``_INCR_SPLIT`` constant the text incremental entries use."""
+    same = " + ".join(
+        f"(CASE WHEN bit_count(xor(a.d{k}, b.d{k})) <= 2 THEN 1 ELSE 0 END)"
+        for k in range(4)
+    )
+    return f"""
+    WITH {_video_lens_cte("d0, d1, d2, d3", "{d0}, {d1}, {d2}, {d3}")},
+    sig AS MATERIALIZED (
+        SELECT d.doc_id, i.d0, i.d1, i.d2, i.d3
+        FROM documents d JOIN vmap i ON md5(d.text) = i.h
+    )
+    SELECT b.doc_id AS id_new, a.doc_id AS id_other,
+           CAST({same} AS BIGINT) AS shared_frames
+    FROM sig a JOIN sig b
+      ON a.doc_id < {_INCR_SPLIT} AND b.doc_id >= {_INCR_SPLIT}
+    WHERE {same} >= 3
+    """
+
+
+@register(
+    "incremental_video_scene_probe",
+    oracle=_duck_incremental_video_probe(),
+)
+def incremental_video_scene_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental MEDIA near-dup ingest (r14 verdict next #4): the
+    second half of the corpus (the 'new batch' of clips) probed
+    against the first half (the 'index') — new videos sharing >= 3 of
+    4 positional frame scenes (per-frame dHash Hamming <= 2) with an
+    already-admitted video, the production daily-ingest shape where
+    clips dedup against yesterday's index instead of corpus vs
+    itself. The media generalization of
+    ``incremental_near_dup_new_docs``: one generic probe
+    (``multimodal.probe_signature_pairs`` over the lossless
+    band-SUBSET keys) serves the image / audio / video signature
+    tiers. At 100 TB the index contributes its STORED band rows —
+    ``multimodal.probe_signature_index_bucketed`` reads them as a
+    bucketed parquet scan with zero index-side exchange and no
+    re-hash of admitted payloads (plan pinned in
+    tests/test_plans.py); here both sides derive in-plan from the
+    fixtures so the DuckDB oracle can see the same inputs. Only
+    2-int band rows shuffle; pixels never move."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") >= _INCR_SPLIT)
+    idx = docs.where(F.col("doc_id") < _INCR_SPLIT)
+    return multimodal.probe_signature_pairs(
+        multimodal.video_frame_dhashes_from_text(new),
+        multimodal.video_frame_dhashes_from_text(idx),
+        sig_col="dhash",
+        frame_col="frame_idx",
+        min_shared_frames=3,
+    )
+
+
+@register(
+    "incremental_image_probe",
+    oracle=f"""
+    WITH {_image_lens_cte("dh", "{dh}")},
+    sig AS (
+        SELECT d.doc_id, i.dh FROM documents d JOIN imap i ON md5(d.text) = i.h
+    )
+    SELECT b.doc_id AS id_new, a.doc_id AS id_other,
+           bit_count(xor(a.dh, b.dh)) AS hamming
+    FROM sig a JOIN sig b
+      ON a.doc_id < {_INCR_SPLIT} AND b.doc_id >= {_INCR_SPLIT}
+    WHERE bit_count(xor(a.dh, b.dh)) <= 2
+    """,
+)
+def incremental_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image near-dup ingest: new images (doc_id >= split)
+    probed against the admitted corpus's dHash signatures, Hamming
+    <= 2 — the flat-signature form of the same generic probe the
+    video entry exercises with frame semantics
+    (``multimodal.probe_signature_pairs``; see there and
+    ``probe_signature_index_bucketed`` for the persisted zero-exchange
+    layout). Oracle: full quadratic new x index scan over the pinned
+    signatures — identical pairs by the subset-banding pigeonhole."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") >= _INCR_SPLIT)
+    idx = docs.where(F.col("doc_id") < _INCR_SPLIT)
+    return multimodal.probe_signature_pairs(
+        multimodal.image_dhash(multimodal.attach_ppm_payload(new)),
+        multimodal.image_dhash(multimodal.attach_ppm_payload(idx)),
+        sig_col="dhash",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # The round driver oracle-checks the FIRST 50 registered queries, so
@@ -7466,81 +7557,78 @@ def video_decimate_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/oracle_check.py --strict and tests/test_catalog_oracle.py.
 
 _DRIVER_WINDOW = [
-    # r14-new entries first (never driver-checked): the video tier
-    # plus the audio/video transform-stage digests
-    "video_decode_stats",
-    "video_frame_dhash_signatures",
-    "video_scene_near_dup",
-    "audio_decimate_digest",
-    "video_decimate_digest",
-    # the full window-eligible r10 cohort (last driver-checked r10,
-    # exactly 4 rounds old at r14 — the staleness bound's hard edge;
-    # 26 entries minus the 4 no-window sketch/BPE rows, minus the 4
-    # pre-paid in r13: corpus_mix_sample, customer_spend_decile_by_
-    # nation, debounce_dedup_events, disjunctive_brand_revenue)
-    "domain_cap_per_source",
-    "forecast_revenue_change",
-    "fuzzy_name_pairs_part",
-    "idle_rich_customers",
-    "k_anonymity_customers",
-    "keyword_search_bm25",
-    "lang_id_confusion",
-    "large_quantity_orders",
-    "latest_event_agg_form",
-    "monthly_revenue_moving_avg",
-    "part_revenue_concentration",
-    "per_source_corpus_stats",
-    "purchases_without_prior_click",
-    "rolling_1h_user_event_stats",
-    "supplier_balance_percentile",
-    "tokenizer_fertility_by_lang",
-    "unigram_logprob_quality",
-    "user_first_last_events",
-    "weighted_sample_per_lang",
-    "within_doc_dedup",
-    "xml_roundtrip_docs",
-    "zorder_bucket_locality",
-    # head of the r11 cohort (ages out at r15; pre-paying 25 of its
+    # r15-new entries first (never driver-checked): the incremental
+    # media near-dup probes (generic signature-index probe, video
+    # scene form + image flat form)
+    "incremental_video_scene_probe",
+    "incremental_image_probe",
+    # the REMAINING r11 cohort (last driver-checked r11, exactly 4
+    # rounds old at r15 — the staleness bound's hard edge; 50 minus
+    # the 23 pre-paid in r14)
+    "mixture_budget_plan_by_lang",
+    "nation_market_share",
+    "nation_pair_trade_volume",
+    "near_dup_pairs_minhash",
+    "ngram_jaccard_pairs_lang",
+    "pagerank_part_supplier",
+    "prepare_training_shards",
+    "profile_lineitem_columns",
+    "profit_by_nation_year",
+    "quantity_price_correlation",
+    "quantizer_drift_advisory",
+    "revenue_by_nation",
+    "rolling_7d_user_value",
+    "segment_dedup_docs",
+    "semantic_dedup_embeddings",
+    "session_window_user_stats",
+    "ship_latency_priority_counts",
+    "shipping_priority_top10",
+    "simhash_docs",
+    "simhash_near_dup_pairs",
+    "sole_failing_supplier",
+    "substring_scrub_docs",
+    "supplier_count_by_part_attrs",
+    "table_diff_orders_drift",
+    "tfidf_top_terms_per_lang",
+    "top_returning_customers",
+    "user_event_gap_stats",
+    # head of the r12 cohort (ages out at r16; pre-paying 21 of its
     # 50 entries, alphabetical order)
-    "benchmark_contamination",
-    "bom_rollup_recursive",
-    "clean_corpus",
-    "csv_roundtrip_events_props",
-    "curriculum_quality_buckets",
-    "decontaminate_corpus",
-    "dedup_clusters_minhash",
-    "dominant_supplier_share",
-    "dup_ngram_fraction",
-    "embedding_ann_filtered_topk",
-    "embedding_ann_ivf_topk",
-    "embedding_ann_ivfpq_residual_topk",
-    "embedding_ann_ivfpq_topk",
-    "embedding_ann_multiprobe_topk",
-    "embedding_drift_psi_by_cell",
-    "embedding_near_dup_pairs",
-    "embedding_pq_rerank_topk",
-    "embedding_pq_topk",
-    "hard_negative_pairs_embeddings",
-    "incremental_near_dup_new_docs",
-    "kmeans_refine_cluster_stats",
-    "median_price_by_segment",
-    "minhash_signatures_docs",
+    "association_rules_copurchase",
+    "binary_payload_stats",
+    "case_when_agg_per_user",
+    "cast_and_literal_projection",
+    "cms_heavy_hitter_counts",
+    "context_chunk_boundary_stats",
+    "copurchase_triangle_counts",
+    "count_orders_per_year",
+    "cube_returnflag_linestatus",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "dedup_exact_docs",
+    "distinct_order_years",
+    "distinct_user_event_pairs",
+    "doc_fingerprint",
+    "embedding_ann_ivfpq_rerank_topk",
+    "embedding_ann_lsh_topk",
+    "embedding_cosine_topk",
+    "epoch_shuffle_order",
+    "filtered_sum_returned_revenue",
+    "forward_fill_purchase_value",
     # CAPACITY RULE (r12 verdict #7): with window-eligible catalog
     # size C (total minus the 4 no-window rows), window W=50 and
     # staleness bound B=4 rounds, a round adding n new entries can
     # recheck W-n old ones, so the bound is feasible iff
-    # C + n <= (W - n) * B. This round: C=172 eligible pre-round
-    # (176 registered - 4 no-window), n=5 (3 video tier + 2
-    # transform-stage digests): 177 <= 45*4 = 180 — 3 slots of
-    # margin, restored from r13's exactly-at-the-bound state by the
-    # 4 r10 pre-payments. Sustained growth cap is now ~4 new
-    # entries/round at this catalog size; growth past C=194 eligible
-    # requires a wider window or a longer bound, negotiated in
-    # COVERAGE.md before it happens. r14 staleness ledger: after this
-    # window, nothing older than r11 remains unchecked-within-4, and
-    # 23 of the 50 r11-cohort entries are pre-paid for r15 (r15 must
-    # carry the remaining 27 — capacity 27 + n <= 50, n <= ~4 with
-    # the C-bound the binding constraint).
+    # C + n <= (W - n) * B. This round: C=177 eligible pre-round
+    # (181 registered - 4 no-window), n=2 (the media probes):
+    # 179 <= 48*4 = 192 — 13 slots of margin. Window arithmetic:
+    # 2 new + 27 r11-remaining (the whole hard edge) + 21 r12
+    # pre-payments = 50. r15 staleness ledger: after this window,
+    # nothing older than r12 remains unchecked-within-4; r16 must
+    # carry the remaining 29 r12-cohort entries (50 - 21 pre-paid),
+    # so r16 capacity is 29 + n <= 50 AND 179 + n <= (50 - n)*4,
+    # i.e. n <= 4. Growth past C=194 eligible requires a wider
+    # window or a longer bound, negotiated in COVERAGE.md first.
 ]
 
 

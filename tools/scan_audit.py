@@ -119,6 +119,13 @@ SCAN_BUDGETS: dict[str, dict[str, int]] = {
     # bucketed_index (stored band keys, ZERO corpus re-scans); this
     # catalog entry keeps the in-plan form oracle-checkable.
     "incremental_near_dup_new_docs": {"documents": 6},
+    # In-plan media probes: new-batch half x index half (the
+    # incremental_dedup precedent). The 100 TB path is
+    # probe_signature_index_bucketed (stored band rows, zero index
+    # re-scan); the catalog entries keep the in-plan form
+    # oracle-checkable against the fixtures.
+    "incremental_video_scene_probe": {"documents": 2},
+    "incremental_image_probe": {"documents": 2},
     # -- embeddings: query-side x corpus-side reads --
     "embedding_cosine_topk": {"embeddings": 2},  # queries x corpus
     "embedding_ann_lsh_topk": {"embeddings": 2},
