@@ -11,8 +11,11 @@ single task. Constant-dominated queries (sub-second everywhere) show
 factors near 1 — also fine. The red flag is ONLY a large factor on
 the 0.01 -> 0.1 edge, where fixed overhead no longer hides growth.
 
-Usage: python tools/scaling.py [query ...]
-Writes SCALING.json at the repo root when run with no explicit list.
+Usage: python tools/scaling.py [--merge] [query ...]
+Writes SCALING.json at the repo root when run with no explicit list;
+``--merge`` folds an explicit list's measurements into the existing
+SCALING.json (how new catalog families join the fitted-curve ledger
+without re-timing the whole subset).
 """
 
 from __future__ import annotations
@@ -64,7 +67,8 @@ def main() -> None:
     from hadoop_data_pipeline_spark.session import get_session
     from hadoop_data_pipeline_spark import queries_catalog as qc
 
-    names = sys.argv[1:] or DEFAULT
+    merge = "--merge" in sys.argv[1:]
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or DEFAULT
     spark = get_session("scaling")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -85,14 +89,20 @@ def main() -> None:
             "growth_per_10x": [g1, g2],
         }
         print(f"{name}: {times} growth {g1}x, {g2}x")
-    if not sys.argv[1:]:
+    explicit = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if not explicit or merge:
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "SCALING.json",
         )
+        if merge and os.path.exists(path):
+            with open(path) as fh:
+                merged = json.load(fh)
+            merged.update(out)
+            out = merged
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
-        print(f"wrote {path}")
+        print(f"wrote {path} ({len(out)} queries)")
 
 
 if __name__ == "__main__":
