@@ -207,6 +207,71 @@ def check_video_lens() -> list[str]:
     return problems
 
 
+def check_independent_rederivation(k: int = 8) -> list[str]:
+    """Second-derivation lens check (r14 verdict next #5): a seeded
+    random sample of ``k`` texts per media tier is re-derived through
+    ``tools/independent_lens.py`` — a pure-stdlib (no numpy, no codec
+    module, no generator import) re-statement of the whole
+    text -> render -> decode -> hash/transform pipeline — and
+    compared against the pinned maps. The per-tier freshness checks
+    above re-derive through the SAME codec modules the Spark kernels
+    call, so a shared-kernel bug would self-consistently pin; this
+    check only stays green if two structurally different
+    implementations agree, sample by sample, tuple by tuple."""
+    import random
+
+    from hadoop_data_pipeline_spark.functions.audio_lens import AUDIO_LENS
+    from hadoop_data_pipeline_spark.functions.image_lens import IMAGE_LENS
+    from hadoop_data_pipeline_spark.functions.video_lens import VIDEO_LENS
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import independent_lens as il
+
+    texts: dict[str, str] = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        for t in pq.read_table(p, columns=["text"]).column("text").to_pylist():
+            if t is not None:
+                texts[hashlib.md5(t.encode()).hexdigest()] = t
+    problems: list[str] = []
+    for name, lens, fn in (
+        ("IMAGE_LENS", IMAGE_LENS, il.image_row),
+        ("AUDIO_LENS", AUDIO_LENS, il.audio_row),
+        ("VIDEO_LENS", VIDEO_LENS, il.video_row),
+    ):
+        pool = sorted(key for key in lens if key in texts)
+        if not pool:
+            problems.append(f"{name}: no fixture texts to sample")
+            continue
+        # deterministic per-map sample (seeded, so a failure
+        # reproduces; keyed by map name, so tiers sample differently)
+        sample = random.Random(f"ind:{name}").sample(
+            pool, min(k, len(pool))
+        )
+        n_ok = 0
+        for key in sample:
+            got = fn(texts[key])
+            if tuple(got) == tuple(lens[key]):
+                n_ok += 1
+            else:
+                problems.append(
+                    f"{name} independent-derivation mismatch at {key}: "
+                    f"pinned {lens[key]}, stdlib re-derivation {got} — "
+                    f"a shared-kernel bug or a drifted pin"
+                )
+                break
+        if n_ok == len(sample):
+            print(
+                f"independent re-derivation {n_ok}/{len(sample)} MATCH "
+                f"({name.split('_')[0].lower()} tier)"
+            )
+    return problems
+
+
 def check_quantizer_shapes() -> list[str]:
     from hadoop_data_pipeline_spark.functions.ivf_centroids import (
         SF001_CENTROIDS,
@@ -254,6 +319,7 @@ def main() -> int:
         + check_image_lens()
         + check_audio_lens()
         + check_video_lens()
+        + check_independent_rederivation()
         + check_quantizer_shapes()
     )
     try:
