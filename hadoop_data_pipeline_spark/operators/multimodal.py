@@ -287,6 +287,45 @@ def write_signature_index_bucketed(
     )
 
 
+def write_signature_band_index(
+    sig: DataFrame,
+    path: str,
+    sig_col: str = "dhash",
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    frame_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Directory form of :func:`write_signature_index_bucketed` (the
+    ``dedup.write_band_index`` precedent): band-subset rows persisted
+    as plain parquet partitioned by ``band_id`` — the layout the
+    streaming media sink appends per ingested batch (a bare directory
+    cannot carry bucket metadata; for the repeated-daily-probe
+    zero-exchange layout, compact into the bucketed table form)."""
+    carry = [id_col] + ([frame_col] if frame_col else [])
+    bands = band_subset_rows(sig, sig_col, max_hamming, n_bands, carry)
+    bands.write.mode(mode).partitionBy("band_id").parquet(path)
+
+
+def read_signature_band_index(
+    spark,
+    path: str,
+    sig_col: str = "dhash",
+    id_col: str = "doc_id",
+    frame_col: str | None = None,
+) -> DataFrame:
+    """Load a persisted signature band index, restoring the column
+    shape the probe join expects (partition columns read back as the
+    discovered type; cast ``band_id`` back to int)."""
+    cols = [id_col] + ([frame_col] if frame_col else []) + [
+        sig_col,
+        F.col("band_id").cast("int").alias("band_id"),
+        "band_key",
+    ]
+    return spark.read.parquet(path).select(*cols)
+
+
 def _probe_signature_bands(
     bands_new: DataFrame,
     idx_bands: DataFrame,

@@ -7485,7 +7485,7 @@ def incremental_video_scene_probe(
     ``multimodal.probe_signature_index_bucketed`` reads them as a
     bucketed parquet scan with zero index-side exchange and no
     re-hash of admitted payloads (plan pinned in
-    tests/test_plans.py); here both sides derive in-plan from the
+    tests/test_bucketing.py); here both sides derive in-plan from the
     fixtures so the DuckDB oracle can see the same inputs. Only
     2-int band rows shuffle; pixels never move."""
     docs = load_table(spark, sf_dir, "documents")

@@ -203,6 +203,22 @@ def main() -> int:
                 [sys.executable, "tools/stress_stream.py", "16", "4"],
             )
         )
+        # the media sink under the same protocol (r15): per-frame
+        # signatures + shared-scene dedup + decimation, writer killed
+        # between the clean-zone and index appends at tick 1, replay
+        # must equal the iterative batch reference (~80 s at 16x).
+        steps.append(
+            (
+                "stress_stream_media_crash_16x",
+                [
+                    sys.executable,
+                    "tools/stress_stream.py",
+                    "--media",
+                    "16",
+                    "4",
+                ],
+            )
+        )
         # per-task straggler audit (r13, verdict #4): max/median task
         # duration per material stage for the user-keyed queries on
         # the 8x hot-key corpus, against the pinned ratio budgets in

@@ -26,8 +26,15 @@ equality with the crash-free iterative batch reference then proves
 exactly-once AT SCALE, not just on the three-row unit fixtures.
 
 Usage: python tools/stress_stream.py [copies] [ticks] [sf_dir] [crash_tick]
+       python tools/stress_stream.py --media [copies] [ticks] [sf_dir] [crash_tick]
 ``crash_tick`` is 0-based (default 1, i.e. the second tick); pass -1
 to disable injection and run the crash-free sweep.
+``--media`` runs the SAME protocol over ``StreamingMediaSink`` (r14
+verdict stretch #8): per-frame dHash signatures, shared-scene dedup
+against the persisted band index, decimation of survivors — crash
+injected between the clean-zone and index appends, replay compared
+against an iterative batch reference built from the operator kernels
+with in-memory state (no streaming plumbing).
 Writes scratch under /tmp/spark_graft_stress_stream (re-created each
 run), never under /root/testdata.
 """
@@ -42,11 +49,183 @@ ROOT = "/tmp/spark_graft_stress_stream"
 KEY_STRIDE = 10_000_000
 
 
+def _chunked_corpus(spark, sf_dir: str, copies: int, ticks: int,
+                    cols: list[str]):
+    """K key-shifted copies split into ``ticks`` contiguous ascending
+    id chunks (ingest order == id order, so first-occurrence
+    survivorship is deterministic on both sides)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    base = load_table(spark, sf_dir, "documents")
+    parts = [
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_STRIDE))
+        for i in range(copies)
+    ]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    corpus = corpus.select(*cols)
+    ids = corpus.select("doc_id").orderBy("doc_id")
+    bounds = [
+        r.doc_id
+        for r in ids.selectExpr(
+            f"ntile({ticks}) OVER (ORDER BY doc_id) AS t", "doc_id"
+        )
+        .groupBy("t")
+        .agg(F.max("doc_id").alias("doc_id"))
+        .orderBy("t")
+        .collect()
+    ]
+    lo = None
+    chunks = []
+    for hi in bounds:
+        cond = (F.col("doc_id") <= hi) & (
+            (F.col("doc_id") > lo) if lo is not None else F.lit(True)
+        )
+        chunks.append(corpus.where(cond))
+        lo = hi
+    return corpus, chunks
+
+
+def media_main(copies: int, ticks: int, sf_dir: str, crash_tick: int) -> int:
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from hadoop_data_pipeline_spark.operators import multimodal as mm
+    from hadoop_data_pipeline_spark.session import get_session
+    from hadoop_data_pipeline_spark.streaming.media_sink import (
+        StreamingMediaSink,
+    )
+
+    spark = get_session("stress_stream_media")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(ROOT, ignore_errors=True)
+    t0 = time.time()
+    corpus, chunks = _chunked_corpus(
+        spark, sf_dir, copies, ticks, ["doc_id", "text"]
+    )
+    n_total = corpus.count()
+    print(
+        f"media corpus: {n_total} docs x {ticks} ticks "
+        f"(build {time.time() - t0:.1f}s)",
+        flush=True,
+    )
+
+    sink = StreamingMediaSink(
+        spark,
+        f"{ROOT}/src",
+        "doc_id bigint, text string",
+        f"{ROOT}/clean",
+        f"{ROOT}/index",
+        f"{ROOT}/ckpt",
+    )
+    # crash between the clean-zone and index appends — the media
+    # sink's partial-commit window.
+    real_write = mm.write_signature_band_index
+    armed = {"on": False}
+
+    def flaky_write(*args, **kwargs):
+        if armed["on"]:
+            raise RuntimeError("injected crash before index append")
+        return real_write(*args, **kwargs)
+
+    mm.write_signature_band_index = flaky_write
+    fired = False
+    try:
+        for i, chunk in enumerate(chunks):
+            t1 = time.time()
+            chunk.write.mode("append").parquet(f"{ROOT}/src")
+            if i == crash_tick:
+                armed["on"] = True
+                crashed = False
+                try:
+                    sink.run_available_now(timeout_sec=1800)
+                except Exception as exc:  # noqa: BLE001
+                    assert "injected crash" in str(exc), exc
+                    crashed = True
+                assert crashed, "injected crash did not fire"
+                fired = True
+                armed["on"] = False
+                print(
+                    f"tick {i}: CRASHED mid-batch as injected "
+                    f"({time.time() - t1:.1f}s); replaying",
+                    flush=True,
+                )
+                t1 = time.time()
+            assert sink.run_available_now(timeout_sec=1800), (
+                f"tick {i} timed out"
+            )
+            print(f"tick {i}: {time.time() - t1:.1f}s", flush=True)
+        assert crash_tick < 0 or fired, (
+            f"crash_tick={crash_tick} never fired over {ticks} ticks"
+        )
+    finally:
+        mm.write_signature_band_index = real_write
+    clean = spark.read.parquet(f"{ROOT}/clean")
+    stream_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    n_bad_dec = clean.where("dec_md5 IS NULL OR n_frames <> 2").count()
+
+    # --- iterative batch reference (operator kernels, no streaming
+    # plumbing; the sink's admission convention: drop on pair to an
+    # admitted clip or to a lower-id same-chunk member) ---------------
+    t1 = time.time()
+    ref_index = None
+    ref_ids: set[int] = set()
+    for chunk in chunks:
+        sig = mm.video_frame_dhashes_from_text(chunk)
+        bands = mm.band_subset_rows(
+            sig, "dhash", 2, 4, ["doc_id", "frame_idx"]
+        )
+        within = mm.video_scene_near_dup_pairs(
+            sig, 2, 4, 3
+        ).select(F.col("id_b").alias("doc_id"))
+        if ref_index is not None:
+            cross = mm._probe_signature_bands(
+                bands, ref_index, "dhash", 2, "doc_id", "frame_idx", 3
+            ).select(F.col("id_new").alias("doc_id"))
+            dropped = cross.unionByName(within).distinct()
+        else:
+            dropped = within.distinct()
+        surv_sig = sig.join(dropped, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        ref_ids |= {
+            r.doc_id for r in surv_sig.select("doc_id").distinct().collect()
+        }
+        new_bands = mm.band_subset_rows(
+            surv_sig, "dhash", 2, 4, ["doc_id", "frame_idx"]
+        )
+        ref_index = (
+            new_bands
+            if ref_index is None
+            else ref_index.unionByName(new_bands)
+        ).localCheckpoint(eager=True)
+    print(f"reference loop: {time.time() - t1:.1f}s", flush=True)
+
+    only_stream = sorted(stream_ids - ref_ids)[:10]
+    only_ref = sorted(ref_ids - stream_ids)[:10]
+    ok = stream_ids == ref_ids and n_bad_dec == 0
+    print(
+        f"media survivors: stream={len(stream_ids)} ref={len(ref_ids)} "
+        f"admitted {len(stream_ids)}/{n_total} bad_decimate={n_bad_dec} "
+        f"({'MATCH' if ok else f'MISMATCH +{only_stream} -{only_ref}'}) "
+        f"total {time.time() - t0:.1f}s"
+    )
+    shutil.rmtree(ROOT, ignore_errors=True)
+    return 0 if ok else 1
+
+
 def main() -> int:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-    crash_tick = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    copies = int(args[0]) if len(args) > 0 else 8
+    ticks = int(args[1]) if len(args) > 1 else 4
+    sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.1"
+    crash_tick = int(args[3]) if len(args) > 3 else 1
+    if "--media" in sys.argv[1:]:
+        return media_main(copies, ticks, sf_dir, crash_tick)
+    sys.argv = [sys.argv[0], *args]  # the text path reads positionals
 
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
