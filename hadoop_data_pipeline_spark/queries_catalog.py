@@ -7533,6 +7533,44 @@ def incremental_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_audio_probe",
+    oracle=f"""
+    WITH {_audio_lens_cte("fp", "{fp}")},
+    sig AS (
+        SELECT d.doc_id, i.fp FROM documents d JOIN amap i ON md5(d.text) = i.h
+    )
+    SELECT b.doc_id AS id_new, a.doc_id AS id_other,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM sig a JOIN sig b
+      ON a.doc_id < {_INCR_SPLIT} AND b.doc_id >= {_INCR_SPLIT}
+    WHERE bit_count(xor(a.fp, b.fp)) <= 2
+    """,
+)
+def incremental_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental audio near-dup ingest: new clips (doc_id >= split)
+    probed against the admitted corpus's 64-bit energy-difference
+    fingerprints, Hamming <= 2 — completing the image/audio/video
+    triad through the SAME generic signature-index probe
+    (``multimodal.probe_signature_pairs``): flat-signature form like
+    the image entry, fingerprint column like the batch
+    ``audio_fingerprint_near_dup``. At 100 TB the admitted side is a
+    stored band-row index read via
+    ``probe_signature_index_bucketed`` (bucketed parquet scan, zero
+    index-side exchange, no re-render of admitted clips); here both
+    sides derive in-plan from the fixtures so DuckDB sees the same
+    inputs. Oracle: full quadratic new x index scan over the pinned
+    fingerprints — identical pairs by the subset-banding pigeonhole."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") >= _INCR_SPLIT)
+    idx = docs.where(F.col("doc_id") < _INCR_SPLIT)
+    return multimodal.probe_signature_pairs(
+        multimodal.audio_fingerprints(multimodal.attach_wav_payload(new)),
+        multimodal.audio_fingerprints(multimodal.attach_wav_payload(idx)),
+        sig_col="fingerprint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # The round driver oracle-checks the FIRST 50 registered queries, so
@@ -7558,10 +7596,11 @@ def incremental_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_WINDOW = [
     # r15-new entries first (never driver-checked): the incremental
-    # media near-dup probes (generic signature-index probe, video
-    # scene form + image flat form)
+    # media near-dup probes (one generic signature-index probe, all
+    # three tiers: video scene form, image + audio flat forms)
     "incremental_video_scene_probe",
     "incremental_image_probe",
+    "incremental_audio_probe",
     # the REMAINING r11 cohort (last driver-checked r11, exactly 4
     # rounds old at r15 — the staleness bound's hard edge; 50 minus
     # the 23 pre-paid in r14)
@@ -7614,19 +7653,18 @@ _DRIVER_WINDOW = [
     "embedding_cosine_topk",
     "epoch_shuffle_order",
     "filtered_sum_returned_revenue",
-    "forward_fill_purchase_value",
     # CAPACITY RULE (r12 verdict #7): with window-eligible catalog
     # size C (total minus the 4 no-window rows), window W=50 and
     # staleness bound B=4 rounds, a round adding n new entries can
     # recheck W-n old ones, so the bound is feasible iff
     # C + n <= (W - n) * B. This round: C=177 eligible pre-round
-    # (181 registered - 4 no-window), n=2 (the media probes):
-    # 179 <= 48*4 = 192 — 13 slots of margin. Window arithmetic:
-    # 2 new + 27 r11-remaining (the whole hard edge) + 21 r12
+    # (181 registered - 4 no-window), n=3 (the media probes):
+    # 180 <= 47*4 = 188 — 8 slots of margin. Window arithmetic:
+    # 3 new + 27 r11-remaining (the whole hard edge) + 20 r12
     # pre-payments = 50. r15 staleness ledger: after this window,
     # nothing older than r12 remains unchecked-within-4; r16 must
-    # carry the remaining 29 r12-cohort entries (50 - 21 pre-paid),
-    # so r16 capacity is 29 + n <= 50 AND 179 + n <= (50 - n)*4,
+    # carry the remaining 30 r12-cohort entries (50 - 20 pre-paid),
+    # so r16 capacity is 30 + n <= 50 AND 180 + n <= (50 - n)*4,
     # i.e. n <= 4. Growth past C=194 eligible requires a wider
     # window or a longer bound, negotiated in COVERAGE.md first.
 ]

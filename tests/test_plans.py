@@ -151,25 +151,22 @@ def test_driver_window_covers_load_bearing_queries():
     names = list(qc.QUERIES)
     first50 = names[:50]
     for required in (
-        # r14-new (never driver-checked): the video tier + the
-        # audio/video transform-stage digests
-        "video_decode_stats",
-        "video_frame_dhash_signatures",
-        "video_scene_near_dup",
-        "audio_decimate_digest",
-        "video_decimate_digest",
-        # representatives of the r10 cohort (exactly 4 rounds old at
-        # r14 — the staleness bound's hard edge; the full 22-entry
-        # window-eligible cohort is in the window, these pin corners)
-        "domain_cap_per_source",
-        "latest_event_agg_form",
-        "within_doc_dedup",
-        "zorder_bucket_locality",
-        # representatives of the r11 cohort head (23 pre-payments
-        # toward the r15 window)
-        "benchmark_contamination",
-        "embedding_ann_ivfpq_topk",
-        "minhash_signatures_docs",
+        # r15-new (never driver-checked): the incremental media probes
+        "incremental_video_scene_probe",
+        "incremental_image_probe",
+        "incremental_audio_probe",
+        # representatives of the r11-cohort REMAINDER (exactly 4
+        # rounds old at r15 — the staleness bound's hard edge; all 27
+        # are in the window, these pin corners)
+        "mixture_budget_plan_by_lang",
+        "ngram_jaccard_pairs_lang",
+        "simhash_near_dup_pairs",
+        "user_event_gap_stats",
+        # representatives of the r12 cohort head (20 pre-payments
+        # toward the r16 window)
+        "association_rules_copurchase",
+        "embedding_cosine_topk",
+        "filtered_sum_returned_revenue",
     ):
         assert required in first50, required
     # every slot carries an exact value-hash oracle

@@ -230,6 +230,31 @@ def main() -> int:
                 [sys.executable, "tools/task_skew_audit.py"],
             )
         )
+        # spill-path regression check (r15): a fast force-mode
+        # rehearsal — documented spill/fallback thresholds pinned tiny
+        # — over a window/sort/SMJ/banded-agg representative subset at
+        # sf0.01; results must still hash-match the oracle while
+        # sorts spill and ObjectHashAggregate falls back (~90 s). The
+        # full 18-query sf0.1 force+pressure evidence lives in
+        # SPILL_force.json / SPILL_pressure.json (tools/spill_rehearsal.py).
+        steps.append(
+            (
+                "spill_force_sf001",
+                [
+                    sys.executable,
+                    "tools/spill_rehearsal.py",
+                    "/root/testdata/sf0.01",
+                    "--out",
+                    "/tmp/spill_gate.json",
+                    "session_window_user_stats",
+                    "median_price_by_segment",
+                    "monotonic_violations_user_value",
+                    "table_diff_orders_drift",
+                    "ngram_jaccard_pairs_lang",
+                    "video_scene_near_dup",
+                ],
+            )
+        )
         # measured shuffle/spill/scan bytes for EVERY catalog query →
         # METRICS.json (r14 verdict #2: the audit previously ran by
         # hand and silently staled — the r14 binary-payload entries

@@ -126,6 +126,7 @@ SCAN_BUDGETS: dict[str, dict[str, int]] = {
     # oracle-checkable against the fixtures.
     "incremental_video_scene_probe": {"documents": 2},
     "incremental_image_probe": {"documents": 2},
+    "incremental_audio_probe": {"documents": 2},
     # -- embeddings: query-side x corpus-side reads --
     "embedding_cosine_topk": {"embeddings": 2},  # queries x corpus
     "embedding_ann_lsh_topk": {"embeddings": 2},
