@@ -69,14 +69,19 @@ def _json_default(obj: object) -> str:
 
 
 def _normalize_fs_path(p: str) -> str:
-    """Collapse ``.``/``..`` in the path component (scheme and
-    authority preserved) so the allowed-roots prefix check cannot be
-    escaped with ``/ok/../../etc`` tricks. Mirrors what Hadoop's
-    ``Path`` normalization does before the filesystem sees the path."""
+    """Collapse ``.``/``..`` in the path component and lowercase the
+    scheme + authority (DNS hostnames and URI schemes are
+    case-insensitive: ``hdfs://HOST/x`` and ``hdfs://host/x`` name
+    the same path) so the allowed-roots prefix check cannot be
+    escaped with ``/ok/../../etc`` or case tricks. Mirrors what
+    Hadoop's ``Path`` normalization does before the filesystem sees
+    the path; both the configured roots and every request path go
+    through this SAME function, and the normalized form (not the raw
+    request string) is what reaches the FS layer."""
     parsed = urlparse(p)
     if parsed.scheme:
         path = posixpath.normpath(parsed.path or "/")
-        return f"{parsed.scheme}://{parsed.netloc}{path}"
+        return f"{parsed.scheme.lower()}://{parsed.netloc.lower()}{path}"
     return posixpath.normpath(p)
 
 
@@ -130,6 +135,10 @@ class _Handler(BaseHTTPRequestHandler):
                     403, f"path outside the allowed roots: {norm}"
                 )
                 return None
+            # hand the FS the exact string the fence approved, not
+            # the raw request path — the check and the access can
+            # never diverge on normalization (r15 ADVICE item).
+            return norm
         return p
 
     # -- verbs ------------------------------------------------------------
@@ -204,7 +213,15 @@ class _Handler(BaseHTTPRequestHandler):
                 # front DML), so the real decision is the parsed-plan
                 # walk: any write/DDL/command node anywhere in the
                 # tree refuses the statement (guards.non_query_nodes).
-                bad = guards.non_query_nodes(self.spark, cleaned)
+                # If the guard itself cannot run (no classic JVM
+                # parser, py4j failure) it raises rather than
+                # answering "pure query" — map that to 503, never
+                # execute unguarded (r15 ADVICE: fail closed).
+                try:
+                    bad = guards.non_query_nodes(self.spark, cleaned)
+                except guards.GuardUnavailableError as exc:
+                    self._error(503, str(exc))
+                    return
                 if bad:
                     self._error(
                         400,
@@ -261,10 +278,17 @@ class PipelineHTTPServer:
                  port: int = 0,
                  allowed_roots: Sequence[str] | None = None):
         """``allowed_roots``: optional path-prefix allowlist for every
-        ``/fs/*`` endpoint (normalized before comparison, so ``..``
-        segments cannot escape it); requests outside it get 403. Leave
-        ``None`` only for localhost dev — one recursive DELETE can
-        otherwise remove the warehouse."""
+        ``/fs/*`` endpoint. Both the roots and every request path are
+        normalized by the same function (``..`` collapse + lowercased
+        scheme/authority) and the FS layer receives the normalized
+        string the fence approved, so dot-segments and URI-case
+        tricks cannot escape it; requests outside it get 403.
+        LIMITATION: the fence is a string-prefix check, not a
+        canonical-path check — on a local filesystem a symlink placed
+        INSIDE an allowed root can point outside it and the fence
+        cannot see that; don't grant roots containing untrusted
+        symlinks. Leave ``None`` only for localhost dev — one
+        recursive DELETE can otherwise remove the warehouse."""
         self._spark = spark
         self._host = host
         self._port = port

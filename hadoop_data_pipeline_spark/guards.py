@@ -116,6 +116,33 @@ _NON_QUERY_NODE_RE = re.compile(
 )
 
 
+class GuardUnavailableError(RuntimeError):
+    """The parsed-plan write guard could not inspect the statement
+    (not a parse error — e.g. a session exposing no classic JVM
+    parser, or a py4j failure). Raised so callers fail CLOSED: a
+    guard that silently returns "pure query" on its own breakage
+    would let a CTE-fronted INSERT through — the exact bypass it was
+    built to stop (r15 ADVICE item, closed r16)."""
+
+
+def _is_parse_exception(exc: BaseException) -> bool:
+    """True iff ``exc`` is the SQL parser rejecting the statement —
+    pyspark's captured ``ParseException`` or a raw ``Py4JJavaError``
+    whose Java class is ``o.a.s.sql.catalyst.parser.ParseException``
+    (the direct ``parsePlan`` call is not wrapped by pyspark's error
+    capture). Anything else is guard breakage, not bad SQL."""
+    if type(exc).__name__ == "ParseException":  # pyspark-captured
+        return True
+    java = getattr(exc, "java_exception", None)  # Py4JJavaError
+    if java is None:
+        return False
+    try:
+        cls = java.getClass().getName()
+    except Exception:
+        return False
+    return cls.endswith(".ParseException")
+
+
 def non_query_nodes(spark: SparkSession, sql: str) -> list[str]:
     """Walk the PARSED (never executed) logical plan and return the
     class names of any write / DDL / command nodes — empty for a pure
@@ -128,6 +155,13 @@ def non_query_nodes(spark: SparkSession, sql: str) -> list[str]:
 
     Unparsable SQL returns ``[]``: it cannot execute either, and
     letting execution raise keeps the real ``ParseException`` message.
+    That fail-open carve-out applies to the parser's own
+    ``ParseException`` ONLY — any other failure (an AttributeError on
+    a session with no ``_jsparkSession``, a py4j transport error)
+    means the guard could not inspect a statement that ``spark.sql``
+    may still happily execute, so it FAILS CLOSED by raising
+    :class:`GuardUnavailableError`; callers must refuse to execute
+    (the HTTP handler returns 503 instead of running the statement).
     Walks ``children`` and ``innerChildren`` so CTE definitions and
     subqueries are covered; parsed trees are shallow (no driver-side
     blowup), and parsing — unlike ``spark.sql`` — never runs commands
@@ -137,8 +171,14 @@ def non_query_nodes(spark: SparkSession, sql: str) -> list[str]:
         parsed = (
             spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
         )
-    except Exception:
-        return []
+    except Exception as exc:
+        if _is_parse_exception(exc):
+            return []
+        raise GuardUnavailableError(
+            "parsed-plan write guard could not run "
+            f"({type(exc).__name__}: {exc}); refusing to treat the "
+            "statement as a pure query"
+        ) from exc
     seen: list[str] = []
 
     def walk(node) -> None:

@@ -5,9 +5,16 @@ decoded and DECIMATED (the transform stage), per-frame dHash
 signatures are probed for shared-scene near-duplicates against the
 persisted signature band index (yesterday's admissions) AND within
 the batch, and survivors append to the media clean zone and the
-index. A corpus ingested file-by-file converges to the same
-greedy-by-arrival survivor set sequential batch admission produces
-(pinned by ``test_stream_media_sink_*``); the text pipeline's
+index. Admission convention (pinned by ``test_stream_media_sink_*``
+against an iterative batch reference): a clip is dropped iff it
+pairs with an already-ADMITTED index clip or with a LOWER-ID member
+of its own batch — even if that lower-id member is itself dropped.
+This is NOT greedy-by-arrival admission: on a non-clique chain
+within one batch (a~b, b~c, a!~c) greedy file-by-file ingest would
+keep {a, c} while this convention keeps only {a}; the two agree
+whenever same-batch dup groups are cliques (the fixture corpus is),
+and the batch-order-independence the tests pin holds for the
+implemented convention, not for greedy. The text pipeline's
 exactly-once story (``prep_sink``/``embed_sink``) now covers a
 multimodal sink too.
 

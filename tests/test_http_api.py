@@ -152,5 +152,13 @@ def test_fs_allowed_roots_fence(spark, tmp_path_factory):
         assert code == 403
         code, _ = _err(f"{base}/fs/delete?path=file:///etc", "DELETE")
         assert code == 403
+        # URI scheme/authority are case-insensitive: FILE:// names the
+        # same file, is normalized to file:// on BOTH sides of the
+        # fence, and the FS layer receives the normalized form — so it
+        # neither bypasses the fence nor gets falsely refused
+        assert _req(f"{base}/fs/status?path=FILE://{root}/a.txt")[
+            "exists"] is True
+        code, _ = _err(f"{base}/fs/read?path=FILE:///etc/hostname")
+        assert code == 403
     finally:
         srv.stop()

@@ -216,3 +216,63 @@ def test_non_query_nodes_flags_writes_anywhere_in_tree(spark):
     # unparsable SQL is not flagged here: it cannot execute either, and
     # the later ParseException carries the real message
     assert guards.non_query_nodes(spark, "SELEKT banana !!") == []
+
+
+def test_non_query_nodes_fails_closed_when_parser_unreachable(spark):
+    """Only the parser's ParseException is fail-open; any OTHER
+    failure (a session with no classic JVM handle, a py4j transport
+    error) raises GuardUnavailableError so the caller refuses to
+    execute — a broken guard must never read as 'pure query' (r15
+    ADVICE, medium)."""
+
+    class NoJvmSession:
+        # AttributeError on _jsparkSession — the Spark Connect shape
+        pass
+
+    with pytest.raises(guards.GuardUnavailableError):
+        guards.non_query_nodes(NoJvmSession(), "SELECT 1")
+
+    class ExplodingState:
+        @property
+        def _jsparkSession(self):
+            raise RuntimeError("py4j transport down")
+
+    with pytest.raises(guards.GuardUnavailableError):
+        guards.non_query_nodes(ExplodingState(), "SELECT 1")
+
+
+def test_http_sql_503_when_guard_unavailable(spark, monkeypatch):
+    """The /sql endpoint maps GuardUnavailableError to 503 and does
+    NOT execute the statement."""
+    from urllib import error as urlerror
+    from urllib import request as urlrequest
+
+    from hadoop_data_pipeline_spark.app.http_api import PipelineHTTPServer
+    from hadoop_data_pipeline_spark import guards as gmod
+
+    executed = []
+    monkeypatch.setattr(
+        gmod, "non_query_nodes",
+        lambda *_a, **_k: (_ for _ in ()).throw(
+            gmod.GuardUnavailableError("parser unreachable")),
+    )
+    monkeypatch.setattr(
+        gmod, "run_with_repair",
+        lambda *a, **k: executed.append(a) or (_ for _ in ()).throw(
+            AssertionError("must not execute")),
+    )
+    srv = PipelineHTTPServer(spark)
+    port = srv.start()
+    try:
+        req = urlrequest.Request(
+            f"http://127.0.0.1:{port}/sql",
+            data=b'{"sql": "SELECT 1"}',
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urlerror.HTTPError) as ei:
+            urlrequest.urlopen(req, timeout=30)
+        assert ei.value.code == 503
+        assert b"parser unreachable" in ei.value.read()
+        assert executed == []
+    finally:
+        srv.stop()
