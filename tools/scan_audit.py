@@ -64,6 +64,9 @@ SCAN_BUDGETS: dict[str, dict[str, int]] = {
     "users_purchase_and_error": {"events": 2},  # INTERSECT arms
     "users_purchase_no_error": {"events": 2},  # EXCEPT arms
     "asof_last_purchase_per_click": {"events": 2},  # clicks x purchases
+    "range_active_orders_daily": {"orders": 2},  # days x intervals
+    "range_overlap_order_pairs": {"orders": 2},  # binned self-join arms
+    "range_peak_concurrent_orders": {"orders": 2},  # +1/-1 delta arms
     "clicks_before_purchase": {"events": 2},  # interval self-join
     "purchases_without_prior_click": {"events": 2},  # anti self-join
     "rolling_7d_user_value": {"events": 2},  # grid x obs as-of
