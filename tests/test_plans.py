@@ -151,22 +151,22 @@ def test_driver_window_covers_load_bearing_queries():
     names = list(qc.QUERIES)
     first50 = names[:50]
     for required in (
-        # r15-new (never driver-checked): the incremental media probes
-        "incremental_video_scene_probe",
-        "incremental_image_probe",
-        "incremental_audio_probe",
-        # representatives of the r11-cohort REMAINDER (exactly 4
-        # rounds old at r15 — the staleness bound's hard edge; all 27
+        # r16-new (never driver-checked): the range-join family
+        "range_active_orders_daily",
+        "range_overlap_order_pairs",
+        "range_peak_concurrent_orders",
+        # representatives of the r12-cohort REMAINDER (exactly 4
+        # rounds old at r16 — the staleness bound's hard edge; all 30
         # are in the window, these pin corners)
-        "mixture_budget_plan_by_lang",
-        "ngram_jaccard_pairs_lang",
-        "simhash_near_dup_pairs",
-        "user_event_gap_stats",
-        # representatives of the r12 cohort head (20 pre-payments
-        # toward the r16 window)
-        "association_rules_copurchase",
-        "embedding_cosine_topk",
-        "filtered_sum_returned_revenue",
+        "forward_fill_purchase_value",
+        "latest_event_per_user_type",
+        "quality_perceptron_weights",
+        "unpivot_part_measures",
+        # representatives of the r13 cohort head (17 pre-payments
+        # toward the r17 window)
+        "asof_last_purchase_per_click",
+        "clicks_before_purchase",
+        "event_funnel_conversion",
     ):
         assert required in first50, required
     # every slot carries an exact value-hash oracle
