@@ -72,9 +72,23 @@ def staged_shingle_hashes(
     id_col: str = "doc_id",
     extra_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """(id, extra..., __sh) with the shingle-hash array staged."""
+    """(id, extra..., __sh) with the shingle-hash array staged.
+
+    The input is scattered to the session's minimum parallelism first
+    (``queries.scatter_small_scan``): tokenize+shingle+hash is the
+    family's most expensive per-row stage, and a small single-split
+    scan otherwise runs it on one core (r16 measurement:
+    ``ngram_jaccard_pairs_lang`` 6.0 -> 4.2 s warm at sf0.1 from this
+    alone). No-op at production split counts. Everything downstream of
+    the staging is partitioning-order-safe: integer shingle hashes,
+    min/count aggregates, and Jaccard ratios derived from integer
+    sizes."""
+    from hadoop_data_pipeline_spark.operators.queries import (
+        scatter_small_scan,
+    )
+
     return dual.stage_spark_shingle_hashes(
-        df, text_col, [id_col, *extra_cols]
+        scatter_small_scan(df), text_col, [id_col, *extra_cols]
     )
 
 
@@ -299,8 +313,16 @@ def ngram_jaccard_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """28-bit SimHash per document from the staged token-hash array."""
-    staged = dual.stage_spark_token_hashes(df, text_col, [id_col])
+    """28-bit SimHash per document from the staged token-hash array.
+    Input scattered for the same reason as
+    :func:`staged_shingle_hashes` (integer fold — order-safe)."""
+    from hadoop_data_pipeline_spark.operators.queries import (
+        scatter_small_scan,
+    )
+
+    staged = dual.stage_spark_token_hashes(
+        scatter_small_scan(df), text_col, [id_col]
+    )
     return staged.selectExpr(
         id_col, f"{dual.simhash_from_hashes('__th', dual.SPARK)} AS simhash"
     )
@@ -606,7 +628,11 @@ def clean_corpus(
         _with_cached_deps,
     )
 
-    staged = df.selectExpr(
+    from hadoop_data_pipeline_spark.operators.queries import (
+        scatter_small_scan,
+    )
+
+    staged = scatter_small_scan(df).selectExpr(
         id_col, text_col, lang_col,
         f"{dual.tokens(text_col, dual.SPARK)} AS __toks",
     )
@@ -648,7 +674,11 @@ def dedup_within_doc(
     oracle is bit-identical (see ``dual.ordered_distinct``). Returns
     (id, n_units, n_unique_units, dedup_ratio, text_dedup).
     """
-    staged = df.selectExpr(
+    from hadoop_data_pipeline_spark.operators.queries import (
+        scatter_small_scan,
+    )
+
+    staged = scatter_small_scan(df).selectExpr(
         id_col, f"{dual.tokens(text_col, dual.SPARK)} AS __toks"
     )
     uniq = staged.selectExpr(

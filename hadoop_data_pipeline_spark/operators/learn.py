@@ -89,7 +89,15 @@ def _staged_xf(
 ) -> DataFrame:
     """The persisted sparse doc x feature count matrix
     (doc_id, y, f, cnt), hash-partitioned by doc_id."""
-    staged = df.selectExpr(
+    from hadoop_data_pipeline_spark.operators.queries import (
+        scatter_small_scan,
+    )
+
+    # Scatter before the tokenize projection (it evaluates map-side,
+    # below the doc_id exchange); all downstream sums are bigint, so
+    # partial-merge order cannot move a result (see
+    # queries.scatter_small_scan).
+    staged = scatter_small_scan(df).selectExpr(
         f"{id_col} AS doc_id", f"{dual.tokens(col, dual.SPARK)} AS __tk"
     )
     lab = staged.selectExpr(

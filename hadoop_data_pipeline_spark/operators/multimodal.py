@@ -630,12 +630,15 @@ def scatter_for_kernel(df: DataFrame) -> DataFrame:
     expensive-kernel scatter a real cluster job does by sizing
     ``spark.sql.files.maxPartitionBytes`` down; doing it by row count
     keeps the catalog correct at every SF without global conf
-    fiddling."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    fiddling. (Shared engine-wide as
+    :func:`~hadoop_data_pipeline_spark.operators.queries.scatter_small_scan`
+    — r16 generalized this rule to every expensive-projection family:
+    dedup staging, ANN scoring, text staging, graph edge derivation.)"""
+    from hadoop_data_pipeline_spark.operators.queries import (
+        scatter_small_scan,
+    )
+
+    return scatter_small_scan(df)
 
 
 def attach_avi_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

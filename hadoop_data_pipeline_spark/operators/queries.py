@@ -136,6 +136,45 @@ def unpersist_deps(df: DataFrame) -> None:
         dep.unpersist()
 
 
+def scatter_small_scan(
+    df: DataFrame, target: int | None = None
+) -> DataFrame:
+    """Guarantee a minimum task parallelism for an expensive per-row
+    stage that follows: round-robin repartition to ``target`` (default
+    ``sc.defaultParallelism``) ONLY when the frame's planned partition
+    count is below it.
+
+    Why: Spark sizes scan splits by BYTES (``maxPartitionBytes`` /
+    ``openCostInBytes``), so a small, single-row-group parquet file is
+    one split no matter how expensive the projections above it are —
+    at bench scale every fixture table is one such file and the whole
+    tokenize/hash/score pipeline of a query otherwise runs on ONE core
+    while 31 idle. At 100 TB inputs arrive in thousands of splits, the
+    condition is false, and this is a no-op — never an extra
+    corpus-wide shuffle. The exchange, when it fires, moves only the
+    pruned columns of a provably small input.
+
+    Only call this on SCAN-shaped frames (scan + filter + project):
+    probing the planned partition count of a frame that already
+    contains an exchange eagerly materializes its shuffle stages
+    under AQE. For frames the caller has ``persist()``-ed that is
+    merely an early cache fill; for anything else it is wasted work.
+
+    Correctness note: changing the upstream partitioning is only safe
+    when downstream math is order-insensitive (integer/hash
+    aggregates, min/max, per-row expressions, row_number with total
+    tie-breaking). Callers with float partial-aggregation order
+    dependencies (e.g. unrounded ``sum(double)``) must not scatter.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive: never fail a query
+        return df
+    return df if n >= target else df.repartition(target)
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: Sequence[str],

