@@ -290,46 +290,61 @@ def association_rules(
     independence expectation). The A-priori first rung (frequent
     pairs), kept exact rather than sampled.
 
-    Scale: baskets dedup to one (basket, item) row, persist once, and
-    every downstream frame derives from that cache — pair generation
-    self-joins WITHIN basket keys (fanout bounded by basket size,
-    never all-pairs across baskets), item counts and the basket total
-    are partial aggregates, and the support floor prunes the pair
-    frame before the two measure joins. Ratios are computed once,
-    rounded identically to the oracle."""
+    Scale: ONE keyed exchange groups each basket into its distinct
+    item set (``collect_set`` — dedup and grouping share the
+    exchange; the buffer is bounded by basket size and
+    ObjectHashAggregate spills under pressure), persisted once, and
+    every downstream frame derives from that cache. Directed pairs
+    expand JVM-side from each basket's set — BOTH rule directions in
+    the same codegen'd projection, so one aggregation produces every
+    directed support (the earlier self-join + union-of-two-subtrees
+    form planned the basket self-join AND the (a, c) pair aggregation
+    TWICE — once per rule direction; r16 plan diff, see
+    plans/r16/association_rules_copurchase_{before,after}.txt: keyed
+    hash exchanges 6 -> 4, one (a, c) pair subtree instead of two,
+    and the countDistinct basket-total exchange collapses to a
+    SinglePartition merge of per-partition counts). Item counts and the
+    basket total are partial aggregates over the same cache, and the
+    support floor prunes the pair frame before the two measure
+    joins. Ratios are computed once, rounded identically to the
+    oracle."""
     from hadoop_data_pipeline_spark.operators.queries import (
         scatter_small_scan,
     )
 
-    # Scatter the (basket, item) scan before the dedup exchange and
-    # the within-basket pair self-join: a single-split scan otherwise
-    # serializes the map side of every downstream stage (r16: 4.1 ->
-    # 3.4 s warm at sf0.1). Counts-only math — order-safe.
-    b = scatter_small_scan(
-        baskets.select(
-            F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    # Scatter the (basket, item) scan so a single-split input does
+    # not serialize the map side of the basket exchange (r16; see
+    # queries.scatter_small_scan). Counts-only math — order-safe.
+    lists = (
+        scatter_small_scan(
+            baskets.select(
+                F.col(basket_col).alias("__bk"),
+                F.col(item_col).alias("__it"),
+            )
         )
-    ).distinct().persist()  # result-lifetime cache: tagged on the
-    # returned frame via `_with_cached_deps` (see triangle_counts)
-    n_b = b.agg(
-        F.countDistinct("__bk").cast("long").alias("n_baskets")
+        .groupBy("__bk")
+        .agg(F.collect_set("__it").alias("__items"))
+        .persist()  # result-lifetime cache: tagged on the returned
+        # frame via `_with_cached_deps` (see triangle_counts)
     )
-    item = b.groupBy(F.col("__it").alias("item")).agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    n_b = lists.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    item = (
+        lists.select(F.explode("__items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    b1, b2 = b.alias("b1"), b.alias("b2")
-    pair = (
-        b1.join(
-            b2,
-            F.expr("b1.__bk = b2.__bk AND b1.__it < b2.__it"),
-        )
-        .selectExpr("b1.__it AS a", "b2.__it AS c")
+    both_dirs = (
+        "flatten(transform(__items, x -> "
+        "transform(filter(__items, y -> y != x), "
+        "y -> struct(x AS a, y AS c))))"
+    )
+    directed = (
+        lists.where(F.size("__items") >= 2)
+        .select(F.explode(F.expr(both_dirs)).alias("p"))
+        .select("p.*")
         .groupBy("a", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
         .where(F.col("pair_support") >= min_pair_support)
-    )
-    directed = pair.unionByName(
-        pair.selectExpr("c AS a", "a AS c", "pair_support")
     )
     from hadoop_data_pipeline_spark.operators.queries import (
         _with_cached_deps,
@@ -356,4 +371,4 @@ def association_rules(
             "    * cast(consequent_count as double)), 6) AS lift",
         )
     )
-    return _with_cached_deps(out, b)
+    return _with_cached_deps(out, lists)

@@ -4066,9 +4066,27 @@ def prepare_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape (adapted: unit price from lineitem stands in for the
     missing partsupp supply cost): per small part, the supplier with
-    the minimum unit price — agg-then-join-back (the correlated-
-    subquery plan), supplier/nation dims broadcast, deterministic
-    min-suppkey tie-break."""
+    the minimum unit price, deterministic min-suppkey tie-break.
+
+    ONE pass: ``min(struct(u, l_suppkey))`` per part — struct
+    comparison is lexicographic, so the aggregate IS (min unit
+    price, then min suppkey among its ties), exactly the
+    agg-then-join-back answer. A struct-ordered min plans as a
+    SortAggregate (struct buffers are not hash-aggregable), but it
+    still PARTIAL-aggregates map-side: each task sorts its own
+    (pk, u, sk) projection and ships one struct per local part, so
+    the exchange stays one row per (part x task). The join-back
+    form scanned lineitem twice and re-joined the per-part min
+    frame against the full projection — broadcastable at bench
+    scale, but at 100 TB the filtered part list outgrows the
+    broadcast cap and that join re-shuffles the whole projected
+    lineitem (r16; plan diff in
+    plans/r16/min_cost_supplier_per_part_*.txt: 6 scans -> 4
+    [lineitem 2 -> 1], 4 exchanges -> 1, SortMergeJoin -> none).
+    Supplier/nation dims broadcast. Double equality semantics are
+    unchanged: the join-back compared the SAME unrounded double the
+    aggregate produced, which is exactly the struct comparison's
+    first key."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
     s = load_table(spark, sf_dir, "supplier")
@@ -4077,13 +4095,14 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("u"),
     )
-    m = pli.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.min("u").alias("best")
-    )
     c = (
-        pli.join(m, (pli.l_partkey == m.pk) & (pli.u == m.best))
-        .groupBy("pk", "best")
-        .agg(F.min("l_suppkey").alias("sk"))
+        pli.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.min(F.struct("u", "l_suppkey")).alias("m"))
+        .select(
+            "pk",
+            F.col("m.u").alias("best"),
+            F.col("m.l_suppkey").alias("sk"),
+        )
     )
     return (
         c.join(F.broadcast(s), c.sk == s.s_suppkey)
@@ -4233,38 +4252,45 @@ def part_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21 shape: the EXISTS / NOT-EXISTS pair compiles to a left-semi
-    plus a left-anti join on the order key (equi key + supplier
-    inequality residual) — suppliers who were the only one to return
-    lines on a multi-supplier finished order. Supplier dim broadcast;
-    both semi/anti joins shuffle key columns only."""
+    """Q21 shape: suppliers who were the only one to return lines on
+    a multi-supplier finished order.
+
+    Two stacked aggregations replace the EXISTS / NOT-EXISTS pair:
+    per (order, supplier) record whether the supplier returned a
+    line, then per order count suppliers and returning suppliers and
+    keep the returning supplier of orders with >= 2 suppliers and
+    EXACTLY ONE returner — row-for-row the semi(other supplier) +
+    anti(other returning supplier) candidate set. The join form
+    scanned lineitem THREE times and shuffled the distinct
+    (order, supplier) frame for a semi and an anti join, each with a
+    non-equi supplier residual; the aggregate form scans once and
+    both aggregations partial-aggregate map-side (r16; plan diff in
+    plans/r16/sole_failing_supplier_*.txt: 3 lineitem scans -> 1,
+    semi+anti joins -> 0). Orders filter and supplier dim broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     )
     s = load_table(spark, sf_dir, "supplier")
-    f = li.where(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
-    ).distinct()
-    l2 = li.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
-    ).distinct()
-    f2 = f.select(
-        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    per_supp = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("__ret")
+        )
     )
     cand = (
-        f.join(
-            l2,
-            (F.col("l_orderkey") == F.col("ok2"))
-            & (F.col("l_suppkey") != F.col("sk2")),
-            "left_semi",
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n_supp"),
+            F.sum("__ret").alias("__n_ret"),
+            F.max(
+                F.when(F.col("__ret") == 1, F.col("l_suppkey"))
+            ).alias("l_suppkey"),
         )
-        .join(
-            f2,
-            (F.col("l_orderkey") == F.col("ok3"))
-            & (F.col("l_suppkey") != F.col("sk3")),
-            "left_anti",
-        )
+        .where((F.col("__n_supp") >= 2) & (F.col("__n_ret") == 1))
+        .select("l_orderkey", "l_suppkey")
     )
     return (
         cand.join(o, cand.l_orderkey == o.o_orderkey)
@@ -6953,9 +6979,14 @@ def copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corner, so per-node wedge fanout is bounded by O(sqrt(|E|)) even
     under celebrity-node skew, each triangle closes via the uniquely
     oriented third edge, and no triangle is double-counted (no /3
-    correction). Pair generation self-joins WITHIN order keys (per-
-    order fanout bounded by order size); the quantity filter pushes
-    to the parquet scan."""
+    correction). Pair generation groups each order's distinct bulk
+    parts through ONE keyed exchange and expands a < b pairs
+    JVM-side (per-order fanout bounded by order size); the quantity
+    filter pushes to the parquet scan. r16 plan diff (see
+    plans/r16/copurchase_triangle_counts_{before,after}.txt): the
+    within-order self-join form planned 2 lineitem scans, 18
+    exchanges and 8 SortMergeJoins (16 Sorts); the grouped form
+    plans 1 scan, 6 exchanges, 0 sorts."""
     from hadoop_data_pipeline_spark.operators import analytics
 
     li = (
@@ -6964,17 +6995,23 @@ def copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     li = Q.scatter_small_scan(li)  # parallel map side for the
-    # within-order pair join; counts-only math downstream (r16)
-    l1, l2 = li.alias("l1"), li.alias("l2")
+    # per-order grouping; counts-only math downstream (r16)
+    # Pair generation via ONE keyed exchange: group each order's
+    # distinct bulk parts and expand a < b pairs in a codegen'd
+    # projection — the within-order SELF-JOIN form scanned lineitem
+    # twice and sort-merge-joined the (orderkey, partkey) frame
+    # against itself for the same pair set (r16; plan diff in the
+    # docstring). The collect_set buffer is bounded by order size.
+    in_order = (
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y > x), "
+        "y -> struct(x AS a, y AS b))))"
+    )
     pairs = (
-        l1.join(
-            l2,
-            F.expr(
-                "l1.l_orderkey = l2.l_orderkey"
-                " AND l1.l_partkey < l2.l_partkey"
-            ),
-        )
-        .selectExpr("l1.l_partkey AS a", "l2.l_partkey AS b")
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .where(F.size("ps") >= 2)
+        .select(F.explode(F.expr(in_order)).alias("p"))
+        .select("p.*")
         .distinct()
         .persist()  # result-lifetime cache; driver seats clearCache
     )

@@ -78,10 +78,8 @@ SCAN_BUDGETS: dict[str, dict[str, int]] = {
     # CMS counter build x true-top-k anchor scan, both pruned to the
     # key column; the counter matrix itself is <= 1024 cells
     "cms_heavy_hitter_counts": {"events": 2},
-    # co-purchase pair generation is a within-order self-join (both
-    # sides quantity-filtered + pruned to orderkey/partkey); the
-    # graph algorithm itself runs on the persisted pair frame
-    "copurchase_triangle_counts": {"lineitem": 2},
+    # copurchase_triangle_counts: re-pinned to the 1-scan default in
+    # r16 (grouped within-order pair expansion replaced the self-join).
     "latest_order_join_form": {"orders": 2},  # J1 join form: max x rows
     "table_diff_orders_drift": {"orders": 2},  # snapshot x snapshot
     "daily_revenue_anomalies": {"orders": 2},  # daily x global stats
@@ -93,8 +91,9 @@ SCAN_BUDGETS: dict[str, dict[str, int]] = {
     "small_quantity_part_revenue": {"lineitem": 2},  # part-avg x rows
     "part_revenue_concentration": {"lineitem": 2},  # per-part x total
     "profile_lineitem_columns": {"lineitem": 2},  # typed-stats unpivot arms
-    "sole_failing_supplier": {"lineitem": 3},  # fail x all x sole-check
-    "min_cost_supplier_per_part": {"lineitem": 2, "part": 2},  # min x rows
+    # sole_failing_supplier / min_cost_supplier_per_part: re-pinned to
+    # the 1-scan default in r16 (stacked-aggregate / struct-min
+    # rewrites removed the self-join and join-back passes).
     "nation_pair_trade_volume": {"nation": 2},  # supp-nation x cust-nation
     "fuzzy_name_pairs_part": {"part": 2},  # blocked self-join
     # -- documents corpus: staged text pipelines --
