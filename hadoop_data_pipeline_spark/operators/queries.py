@@ -136,6 +136,87 @@ def unpersist_deps(df: DataFrame) -> None:
         dep.unpersist()
 
 
+def _conf_bytes(conf, key: str, default: int) -> int:
+    """Read a byte-valued Spark conf ("134217728b", "128m", "4194304")
+    as an int. Returns ``default`` when unset or unparsable."""
+    try:
+        raw = conf.get(key, None)
+    except Exception:  # pragma: no cover - defensive
+        return default
+    if not raw:
+        return default
+    v = str(raw).strip().lower()
+    if v.endswith("b"):
+        v = v[:-1]
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if v.endswith(suf):
+            v, mult = v[:-1], m
+            break
+    try:
+        return int(v) * mult
+    except ValueError:  # pragma: no cover - defensive
+        return default
+
+
+def _planned_scan_partitions(df: DataFrame) -> int | None:
+    """Planned partition count of a scan-shaped frame WITHOUT the
+    physical-planning round trip of ``df.rdd`` (which costs ~0.15 s of
+    driver time per call — measured r16). For a local-file relation
+    the split packing is a pure function of (file sizes, three confs,
+    default parallelism): this mirrors Spark's own
+    ``FilePartition.maxSplitBytes`` + greedy packing. Parquet is
+    splittable by byte range, so the formula is exact for the scans
+    this engine reads. Returns ``None`` (caller falls back to the
+    authoritative ``df.rdd`` probe) for in-memory relations, remote
+    schemes, or files the driver cannot stat — so HDFS/S3 behavior is
+    unchanged. ``inputFiles()`` ignores partition pruning; a pruned
+    scan can therefore only over-estimate, which skips the scatter —
+    exactly the production no-op the contract promises."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - defensive
+        return None
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        path = "/" + f.split(":", 1)[1].lstrip("/")
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    open_cost = _conf_bytes(conf, "spark.sql.files.openCostInBytes", 4 * 1024**2)
+    max_pb = _conf_bytes(conf, "spark.sql.files.maxPartitionBytes", 128 * 1024**2)
+    sc = df.sparkSession.sparkContext
+    min_pn = int(
+        _conf_bytes(conf, "spark.sql.files.minPartitionNum", 0)
+        or _conf_bytes(conf, "spark.sql.leafNodeDefaultParallelism", 0)
+        or sc.defaultParallelism
+    )
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_pb, max(open_cost, total // max(1, min_pn)))
+    splits: list[int] = []
+    for s in sizes:
+        off = 0
+        while off < s:
+            splits.append(min(max_split, s - off))
+            off += max_split
+    splits.sort(reverse=True)
+    parts, cur = 0, 0
+    for sp in splits:
+        if cur + sp > max_split and cur > 0:
+            parts += 1
+            cur = 0
+        cur += sp + open_cost
+    return parts + (1 if cur > 0 else 0)
+
+
 def scatter_small_scan(
     df: DataFrame, target: int | None = None
 ) -> DataFrame:
@@ -154,6 +235,12 @@ def scatter_small_scan(
     corpus-wide shuffle. The exchange, when it fires, moves only the
     pruned columns of a provably small input.
 
+    The partition count is ESTIMATED from the relation's file sizes
+    (:func:`_planned_scan_partitions` — Spark's own split-packing
+    formula over ``inputFiles()``); only non-file frames pay the
+    ``df.rdd`` physical-planning probe. A wrong estimate can only skip
+    or add the scatter (performance), never change results.
+
     Only call this on SCAN-shaped frames (scan + filter + project):
     probing the planned partition count of a frame that already
     contains an exchange eagerly materializes its shuffle stages
@@ -168,10 +255,12 @@ def scatter_small_scan(
     """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - defensive: never fail a query
-        return df
+    n = _planned_scan_partitions(df)
+    if n is None:
+        try:
+            n = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - defensive: never fail
+            return df
     return df if n >= target else df.repartition(target)
 
 

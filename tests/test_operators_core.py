@@ -505,3 +505,31 @@ def test_debounce_flags_gap_semantics(spark):
         ).collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: True, 5: True, 6: True}
+
+
+def test_planned_scan_partition_estimate_matches_probe(spark):
+    """_planned_scan_partitions must agree with the authoritative
+    (and ~100x more expensive) df.rdd probe for local parquet scans —
+    including a filtered/projected frame — and decline (None) for
+    in-memory relations so scatter_small_scan falls back."""
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    for t in ("lineitem", "documents", "nation"):
+        df = load_table(spark, "/root/testdata/sf0.001", t)
+        est = Q._planned_scan_partitions(df)
+        assert est == df.rdd.getNumPartitions(), t
+    filt = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    assert Q._planned_scan_partitions(filt) == filt.rdd.getNumPartitions()
+    mem = spark.createDataFrame([(1,)], "x int")
+    assert Q._planned_scan_partitions(mem) is None
+    # and the scatter contract on top of it: small scan -> repartition
+    # to defaultParallelism; in-memory frame falls back without error.
+    small = load_table(spark, "/root/testdata/sf0.001", "nation")
+    assert (
+        Q.scatter_small_scan(small).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
