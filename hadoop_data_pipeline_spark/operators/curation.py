@@ -528,25 +528,51 @@ def contamination_check(
     # into its own projection (single reference) lets Catalyst collapse
     # and re-evaluate the whole chain per consumer — measured 4x slower
     # at sf0.1.
+    from hadoop_data_pipeline_spark.operators.queries import (
+        _with_cached_deps,
+    )
+
     c = dd.staged_shingle_hashes(corpus, col, id_col).selectExpr(
         f"{id_col} AS corpus_id",
         "size(array_distinct(__sh)) AS n_c",
         "explode(array_distinct(__sh)) AS __h",
     )
-    b = dd.staged_shingle_hashes(benchmark, col, id_col).selectExpr(
-        f"{id_col} AS bench_id",
-        "explode(array_distinct(__sh)) AS __h",
-    )
+    deps: list = []
+    staged_b = dd.staged_shingle_hashes(benchmark, col, id_col)
     if max_broadcast_postings is not None:
         # Count-before-broadcast: one benchmark-side aggregate (never
-        # touches the corpus). shuffle_hash, not merge: the corpus
+        # touches the corpus). The staged benchmark frame is PERSISTED
+        # so the guard count and the join build read ONE tokenize pass
+        # (the un-cached form ran the benchmark shingle pipeline twice
+        # — r16); the cache is benchmark-sized, i.e. tiny whenever the
+        # boundedness assumption holds, and spills rather than OOMs
+        # when a caller hands a corpus-sized "benchmark". The postings
+        # count is summed from the staged array sizes — no explode
+        # needed for the guard. shuffle_hash, not merge: the corpus
         # side must not sort.
-        if b.count() > max_broadcast_postings:
+        staged_b = staged_b.persist()
+        deps.append(staged_b)
+        n_postings = int(
+            staged_b.selectExpr(
+                "sum(size(array_distinct(__sh))) AS n"
+            ).collect()[0]["n"]
+            or 0
+        )
+        b = staged_b.selectExpr(
+            f"{id_col} AS bench_id",
+            "explode(array_distinct(__sh)) AS __h",
+        )
+        if n_postings > max_broadcast_postings:
             b = b.hint("shuffle_hash")
         else:
             b = F.broadcast(b)
     else:
-        b = F.broadcast(b)
+        b = F.broadcast(
+            staged_b.selectExpr(
+                f"{id_col} AS bench_id",
+                "explode(array_distinct(__sh)) AS __h",
+            )
+        )
     pairs = (
         c.join(b, "__h")
         .groupBy("corpus_id", "bench_id", "n_c")
@@ -559,7 +585,9 @@ def contamination_check(
             " AS containment",
         )
     )
-    return pairs.where(F.col("containment") >= threshold)
+    return _with_cached_deps(
+        pairs.where(F.col("containment") >= threshold), *deps
+    )
 
 
 def decontaminate(
@@ -591,19 +619,25 @@ def decontaminate(
     through. The flagged-ID broadcast needs no guard: it is already
     capped at one id per corpus document that crossed the containment
     threshold against a bounded eval suite."""
-    flagged = (
-        contamination_check(
-            corpus,
-            benchmark,
-            col=col,
-            id_col=id_col,
-            threshold=threshold,
-            max_broadcast_postings=max_broadcast_postings,
-        )
-        .select(F.col("corpus_id").alias(id_col))
-        .distinct()
+    from hadoop_data_pipeline_spark.operators.queries import (
+        _with_cached_deps,
     )
-    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+    hits = contamination_check(
+        corpus,
+        benchmark,
+        col=col,
+        id_col=id_col,
+        threshold=threshold,
+        max_broadcast_postings=max_broadcast_postings,
+    )
+    flagged = hits.select(F.col("corpus_id").alias(id_col)).distinct()
+    # Propagate the detection step's persisted benchmark staging to
+    # the returned frame (transformations strip the _cached_deps tag).
+    return _with_cached_deps(
+        corpus.join(F.broadcast(flagged), id_col, "left_anti"),
+        *getattr(hits, "_cached_deps", []),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -150,17 +150,43 @@ def _train(xf: DataFrame, epochs: int) -> tuple[dict[int, int], int]:
     """Run the batch-perceptron epochs over a staged ``xf`` frame.
     Returns the model as a driver-side (weights dict, bias) — at most
     n_features + 1 integers; every collect below is bounded by
-    n_features or is a 1-row aggregate."""
+    n_features + 1 rows.
+
+    Driver-sync budget: ONE collect per epoch (r16; was two). The
+    per-feature delta frame and the 1-row bias delta union into one
+    job — the bias rides as the sentinel ``f = -1`` row (impossible
+    as a real feature id: ``feature_expr`` maps into [0, n_features),
+    and the same sentinel the returned model already uses). Each
+    removed collect was a full driver round trip + job submission
+    between strictly sequential epochs, pure latency on the training
+    critical path at ANY corpus size."""
+    f_type = xf.schema["f"].dataType
+    sentinel = F.lit(-1).cast(f_type).alias("f")
+
+    def _apply(rows, w, b):
+        for r in rows:
+            f, d = int(r["f"]), int(r["dw"] or 0)
+            if f == -1:
+                b += d
+            else:
+                w[f] = w.get(f, 0) + d
+        return b
+
     # Epoch 1: w = 0, b = 0 -> margin 0 everywhere -> every doc
-    # misclassified; the update is a plain aggregate, no join.
-    w = {
-        int(r["f"]): int(r["w"])
-        for r in xf.groupBy("f")
-        .agg(F.sum(F.col("y") * F.col("cnt")).cast("long").alias("w"))
-        .collect()
-    }
-    docs = xf.groupBy("doc_id").agg(F.first("y").alias("y"))
-    b = int(docs.agg(F.sum("y")).collect()[0][0] or 0)
+    # misclassified; the update is a plain aggregate, no join. The
+    # bias branch re-reads the persisted xf — two cache scans inside
+    # one job instead of two sequential jobs.
+    wrows = xf.groupBy("f").agg(
+        F.sum(F.col("y") * F.col("cnt")).cast("long").alias("dw")
+    )
+    brow = (
+        xf.groupBy("doc_id")
+        .agg(F.first("y").alias("y"))
+        .agg(F.sum("y").cast("long").alias("dw"))
+        .select(sentinel, "dw")
+    )
+    w: dict[int, int] = {}
+    b = _apply(wrows.unionByName(brow).collect(), w, 0)
     for _ in range(epochs - 1):
         mis = (
             _dots(xf, w)
@@ -170,20 +196,18 @@ def _train(xf: DataFrame, epochs: int) -> tuple[dict[int, int], int]:
         # Per-feature weight deltas: misclassified doc ids joined back
         # onto xf — both sides hash-partitioned by doc_id (mis derives
         # from a doc_id-grouped aggregate over xf), so neither side
-        # exchanges; the grouped result is <= n_features rows.
+        # exchanges; the grouped result is <= n_features rows. Bias
+        # delta (each misclassified doc's y exactly once — mis is
+        # doc-level) unions in as the f = -1 row: one collect total.
         dw = (
             xf.join(mis, "doc_id")
             .groupBy("f")
             .agg(F.sum(F.col("__my") * F.col("cnt")).cast("long").alias("dw"))
-            .collect()
         )
-        # Bias delta: each misclassified doc's y exactly once (mis is
-        # doc-level). 1-row aggregate.
-        db = mis.agg(F.sum("__my")).collect()[0][0]
-        for r in dw:
-            f = int(r["f"])
-            w[f] = w.get(f, 0) + int(r["dw"])
-        b += int(db or 0)
+        db = mis.agg(F.sum("__my").cast("long").alias("dw")).select(
+            sentinel, "dw"
+        )
+        b = _apply(dw.unionByName(db).collect(), w, b)
     return w, b
 
 

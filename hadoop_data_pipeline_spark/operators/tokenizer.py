@@ -70,7 +70,16 @@ def bpe_train(
     and stops early when the best pair drops under ``min_freq``.
     Returns the ordered merge list — the entire trained model.
     """
-    rows = word_freqs.collect()
+    return _bpe_train_rows(word_freqs.collect(), n_merges, min_freq)
+
+
+def _bpe_train_rows(
+    rows, n_merges: int = 100, min_freq: int = 2
+) -> list[tuple[str, str]]:
+    """The classic driver-side BPE loop over already-collected
+    (word, freq) rows — split out so :func:`bpe_train_auto` can feed
+    it the rows its bounded probe already fetched instead of
+    re-running the frequency pipeline for a second collect."""
     seqs: list[tuple[list[str], int]] = [
         (list(r["word"]) + [EOW], int(r["freq"])) for r in rows
     ]
@@ -210,15 +219,20 @@ def bpe_train_auto(
     collect_threshold: int = 100_000,
 ) -> list[tuple[str, str]]:
     """Adaptive trainer (the ``connected_components`` driver/
-    distributed precedent): count the vocab table first — at or under
-    ``collect_threshold`` rows the driver loop wins (no per-round
-    scheduler overhead; the collect is bounded by the count we just
-    took), above it the Spark-round trainer keeps the table
-    distributed. Both paths produce the identical model
-    (``tests/test_tokenizer.py`` pins equality), so the switch is a
-    pure cost decision, decided by a measurement, not a guess."""
-    if word_freqs.count() <= collect_threshold:
-        return bpe_train(word_freqs, n_merges, min_freq)
+    distributed precedent): probe the vocab table with ONE bounded
+    collect of at most ``collect_threshold + 1`` rows — if the limit
+    was not hit we already hold the WHOLE table and the driver loop
+    runs on it directly (no per-round scheduler overhead), above it
+    the Spark-round trainer keeps the table distributed. The earlier
+    count()-then-collect form ran the corpus-scale frequency pipeline
+    TWICE (r16; the ``connected_components`` edge probe had the same
+    fix); the single probe halves that to the one unavoidable pass.
+    Both paths produce the identical model (``tests/test_tokenizer.py``
+    pins equality), so the switch is a pure cost decision, decided by
+    a measurement, not a guess."""
+    probe = word_freqs.limit(collect_threshold + 1).collect()
+    if len(probe) <= collect_threshold:
+        return _bpe_train_rows(probe, n_merges, min_freq)
     return bpe_train_spark(word_freqs, n_merges, min_freq)
 
 

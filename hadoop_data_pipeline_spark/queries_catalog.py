@@ -3741,8 +3741,10 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
-    return cur.decontaminate(corpus, bench, threshold=0.2).select(
-        "doc_id", "lang", "source"
+    kept = cur.decontaminate(corpus, bench, threshold=0.2)
+    return Q._with_cached_deps(
+        kept.select("doc_id", "lang", "source"),
+        *getattr(kept, "_cached_deps", []),
     )
 
 

@@ -796,14 +796,29 @@ def test_decontaminate_broadcast_anti_join(spark):
     """Decontamination must keep the corpus un-shuffled at any scale:
     the bench postings join AND the flagged-id anti join both
     broadcast (no SortMergeJoin anywhere), scans stay column-pruned
-    (the output-side corpus scan reads no text), zero Python."""
+    (the output-side corpus scan reads no text), zero Python.
+
+    Corpus-side contract: EXACTLY two corpus scans (the detection
+    pass and the anti-join output pass — pinned by the pushed
+    `% 97 <> 0` filter). The benchmark side is a persisted staging
+    frame since r16 (one tokenize pass shared by the broadcast guard
+    and the join build); its cache-FILL FileScan prints once per
+    InMemoryRelation reference in `toString`, so it is asserted by
+    filter (>= 1, benchmark-pruned) rather than by raw line count —
+    the gate's scan_audit (Location-deduped) still pins the real
+    totals at documents=3."""
     plan = plan_of(spark, "decontaminate_corpus")
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
     scans = scans_of(plan)
-    assert len(scans) == 3 and all("documents" in s for s in scans)
-    out_side = [s for s in scans if "lang" in s]
+    assert scans and all("documents" in s for s in scans)
+    corpus_side = [s for s in scans if "NOT ((" in s.split("DataFilters:")[1]]
+    bench_side = [s for s in scans if "NOT ((" not in s.split("DataFilters:")[1]]
+    assert len(corpus_side) == 2
+    assert bench_side  # cached staging fill, printed per reference
+    assert "InMemoryTableScan" in plan  # benchmark staging is cached
+    out_side = [s for s in corpus_side if "lang" in s]
     assert out_side and all("text" not in s for s in out_side)
 
 
