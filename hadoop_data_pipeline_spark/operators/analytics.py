@@ -212,19 +212,27 @@ def triangle_participation(
     Scale design — degree-ordered edge orientation (Suri &
     Vassilvitskii, WWW'11 "the curse of the last reducer"): orient
     every edge from its lower-(degree, id) endpoint to the higher
-    one, enumerate wedges only AT the lowest corner (join oriented
-    edges on their source), and close each wedge with the uniquely-
-    oriented third edge. Orientation bounds every node's out-degree
-    by O(sqrt(|E|)) regardless of how skewed the raw degree
-    distribution is — the celebrity node with 10^7 neighbors emits
-    ~zero wedges instead of 10^14 — and each triangle is counted
-    EXACTLY once (at its minimum corner), no /3 correction, no
-    dedup pass. Comparisons are explicit (deg, id) tuples, so the
-    same SQL is exact in both engines at any id magnitude."""
+    one, group each node's OUT-neighborhood into an adjacency list
+    (bounded at O(sqrt(|E|)) per node by the orientation, regardless
+    of how skewed the raw degree distribution is — the celebrity node
+    with 10^7 neighbors keeps ~zero out-edges), and close triangles
+    by intersecting the two endpoint adjacency lists of every
+    oriented edge: for edge u->v the common out-neighbors
+    N+(u) ∩ N+(v) are exactly the third corners w with u->w and
+    v->w, i.e. each triangle is found EXACTLY once, at the edge
+    joining its two minimum-(deg, id) corners — no /3 correction, no
+    dedup pass. The r16 wedge form enumerated O(Σ outdeg²) wedge
+    rows through a self-join and re-executed the closing-join
+    subtree three times under the 3-way corner union; the
+    intersection form replaces wedge self-join + closing join + the
+    union with ONE adjacency groupBy, two node-keyed list joins and
+    a single corner explode (r17: jobs 30 -> fewer, see
+    plans/r17/copurchase_triangle_counts_*). Intersection inputs are
+    plain id arrays; `array_intersect` hashes one side and walks the
+    other — O(|N+(u)| + |N+(v)|) per edge, codegen'd, no Python."""
     ea, eb = F.col(a_col), F.col(b_col)
     deg = (
-        edges.select(ea.alias("n"))
-        .unionAll(edges.select(eb.alias("n")))
+        edges.select(F.explode(F.array(ea, eb)).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
@@ -239,32 +247,53 @@ def triangle_participation(
         )
     )
     lower = f"(da < db OR (da = db AND {a_col} < {b_col}))"
-    # Persisted for the result's lifetime (both wedge sides + the
-    # closing join read it): the returned frame derives from it
-    # lazily, so this function cannot unpersist it. The returned
-    # frame carries the cache via `_with_cached_deps` — one-shot
-    # drivers release it with clearCache-per-query; ITERATIVE callers
-    # must call `queries.unpersist_deps(result)` after materializing
-    # (the r13 verdict's enforcement ask).
     oriented = e.selectExpr(
         f"CASE WHEN {lower} THEN {a_col} ELSE {b_col} END AS src",
         f"CASE WHEN {lower} THEN {b_col} ELSE {a_col} END AS dst",
-        f"CASE WHEN {lower} THEN db ELSE da END AS dst_deg",
-    ).persist()
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedge_lt = (
-        "(e1.dst_deg < e2.dst_deg"
-        " OR (e1.dst_deg = e2.dst_deg AND e1.dst < e2.dst))"
     )
-    wedges = e1.join(
-        e2, F.expr("e1.src = e2.src") & F.expr(wedge_lt)
-    ).selectExpr("e1.src AS u", "e1.dst AS v", "e2.dst AS w")
-    closing = oriented.selectExpr("src AS v", "dst AS w")
-    tri = wedges.join(closing, ["v", "w"])
-    corners = (
-        tri.selectExpr("u AS node")
-        .unionAll(tri.selectExpr("v AS node"))
-        .unionAll(tri.selectExpr("w AS node"))
+    # The ADJACENCY frame is the single persisted intermediate (the
+    # r16 form persisted raw oriented edges and aggregated them twice;
+    # persisting post-aggregation halves the materialization points):
+    # the probe side below re-derives every oriented edge by exploding
+    # the cached lists — carrying its u-side list along for free — so
+    # one cache serves both intersection operands with ONE join.
+    # collect_list (not collect_set): oriented edges are distinct by
+    # construction (edges is a distinct a<b set), so the list has no
+    # duplicates and skips the set's per-element hash dedup. The
+    # returned frame derives from the cache lazily, so this function
+    # cannot unpersist it; it carries the cache via `_with_cached_deps`
+    # — one-shot drivers release it with clearCache-per-query;
+    # ITERATIVE callers must call `queries.unpersist_deps(result)`
+    # after materializing (the r13 verdict's enforcement ask).
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("ns"))
+        .persist()
+    )
+    probe = adj.select(
+        F.col("src").alias("u"),
+        F.explode("ns").alias("v"),
+        F.col("ns").alias("nu"),
+    )
+    tri = (
+        probe.join(
+            adj.selectExpr("src AS __v", "ns AS nv"),
+            F.col("v") == F.col("__v"),
+        )
+        .selectExpr("u", "v", "array_intersect(nu, nv) AS ws")
+        .where(F.size("ws") > 0)
+    )
+    # Every triangle (u, v, w ∈ ws) credits each corner once: the w
+    # corners come from the intersection array itself, u and v each
+    # repeat size(ws) times — one explode, no union re-executing the
+    # join per corner.
+    corners = tri.select(
+        F.explode(
+            F.expr(
+                "concat(ws, array_repeat(u, size(ws)),"
+                " array_repeat(v, size(ws)))"
+            )
+        ).alias("node")
     )
     from hadoop_data_pipeline_spark.operators.queries import (
         _with_cached_deps,
@@ -273,7 +302,7 @@ def triangle_participation(
     out = corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
-    return _with_cached_deps(out, oriented)
+    return _with_cached_deps(out, adj)
 
 
 def association_rules(

@@ -5434,28 +5434,55 @@ _PR_ITERS = 3
 def _pagerank_sql(
     dialect: str,
     table: str = "lineitem",
-    edges_view: str | None = None,
-    deg_view: str | None = None,
+    ed_view: str | None = None,
+    n_nodes: int | None = None,
 ) -> str:
-    """The SAME unrolled fixed-point PageRank text for both engines —
-    the only dialect difference is the floor-division operator
-    (Spark ``div``, DuckDB ``//``). ``edges_view``/``deg_view`` replace
-    the edge-derivation CTEs with pre-materialized (cached) views on
-    the Spark side; DuckDB keeps the inline CTEs — the TEXT downstream
-    of ``edges`` is identical either way, so the hash contract holds."""
+    """Unrolled fixed-point PageRank for both engines. The DuckDB
+    branch (no views) is the ORACLE text, unchanged since r11. The
+    Spark branch (``ed_view``/``n_nodes``, r17) runs the FUSED form:
+    the cached edge frame carries BOTH endpoint out-degrees
+    (src_outdeg, dst_outdeg), so each iteration is ONE join (ranks on
+    src; iteration 1 needs none — r0 is the constant SCALE//n_nodes)
+    plus one groupBy(dst) that emits the next rank frame directly,
+    where the r16 text joined the degree frame back every iteration
+    (3 extra node-keyed joins per execution) and cross-joined a 1-row
+    node-count frame into every CTE (6 broadcast-build jobs);
+    ``n_nodes`` arrives as a literal instead. Arithmetic is
+    term-for-term identical — contribution of edge (src, dst) in
+    iteration i is ``r_{i-1}(src) // outdeg(src)`` with outdeg(src) =
+    src_outdeg, summed per dst as exact BIGINTs (order-insensitive),
+    teleport term unchanged — so the cross-engine hash contract holds
+    without textual identity; every division is still a floor
+    division on bigints."""
     fd = " div " if dialect == dual.SPARK else " // "
-    if edges_view:
-        # Spark path: `edges_view`/`deg_view` are pre-materialized
-        # CACHED frames (edges = union over the cached distinct
-        # pairs; deg = its one-time aggregate), so the corpus is
-        # scanned once and the per-iteration CTE references read
-        # kilobyte caches instead of re-running the scan + DISTINCT +
-        # degree exchanges per reference (the inline form planned 22
-        # real corpus scans; the r11 scan-count audit caught it).
+    if ed_view:
+        n = f"CAST({n_nodes} AS BIGINT)"
+        tele = f"(CAST(15 AS BIGINT) * {_PR_SCALE}){fd}(100 * {n})"
         lines = [
-            f"WITH edges AS (SELECT src, dst FROM {edges_view}),",
-            f"deg AS (SELECT node, outdeg FROM {deg_view}),",
+            "WITH edges AS (SELECT src, dst, src_outdeg, dst_outdeg"
+            f" FROM {ed_view}),",
+            # Iteration 1 inlined: every node's r0 is the same
+            # constant, so the rank join is pure arithmetic on the
+            # edge row (r0(src) // outdeg(src) = (SCALE//n) // src_outdeg).
+            f"c1 AS (SELECT e.dst AS node, max(e.dst_outdeg) AS outdeg,"
+            f" sum(({_PR_SCALE}{fd}{n}){fd}e.src_outdeg) AS s"
+            f" FROM edges e GROUP BY e.dst),",
+            f"r1 AS (SELECT node, outdeg, {tele}"
+            f" + (CAST(85 AS BIGINT) * c1.s){fd}100 AS r"
+            " FROM c1),",
         ]
+        for i in range(2, _PR_ITERS + 1):
+            p = i - 1
+            lines += [
+                f"c{i} AS (SELECT e.dst AS node,"
+                f" max(e.dst_outdeg) AS outdeg,"
+                f" sum(r{p}.r{fd}r{p}.outdeg) AS s"
+                f" FROM edges e JOIN r{p} ON e.src = r{p}.node"
+                " GROUP BY e.dst),",
+                f"r{i} AS (SELECT node, outdeg, {tele}"
+                f" + (CAST(85 AS BIGINT) * c{i}.s){fd}100 AS r"
+                f" FROM c{i}),",
+            ]
     else:
         lines = [
             f"WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM {table}),",
@@ -5465,23 +5492,21 @@ def _pagerank_sql(
             "    SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM e0",
             "),",
             "deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),",
+            "n AS (SELECT count(*) AS n_nodes FROM deg),",
+            f"r0 AS (SELECT node, outdeg, {_PR_SCALE}{fd}n_nodes AS r"
+            " FROM deg, n),",
         ]
-    lines += [
-        "n AS (SELECT count(*) AS n_nodes FROM deg),",
-        f"r0 AS (SELECT node, outdeg, {_PR_SCALE}{fd}n_nodes AS r"
-        " FROM deg, n),",
-    ]
-    for i in range(1, _PR_ITERS + 1):
-        p = i - 1
-        lines += [
-            f"c{i} AS (SELECT e.dst AS node,"
-            f" sum(r{p}.r{fd}r{p}.outdeg) AS s"
-            f" FROM edges e JOIN r{p} ON e.src = r{p}.node GROUP BY 1),",
-            f"r{i} AS (SELECT d.node, d.outdeg,"
-            f" (CAST(15 AS BIGINT) * {_PR_SCALE}){fd}(100 * n.n_nodes)"
-            f" + (CAST(85 AS BIGINT) * c{i}.s){fd}100 AS r"
-            f" FROM deg d JOIN c{i} ON d.node = c{i}.node, n),",
-        ]
+        for i in range(1, _PR_ITERS + 1):
+            p = i - 1
+            lines += [
+                f"c{i} AS (SELECT e.dst AS node,"
+                f" sum(r{p}.r{fd}r{p}.outdeg) AS s"
+                f" FROM edges e JOIN r{p} ON e.src = r{p}.node GROUP BY 1),",
+                f"r{i} AS (SELECT d.node, d.outdeg,"
+                f" (CAST(15 AS BIGINT) * {_PR_SCALE}){fd}(100 * n.n_nodes)"
+                f" + (CAST(85 AS BIGINT) * c{i}.s){fd}100 AS r"
+                f" FROM deg d JOIN c{i} ON d.node = c{i}.node, n),",
+            ]
     lines[-1] = lines[-1].rstrip(",")
     lines += [
         "SELECT node AS node_id,",
@@ -5511,49 +5536,75 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a fixed iteration count unrolls into ONE declarative
     plan (no driver action anywhere — the node count the teleport
-    term needs stays inside the plan as a 1-row frame), and the EDGE
-    FRAME IS PERSISTED behind a view: the unrolled plan references
-    edges in every iteration's join plus the degree/teleport CTEs,
-    and Catalyst does NOT de-duplicate those subtree references — the
-    inline-CTE form measurably planned 22 lineitem scans (50 MB
-    scanned against a 1 MB table at sf0.01; the r11 scan-count audit
-    caught it). With the digest-width (src, dst) edges cached once,
-    the corpus is scanned ONCE and each iteration is (cached edges ⋈
-    ranks on src) + a partial-agg groupBy(dst), all keyed on node
-    ids. An unbounded-iteration PageRank would switch to the loop +
-    localCheckpoint pattern of ``dedup.connected_components``. The
-    cache follows the `_with_cached_deps` lifecycle contract."""
+    term needs stays inside the plan as a 1-row cached frame), and
+    the EDGE FRAME IS PERSISTED behind a view: the unrolled plan
+    references edges in every iteration's join, and Catalyst does NOT
+    de-duplicate those subtree references — the inline-CTE form
+    measurably planned 22 lineitem scans (the r11 scan-count audit
+    caught it). r17 fusion: the cached per-pair frame carries BOTH
+    endpoint out-degrees (computed with two count-over-key windows in
+    the single derivation pass — no join, no second scan), so each
+    iteration is (cached edges ⋈ ranks on src) + ONE partial-agg
+    groupBy(dst) that emits the next rank frame directly; the r16
+    shape joined the separate degree cache back per iteration and
+    cross-joined a 1-row count frame into every CTE. Iteration 1 is
+    pure edge arithmetic (r0 is the same constant for every node).
+    The node count the teleport term needs is collected ONCE from the
+    cache fill (one 1-row driver job during construction — the same
+    bounded-driver-sync trade as the r16 BPE probe) and inlined as a
+    literal, which removes SIX 1-row broadcast-build jobs from the
+    unrolled plan. Driver-visible cost: 32 jobs / 70 stages / 2055
+    tasks -> 14 jobs / 56 stages / 1732 tasks (see
+    plans/r17/pagerank_part_supplier_*). The 4-int cached rows cost
+    2x the r16 (src, dst) cache bytes — at 100 TB that is still
+    digest-width metadata, and it buys back three corpus-node-sized
+    join shuffles per execution. An unbounded-iteration PageRank
+    would switch to the loop + localCheckpoint pattern of
+    ``dedup.connected_components``. The cache follows the
+    `_with_cached_deps` lifecycle contract. No scatter on the
+    derivation scan (r17): the map side below the distinct is a
+    trivial projection, so the round-robin exchange only added a
+    stage (same A/B finding as ``copurchase_triangle_counts``)."""
     ln = load_table(spark, sf_dir, "lineitem")
-    # Scatter the edge-derivation scan (fixed-point integer math
-    # everywhere downstream — order-safe; see queries.scatter_small_scan).
-    e0 = (
-        Q.scatter_small_scan(ln.selectExpr("l_partkey", "l_suppkey"))
-        .distinct()
+    e0 = ln.selectExpr("l_partkey", "l_suppkey").distinct()
+    wp = Window.partitionBy("l_partkey")
+    ws = Window.partitionBy("l_suppkey")
+    ed0 = (
+        e0.withColumn("pd", F.count(F.lit(1)).over(wp))
+        .withColumn("sd", F.count(F.lit(1)).over(ws))
         .persist()
     )
-    edges = e0.selectExpr(
-        "l_partkey * 2 AS src", "l_suppkey * 2 + 1 AS dst"
+    ed = ed0.selectExpr(
+        "l_partkey * 2 AS src",
+        "l_suppkey * 2 + 1 AS dst",
+        "pd AS src_outdeg",
+        "sd AS dst_outdeg",
     ).unionAll(
-        e0.selectExpr("l_suppkey * 2 + 1 AS src", "l_partkey * 2 AS dst")
+        ed0.selectExpr(
+            "l_suppkey * 2 + 1 AS src",
+            "l_partkey * 2 AS dst",
+            "sd AS src_outdeg",
+            "pd AS dst_outdeg",
+        )
     )
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
-        .selectExpr("src AS node", "outdeg")
-        .persist()
+    # One bounded driver sync: the 1-row count doubles as the eager
+    # cache fill for ed0 (every node is a distinct part or supplier).
+    n_nodes = int(
+        ed0.selectExpr(
+            "count(distinct l_partkey) + count(distinct l_suppkey) AS n"
+        ).collect()[0]["n"]
     )
     # Per-call unique view names: two concurrent calls in one
     # SparkSession (e.g. different sf_dir) must not bind one call's
     # unrolled plan to the other's frames via a shared session-global
     # view name (ADVICE r11).
     tag = uuid.uuid4().hex[:12]
-    ev_name, dv_name = f"__pr_edges_{tag}", f"__pr_deg_{tag}"
-    edges.createOrReplaceTempView(ev_name)
-    deg.createOrReplaceTempView(dv_name)
+    ev_name = f"__pr_edges_{tag}"
+    ed.createOrReplaceTempView(ev_name)
     out = spark.sql(
-        _pagerank_sql(dual.SPARK, edges_view=ev_name, deg_view=dv_name)
+        _pagerank_sql(dual.SPARK, ed_view=ev_name, n_nodes=n_nodes)
     )
-    return Q._with_cached_deps(out, e0, deg)
+    return Q._with_cached_deps(out, ed0)
 
 
 @register(
@@ -6976,19 +7027,23 @@ def copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, not a chance pairing).
 
     Scale design: degree-ordered edge ORIENTATION (Suri &
-    Vassilvitskii WWW'11 — "the curse of the last reducer"): wedges
-    are enumerated only at each triangle's minimum-(degree, id)
-    corner, so per-node wedge fanout is bounded by O(sqrt(|E|)) even
-    under celebrity-node skew, each triangle closes via the uniquely
-    oriented third edge, and no triangle is double-counted (no /3
-    correction). Pair generation groups each order's distinct bulk
-    parts through ONE keyed exchange and expands a < b pairs
-    JVM-side (per-order fanout bounded by order size); the quantity
-    filter pushes to the parquet scan. r16 plan diff (see
-    plans/r16/copurchase_triangle_counts_{before,after}.txt): the
-    within-order self-join form planned 2 lineitem scans, 18
-    exchanges and 8 SortMergeJoins (16 Sorts); the grouped form
-    plans 1 scan, 6 exchanges, 0 sorts."""
+    Vassilvitskii WWW'11 — "the curse of the last reducer") bounds
+    per-node out-degree at O(sqrt(|E|)) even under celebrity-node
+    skew; triangles close by intersecting the two endpoint
+    adjacency lists of each oriented edge (see
+    ``analytics.triangle_participation``), each triangle found
+    exactly once (no /3 correction). Pair generation groups each
+    order's distinct bulk parts through ONE keyed exchange and
+    expands a < b pairs JVM-side (per-order fanout bounded by order
+    size); the quantity filter pushes to the parquet scan. r16 plan
+    diff: the within-order self-join form planned 2 lineitem scans,
+    18 exchanges and 8 SortMergeJoins; the grouped form 1 scan, 6
+    exchanges, 0 sorts. r17 (see
+    plans/r17/copurchase_triangle_counts_{before,after}.txt): the
+    wedge self-join + closing join + 3-way corner union became the
+    single-cache adjacency-intersection form — driver-visible cost
+    30 jobs / 1883 tasks -> 17 jobs / ~1070 tasks, warm best-of-N
+    3.6 -> 2.3 s at sf0.1/local[32]."""
     from hadoop_data_pipeline_spark.operators import analytics
 
     li = (
@@ -6996,8 +7051,12 @@ def copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_quantity") >= _TRI_MIN_QTY)
         .select("l_orderkey", "l_partkey")
     )
-    li = Q.scatter_small_scan(li)  # parallel map side for the
-    # per-order grouping; counts-only math downstream (r16)
+    # No scatter here (r17): the map side below the per-order groupBy
+    # is a trivial filter+project+partial-collect_set — unlike the
+    # tokenize/hash staging scans, there is no expensive per-row work
+    # to parallelize, and the round-robin exchange measurably COST
+    # time at bench scale (interleaved A/B: 1.93 vs 1.68 s warm) while
+    # being a no-op at production split counts either way.
     # Pair generation via ONE keyed exchange: group each order's
     # distinct bulk parts and expand a < b pairs in a codegen'd
     # projection — the within-order SELF-JOIN form scanned lineitem
