@@ -552,12 +552,20 @@ def contamination_check(
         # side must not sort.
         staged_b = staged_b.persist()
         deps.append(staged_b)
-        n_postings = int(
-            staged_b.selectExpr(
-                "sum(size(array_distinct(__sh))) AS n"
-            ).collect()[0]["n"]
-            or 0
-        )
+        try:
+            n_postings = int(
+                staged_b.selectExpr(
+                    "sum(size(array_distinct(__sh))) AS n"
+                ).collect()[0]["n"]
+                or 0
+            )
+        except Exception:
+            # The guard job failed (bad column, executor loss): the
+            # persisted benchmark frame would otherwise leak in the
+            # cache until clearCache, and the _cached_deps tag never
+            # reaches the caller (ADVICE r16).
+            staged_b.unpersist()
+            raise
         b = staged_b.selectExpr(
             f"{id_col} AS bench_id",
             "explode(array_distinct(__sh)) AS __h",

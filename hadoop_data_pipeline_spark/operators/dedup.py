@@ -598,11 +598,18 @@ def clean_corpus(
     min_quality: float = 0.5,
     langs: Sequence[str] = ("en", "de"),
     threshold: float = 0.5,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The composite a training-data pipeline actually runs: quality
     floor -> language allowlist -> exact dedup (min-id survivor) ->
     near-dup cluster resolution keeping canonical docs only. Returns
-    (id, lang) of the retained corpus.
+    (id, lang, *keep_cols) of the retained corpus — ``keep_cols``
+    (any subset of the persisted survivor frame's columns, e.g. the
+    text) lets a composite caller consume the survivors DIRECTLY
+    instead of re-scanning the corpus and semi-joining the returned
+    ids back (r17: ``prepare_training_shards`` dropped a whole
+    documents scan + exchange this way); the default () output is
+    unchanged.
 
     Stage shapes: scoring/filtering are shuffle-free projections;
     exact dedup is a window-min over md5 digests; near-dup is the
@@ -656,7 +663,7 @@ def clean_corpus(
         exact.join(
             clusters.where(F.col("is_canonical")).select(id_col), id_col
         )
-        .select(id_col, lang_col)
+        .select(id_col, lang_col, *keep_cols)
     )
     return _with_cached_deps(out, exact)
 

@@ -175,6 +175,49 @@ def dhash64(arr: np.ndarray) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
+def dhash64_batch(frames: np.ndarray) -> np.ndarray:
+    """:func:`dhash64` of EVERY frame of an ``(N, H, W, 3)`` uint8
+    stack in one vectorized pass (r17, guide §4.2): one luma, one
+    two-axis reduceat box-mean and one packed comparison serve all N
+    frames, instead of N separate small-array round trips (the
+    per-frame numpy dispatch overhead dominated
+    ``videocodec.frame_dhashes`` — profiled 0.78 s / 6000 frames).
+    Bit-identical to the scalar loop by construction (same integer
+    luma, same floor-mean grid, same MSB-first bit order, same signed
+    mapping — pinned by test); requires ``H >= DHASH_ROWS`` and
+    ``W >= DHASH_COLS + 1`` (callers fall back to :func:`dhash64` for
+    sub-grid frames, which also handles the upscale path). Returns an
+    int64 vector of N signed hashes."""
+    a = np.asarray(frames, dtype=np.int64)
+    n, h, w = a.shape[0], a.shape[1], a.shape[2]
+    if h < DHASH_ROWS or w < DHASH_COLS + 1:  # pragma: no cover
+        raise ValueError("dhash64_batch never upscales; use dhash64")
+    lum = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    r_edges = [r * h // DHASH_ROWS for r in range(DHASH_ROWS)]
+    c_edges = [c * w // (DHASH_COLS + 1) for c in range(DHASH_COLS + 1)]
+    sums = np.add.reduceat(
+        np.add.reduceat(lum, r_edges, axis=1), c_edges, axis=2
+    )
+    r_sizes = np.diff(r_edges + [h]).reshape(1, -1, 1)
+    c_sizes = np.diff(c_edges + [w]).reshape(1, 1, -1)
+    grid = sums // (r_sizes * c_sizes)
+    bits = (
+        grid[:, :, : DHASH_COLS] > grid[:, :, 1 : DHASH_COLS + 1]
+    ).reshape(n, DHASH_ROWS * DHASH_COLS)
+    weights = np.left_shift(
+        np.uint64(1),
+        np.arange(
+            DHASH_ROWS * DHASH_COLS - 1, -1, -1, dtype=np.uint64
+        ),
+    )
+    packed = (bits.astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64
+    )
+    # reinterpret the raw 64-bit pattern as two's-complement signed —
+    # exactly dhash64's `bits - (1 << 64) if bits >= (1 << 63)` map.
+    return packed.view(np.int64)
+
+
 def resize_netpbm(raw: bytes, max_side: int) -> tuple[bytes, int, int]:
     """Downscale a netpbm payload so its longer edge is at most
     ``max_side`` (aspect preserved via integer floor, minimum 1 px,
@@ -219,6 +262,21 @@ def _cell_of(word: str, seed: int, n_cells: int) -> int:
     return int.from_bytes(h[:8], "big") % n_cells
 
 
+@lru_cache(maxsize=1 << 20)
+def _cells_row(word: str, n_seeds: int, n_cells: int) -> np.ndarray:
+    """All of a word's scatter cells for seeds ``0..n_seeds-1`` as one
+    int64 vector — the per-word unit the vectorized renders stack into
+    a (words x seeds) matrix (r17, guide §4.2: hand whole batches to
+    NumPy instead of looping cells in Python). Same memoization
+    rationale as :func:`_cell_of`, which supplies every value. Callers
+    must treat the cached array as READ-ONLY."""
+    return np.fromiter(
+        (_cell_of(word, s, n_cells) for s in range(n_seeds)),
+        dtype=np.int64,
+        count=n_seeds,
+    )
+
+
 def render_histogram_image(
     text: str, w: int = RENDER_W, h: int = RENDER_H, step: int = RENDER_STEP
 ) -> bytes:
@@ -236,15 +294,29 @@ def render_histogram_image(
     payload depends only on ``text``, so the pinned oracle map stays
     valid at every SF and under key-shifted stress corpora."""
     arr = np.zeros((h, w, 3), dtype=np.uint8)
-    words = text.split()
     n_cells = w * h
-    for c in range(3):
-        counts: dict[int, int] = {}
-        for word in words:
-            cell = _cell_of(word, c, n_cells)
-            counts[cell] = counts.get(cell, 0) + 1
-        for cell, n in counts.items():
-            arr[cell // w, cell % w, c] = min(255, step * n)
+    # Vectorized scatter (r17, guide §4.2): count occurrences once,
+    # stack each distinct word's 3 channel cells, and let one
+    # np.bincount per channel do the per-cell accumulation the old
+    # form ran as a Python dict loop per occurrence. Identical bytes:
+    # bincount sums the same integer counts (float64 weights are exact
+    # at these magnitudes) and min(255, step * n) is unchanged.
+    word_counts: dict[str, int] = {}
+    for word in text.split():
+        word_counts[word] = word_counts.get(word, 0) + 1
+    if word_counts:
+        cells = np.stack(
+            [_cells_row(wd, 3, n_cells) for wd in word_counts]
+        )
+        cnts = np.fromiter(
+            word_counts.values(), dtype=np.float64, count=len(word_counts)
+        )
+        flat = arr.reshape(n_cells, 3)
+        for c in range(3):
+            sums = np.bincount(
+                cells[:, c], weights=cnts, minlength=n_cells
+            )
+            flat[:, c] = np.minimum(255.0, step * sums).astype(np.uint8)
     return encode_netpbm(arr)
 
 

@@ -159,6 +159,42 @@ def _conf_bytes(conf, key: str, default: int) -> int:
         return default
 
 
+#: Logical nodes a "scan-shaped" frame may contain above its leaf:
+#: pure row-local ops that never change partitioning. Anything else
+#: (joins, aggregates, windows, repartitions, unions, generators)
+#: means partitioning is governed by an exchange or a cache, not by
+#: file-split packing — scatter_small_scan leaves those frames alone.
+_SCAN_SHAPE_NODES = {
+    "Project",
+    "Filter",
+    "SubqueryAlias",
+    "View",
+    "ResolvedHint",
+}
+
+
+def _is_scan_shaped(df: DataFrame) -> bool:
+    """True iff the frame's ANALYZED logical plan is a chain of
+    row-local ops over exactly one file-source relation — the only
+    shape whose partition count is decided by Spark's split packing
+    (and therefore the only shape :func:`scatter_small_scan` should
+    ever repartition). Walking the analyzed plan costs no physical
+    planning. Unknown/unreadable plans return False (fail-safe: the
+    caller then leaves the frame untouched)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        while True:
+            name = node.getClass().getSimpleName()
+            if name in _SCAN_SHAPE_NODES:
+                if node.children().size() != 1:
+                    return False  # pragma: no cover - defensive
+                node = node.children().apply(0)
+                continue
+            return name == "LogicalRelation"
+    except Exception:  # pragma: no cover - defensive
+        return False
+
+
 def _planned_scan_partitions(df: DataFrame) -> int | None:
     """Planned partition count of a scan-shaped frame WITHOUT the
     physical-planning round trip of ``df.rdd`` (which costs ~0.15 s of
@@ -174,6 +210,7 @@ def _planned_scan_partitions(df: DataFrame) -> int | None:
     scan can therefore only over-estimate, which skips the scatter —
     exactly the production no-op the contract promises."""
     import os
+    from urllib.parse import unquote, urlparse
 
     try:
         files = df.inputFiles()
@@ -183,20 +220,38 @@ def _planned_scan_partitions(df: DataFrame) -> int | None:
         return None
     sizes = []
     for f in files:
-        if not f.startswith("file:"):
+        # inputFiles() returns URI-encoded paths — parse + unquote so
+        # %-escaped names (spaces, '#', unicode) stat the right file
+        # (ADVICE r16).
+        parsed = urlparse(f)
+        if parsed.scheme not in ("file", ""):
             return None
-        path = "/" + f.split(":", 1)[1].lstrip("/")
         try:
-            sizes.append(os.path.getsize(path))
+            sizes.append(os.path.getsize(unquote(parsed.path)))
         except OSError:
             return None
     conf = df.sparkSession.conf
+
+    def _conf_int(key: str) -> int:
+        # partition-COUNT confs are plain integers, not byte strings
+        # (ADVICE r16: _conf_bytes would mis-scale a '4k'-style typo
+        # instead of ignoring it).
+        try:
+            return int(conf.get(key, None) or 0)
+        except (ValueError, TypeError):
+            return 0
+
+    # Spark repacks with a larger split size when the initial packing
+    # exceeds maxPartitionNum — this estimator does not model that, so
+    # defer to the authoritative probe when the cap is set (ADVICE r16).
+    if _conf_int("spark.sql.files.maxPartitionNum"):
+        return None
     open_cost = _conf_bytes(conf, "spark.sql.files.openCostInBytes", 4 * 1024**2)
     max_pb = _conf_bytes(conf, "spark.sql.files.maxPartitionBytes", 128 * 1024**2)
     sc = df.sparkSession.sparkContext
     min_pn = int(
-        _conf_bytes(conf, "spark.sql.files.minPartitionNum", 0)
-        or _conf_bytes(conf, "spark.sql.leafNodeDefaultParallelism", 0)
+        _conf_int("spark.sql.files.minPartitionNum")
+        or _conf_int("spark.sql.leafNodeDefaultParallelism")
         or sc.defaultParallelism
     )
     total = sum(s + open_cost for s in sizes)
@@ -241,11 +296,18 @@ def scatter_small_scan(
     ``df.rdd`` physical-planning probe. A wrong estimate can only skip
     or add the scatter (performance), never change results.
 
-    Only call this on SCAN-shaped frames (scan + filter + project):
-    probing the planned partition count of a frame that already
-    contains an exchange eagerly materializes its shuffle stages
-    under AQE. For frames the caller has ``persist()``-ed that is
-    merely an early cache fill; for anything else it is wasted work.
+    SCAN-SHAPE GATE (r17, closes ADVICE r16 #1): frames that are not
+    a plain scan + filter + project over ONE file-source relation are
+    returned UNTOUCHED. Their partitioning is governed by an exchange
+    or a cache (shuffle partitions / AQE / the partitioning they were
+    persisted with), not by file-split packing, so the scatter has
+    nothing to fix there — and the old ``df.rdd`` fallback probe such
+    frames paid was a full physical-planning round trip that under
+    AQE eagerly materializes the frame's shuffle stages (measured as
+    extra driver-visible jobs on every composite that stages hashes
+    over a persisted intermediate, e.g. clean_corpus). The probe also
+    mis-estimated multi-leaf frames by packing ALL their input files
+    as one scan.
 
     Correctness note: changing the upstream partitioning is only safe
     when downstream math is order-insensitive (integer/hash
@@ -255,6 +317,8 @@ def scatter_small_scan(
     """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
+    if not _is_scan_shaped(df):
+        return df
     n = _planned_scan_partitions(df)
     if n is None:
         try:

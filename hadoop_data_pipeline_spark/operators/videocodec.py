@@ -323,8 +323,16 @@ def frame_dhashes(raw: bytes) -> list[int]:
     """Per-frame 64-bit difference hashes (signed int64, the
     :func:`imagecodec.dhash64` bit pattern applied to each decoded
     frame) — the signature list that makes shared-scene detection a
-    2-ints-per-frame relational problem instead of a pixel problem."""
+    2-ints-per-frame relational problem instead of a pixel problem.
+    Frames at or above the dHash grid hash as ONE vectorized batch
+    (``imagecodec.dhash64_batch``, bit-identical by test); sub-grid
+    frames keep the scalar path, which owns the upscale rule."""
     frames, _us = decode_avi(raw)
+    if (
+        frames.shape[1] >= ic.DHASH_ROWS
+        and frames.shape[2] >= ic.DHASH_COLS + 1
+    ):
+        return [int(h) for h in ic.dhash64_batch(frames)]
     return [ic.dhash64(frames[k]) for k in range(frames.shape[0])]
 
 
@@ -357,20 +365,35 @@ def render_scene_video(
     # count occurrences ONCE, then scatter distinct words per seed —
     # identical cell sums by commutativity, but the 12 seed passes
     # cost O(distinct words) instead of O(occurrences) each (the
-    # Zipf-shaped corpora make that the dominant render cost)
+    # Zipf-shaped corpora make that the dominant render cost).
+    # Vectorized accumulation (r17, guide §4.2): each distinct word's
+    # 3*n_frames cells come as one memoized vector
+    # (imagecodec._cells_row), and one np.bincount per (frame,
+    # channel) replaces the per-word Python dict loop the profile
+    # showed as the render's hottest block (0.81 s / 1500 docs).
+    # Identical bytes: bincount sums the same integer counts (float64
+    # weights are exact at these magnitudes) and min(255, STEP * cnt)
+    # is unchanged.
     word_counts: dict[str, int] = {}
     for w in text.split():
         word_counts[w] = word_counts.get(w, 0) + 1
     n_cells = RENDER_W * RENDER_H
     frames = np.zeros((n_frames, RENDER_H, RENDER_W, 3), dtype=np.uint8)
-    for k in range(n_frames):
-        for c in range(3):
-            counts: dict[int, int] = {}
-            for word, cnt in word_counts.items():
-                cell = ic._cell_of(word, 3 * k + c, n_cells)
-                counts[cell] = counts.get(cell, 0) + cnt
-            for cell, cnt in counts.items():
-                frames[k, cell // RENDER_W, cell % RENDER_W, c] = min(
-                    255, ic.RENDER_STEP * cnt
+    if word_counts:
+        n_seeds = 3 * n_frames
+        cells = np.stack(
+            [ic._cells_row(w, n_seeds, n_cells) for w in word_counts]
+        )
+        cnts = np.fromiter(
+            word_counts.values(), dtype=np.float64, count=len(word_counts)
+        )
+        flat = frames.reshape(n_frames, n_cells, 3)
+        for k in range(n_frames):
+            for c in range(3):
+                sums = np.bincount(
+                    cells[:, 3 * k + c], weights=cnts, minlength=n_cells
                 )
+                flat[k, :, c] = np.minimum(
+                    255.0, ic.RENDER_STEP * sums
+                ).astype(np.uint8)
     return encode_avi(frames, us_per_frame)

@@ -4036,11 +4036,23 @@ def prepare_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle chains the SAME dual-dialect CTE fragments the component
     oracles use — one value-hash covers the whole pipeline
     end-to-end, so a drift in ANY stage (scoring, banding, Jaccard,
-    split thresholds, prefix sums) fails this row."""
+    split thresholds, prefix sums) fails this row.
+
+    r17: the split/pack stages consume ``clean_corpus``'s persisted
+    survivor frame DIRECTLY (``keep_cols=("text",)``) — the r16 form
+    re-scanned documents and semi-joined the survivor ids back,
+    paying a second corpus scan + a join exchange for rows the
+    composite already held in cache (VERDICT r16 item 4). Identical
+    rows by construction: the survivor frame's (doc_id, text) IS the
+    corpus row that survived. The survivor cache is propagated via
+    `_with_cached_deps` so iterative callers can release it."""
     docs = load_table(spark, sf_dir, "documents")
-    keep = dd.clean_corpus(docs).select("doc_id")
-    cleaned = docs.select("doc_id", "text").join(keep, "doc_id", "left_semi")
-    return cur.pack_shards(cur.hash_split(cleaned), budget=2000)
+    cleaned_raw = dd.clean_corpus(docs, keep_cols=("text",))
+    cleaned = cleaned_raw.select("doc_id", "text")
+    out = cur.pack_shards(cur.hash_split(cleaned), budget=2000)
+    return Q._with_cached_deps(
+        out, *getattr(cleaned_raw, "_cached_deps", [])
+    )
 
 
 @register(

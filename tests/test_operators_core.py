@@ -533,3 +533,36 @@ def test_planned_scan_partition_estimate_matches_probe(spark):
         Q.scatter_small_scan(small).rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_scatter_scan_shape_gate(spark):
+    """r17 gate: scatter_small_scan repartitions ONLY scan-shaped
+    frames (project/filter chains over one file-source relation).
+    Frames whose partitioning is governed by an exchange or a cache —
+    aggregates, windows, joins, repartitions, in-memory relations —
+    come back IDENTICAL (same plan object semantics, no probe, no
+    injected exchange), because split packing never decided their
+    partition count in the first place."""
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    scan = load_table(spark, sf, "nation")
+    assert Q._is_scan_shaped(scan)
+    assert Q._is_scan_shaped(
+        scan.where(F.col("n_nationkey") > 0).select("n_name")
+    )
+    agg = scan.groupBy("n_regionkey").count()
+    joined = scan.join(
+        load_table(spark, sf, "region"),
+        scan.n_regionkey == F.col("r_regionkey"),
+    )
+    rep = scan.repartition(4)
+    mem = spark.createDataFrame([(1,)], "x int")
+    for f in (agg, joined, rep, mem):
+        assert not Q._is_scan_shaped(f)
+        assert Q.scatter_small_scan(f) is f
+    # scan-shaped small frames still scatter to full parallelism
+    assert (
+        Q.scatter_small_scan(scan).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )

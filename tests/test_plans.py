@@ -813,8 +813,15 @@ def test_decontaminate_broadcast_anti_join(spark):
     assert "Python" not in plan
     scans = scans_of(plan)
     assert scans and all("documents" in s for s in scans)
-    corpus_side = [s for s in scans if "NOT ((" in s.split("DataFilters:")[1]]
-    bench_side = [s for s in scans if "NOT ((" not in s.split("DataFilters:")[1]]
+    # partition (not split): a FileScan block printing without a
+    # DataFilters section yields '' and fails the assertions readably
+    # instead of raising IndexError (ADVICE r16).
+    corpus_side = [
+        s for s in scans if "NOT ((" in s.partition("DataFilters:")[2]
+    ]
+    bench_side = [
+        s for s in scans if "NOT ((" not in s.partition("DataFilters:")[2]
+    ]
     assert len(corpus_side) == 2
     assert bench_side  # cached staging fill, printed per reference
     assert "InMemoryTableScan" in plan  # benchmark staging is cached

@@ -304,14 +304,23 @@ def test_pinned_video_lens_artifact_fresh():
 
 
 def test_scatter_for_kernel_rule(spark):
-    # under-parallel single-split input scatters to defaultParallelism;
-    # an already-wide frame passes through with its partitioning intact
-    docs = spark.range(100).selectExpr("id AS doc_id", "'t' AS text")
-    narrow = docs.coalesce(1)
+    # under-parallel single-split SCAN scatters to defaultParallelism;
+    # frames whose partitioning was set by an exchange (repartition,
+    # range+coalesce — anything non-scan-shaped) pass through with
+    # their partitioning intact (r17 scan-shape gate: split packing
+    # never decided their partition count, so there is nothing for
+    # the scatter to fix and no probe to pay).
+    from hadoop_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
     target = spark.sparkContext.defaultParallelism
-    assert mm.scatter_for_kernel(narrow).rdd.getNumPartitions() == target
-    wide = docs.repartition(target * 2)
-    assert mm.scatter_for_kernel(wide).rdd.getNumPartitions() == target * 2
+    assert docs.rdd.getNumPartitions() < target  # one split
+    assert mm.scatter_for_kernel(docs).rdd.getNumPartitions() == target
+    synth = spark.range(100).selectExpr("id AS doc_id", "'t' AS text")
+    for f in (synth.coalesce(1), synth.repartition(target * 2)):
+        assert mm.scatter_for_kernel(f) is f
 
 
 def test_decimate_avi_keeps_strided_frames_and_duration():
@@ -361,3 +370,24 @@ def test_decimate_audio_kernel_and_error_rows(spark):
     bad = rows[2]
     assert bad.decimate_error is not None
     assert bad.n_samples is None and bad.payload is None
+
+
+def test_dhash64_batch_matches_scalar():
+    """The vectorized per-frame dHash (r17) must be BIT-identical to
+    the scalar loop on rendered fixture frames, odd sizes at/above the
+    grid, and flat frames — the lens digests and every pinned
+    signature ride on this equality."""
+    from hadoop_data_pipeline_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(20260818)
+    stacks = [
+        vc.decode_avi(vc.render_scene_video("alpha beta gamma " * 9))[0],
+        vc.decode_avi(vc.render_scene_video(""))[0],
+        rng.integers(0, 256, size=(5, 8, 9, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(3, 17, 23, 3), dtype=np.uint8),
+        np.zeros((2, 24, 32, 3), dtype=np.uint8),
+    ]
+    for frames in stacks:
+        batch = list(ic.dhash64_batch(frames))
+        scalar = [ic.dhash64(frames[k]) for k in range(frames.shape[0])]
+        assert batch == scalar
