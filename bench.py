@@ -2,10 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE compact JSON line as the final stdout line:
 {"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
-"n_queries": N, "queries": {...headline subset...}}.
-Full per-query timings go to BENCH_DETAILS.json next to this file
-(the driver captures only a bounded stdout tail, so the final line
-must stay small).
+"n_queries": N, "queries": {...ALL per-query seconds...}}.
+Since r17 the line carries every query's timing (compact separators,
+~6 KB) so the round driver can compute a real per-query geomean;
+BENCH_DETAILS.json next to this file additionally records per-rep
+samples.
 
 Each query is forced end-to-end with the ``noop`` write format (full
 computation, no driver-side collect) after a warm-up of the session.
@@ -238,14 +239,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     failed = sorted(n for n, v in timings.items() if v < 0)
-    # Headline: the 5 slowest queries only — keeps the final line well
-    # under the driver's stdout-tail capture limit.
-    slowest = dict(
-        sorted(
-            ((n, v) for n, v in timings.items() if v >= 0),
-            key=lambda kv: -kv[1],
-        )[:5]
-    )
+    # r17 (VERDICT r16 item 2): the final line used to carry only the
+    # 5 slowest per-query timings, which left the round driver's
+    # per-query comparison with n_common = 0 and no geomean — real
+    # regressions below the top-5 were invisible. It now carries ALL
+    # per-query seconds (~6 KB compact JSON — measured well inside the
+    # driver's stdout-tail capture, whose r16 tail kept ~1.5 KB of
+    # warnings plus the line intact). Strictly ADDITIVE: every r16 key
+    # (metric/value/unit/sf/n_queries/n_failed/sec_per_query/calib)
+    # is unchanged and the 5 slowest are still a subset of "queries".
     details = {
         "metric": "catalog_total_runtime",
         "value": round(sum(v for v in timings.values() if v >= 0), 3),
@@ -289,9 +291,9 @@ def main() -> None:
         "n_failed": len(failed),
         "sec_per_query": details["sec_per_query"],
         "calib": details["calib"],
-        "queries": slowest,
+        "queries": timings,
     }
-    print(json.dumps(result))
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

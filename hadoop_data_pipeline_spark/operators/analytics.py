@@ -337,19 +337,17 @@ def association_rules(
     support floor prunes the pair frame before the two measure
     joins. Ratios are computed once, rounded identically to the
     oracle."""
-    from hadoop_data_pipeline_spark.operators.queries import (
-        scatter_small_scan,
-    )
-
-    # Scatter the (basket, item) scan so a single-split input does
-    # not serialize the map side of the basket exchange (r16; see
-    # queries.scatter_small_scan). Counts-only math — order-safe.
+    # No scatter on the (basket, item) scan (r17): the map side below
+    # the basket exchange is a trivial project + partial collect_set —
+    # no expensive per-row work to parallelize — and the round-robin
+    # exchange measurably COST time at bench scale (interleaved A/B,
+    # 4 rounds: 1.28-1.86 s with vs 1.13-1.38 s without) while being
+    # a no-op at production split counts either way (same finding as
+    # copurchase_triangle_counts / pagerank_part_supplier).
     lists = (
-        scatter_small_scan(
-            baskets.select(
-                F.col(basket_col).alias("__bk"),
-                F.col(item_col).alias("__it"),
-            )
+        baskets.select(
+            F.col(basket_col).alias("__bk"),
+            F.col(item_col).alias("__it"),
         )
         .groupBy("__bk")
         .agg(F.collect_set("__it").alias("__items"))

@@ -7906,78 +7906,85 @@ def range_peak_concurrent_orders(
 # tools/oracle_check.py --strict and tests/test_catalog_oracle.py.
 
 _DRIVER_WINDOW = [
-    # r16-new entries first (never driver-checked): the range-join
-    # family (binned interval-point, binned interval-interval with
-    # anchored pair-dedup, sweep-line concurrency)
-    "range_active_orders_daily",
-    "range_overlap_order_pairs",
-    "range_peak_concurrent_orders",
-    # the REMAINING r12 cohort (last driver-checked r12, exactly 4
-    # rounds old at r16 — the staleness bound's hard edge; 50 minus
-    # the 20 pre-paid in r15)
-    "forward_fill_purchase_value",
-    "grouped_max_event_ts",
-    "horizontal_sum_lineitem",
-    "lang_id_heuristic",
-    "latest_event_global",
-    "latest_event_per_user_type",
-    "latest_order_join_form",
-    "latest_order_per_customer",
-    "membership_filter",
-    "monotonic_violations_user_value",
-    "null_and_nonzero_counts",
-    "orc_roundtrip_docs",
-    "padding_waste_by_length_bucket",
-    "pivot_user_event_values",
-    "pricing_summary",
-    "provenance_file_name",
+    # the REMAINING r13 cohort (last driver-checked r13, exactly 4
+    # rounds old at r17 — the staleness bound's hard edge; 50 minus
+    # the 17 pre-paid in r16), alphabetical
+    "event_type_transitions",
+    "event_value_histogram",
+    "grouping_sets_revenue",
+    "image_decode_stats",
+    "image_dhash_signatures",
+    "image_near_dup_phash",
+    "image_resize_digest",
+    "incremental_daily_agg_merge",
+    "incremental_dedup_new_docs",
+    "json_prop_stats",
+    "jsonl_roundtrip_docs",
+    "media_feature_extract",
+    "media_frame_digests",
+    "min_cost_supplier_per_part",
+    "order_priority_counts",
+    "pack_token_shards",
+    "pii_redaction_stats",
+    "promo_revenue_share",
+    "repetition_quality_stats",
+    "salted_event_type_stats",
+    "small_quantity_part_revenue",
+    "token_vocab_top50",
+    "tombstone_delete_users",
+    "top_supplier_revenue",
+    "train_val_test_split",
+    "user_event_gap_stats_window",
+    "user_journey_paths",
+    "user_state_history_scd2",
+    "users_purchase_and_error",
+    "users_purchase_no_error",
+    "value_remap",
+    "variant_json_prop_stats",
+    "weekly_cohort_retention",
+    # REWRITE CONFIRMATION (VERDICT r16 item 3: a query whose
+    # internals were rewritten gets independent driver-side oracle
+    # confirmation the round after the rewrite lands): the four r16
+    # rewrites (min_cost_supplier_per_part is in the r13 remainder
+    # above) ...
+    "association_rules_copurchase",
+    "copurchase_triangle_counts",
+    "sole_failing_supplier",
+    # ... the r16 C5/C6 operator entries (bpe_tokenize_docs stays out
+    # — rows-only, no value oracle; its bound checks are committed as
+    # BOUNDS_r{N}.json) ...
+    "benchmark_contamination",
+    "decontaminate_corpus",
     "quality_perceptron_doc_scores",
     "quality_perceptron_weights",
-    "regexp_extract_source_id",
-    "rlike_sentinel_filter",
-    "rollup_revenue",
-    "running_sum_per_user",
-    "sliding_2d_event_counts",
-    "text_quality_score",
-    "text_token_stats",
-    "top3_orders_per_customer",
-    "top_bigram_char_fraction",
-    "tumbling_daily_event_stats",
-    "union_high_low_value_events",
-    "unpivot_part_measures",
-    # head of the r13 cohort (ages out at r17; pre-paying 17 of its
-    # 50 entries, alphabetical order)
-    "asof_last_purchase_per_click",
-    "audio_decode_stats",
-    "audio_fingerprint_near_dup",
-    "cdc_emit_changelog_orders",
-    "cdc_upsert_orders",
-    "chunk_documents_overlap",
-    "clicks_before_purchase",
-    "compression_ratio_quality",
-    "corpus_mix_sample",
-    "cumulative_distinct_users_daily",
-    "customer_order_histogram",
-    "customer_spend_decile_by_nation",
-    "daily_revenue_anomalies",
-    "daily_value_resample_ffill",
-    "debounce_dedup_events",
-    "disjunctive_brand_revenue",
-    "event_funnel_conversion",
+    # ... and the r17 rewrites/vectorizations landing THIS round:
+    # graph shapes (triangle above), the composite reuse, the
+    # vectorized media render/dhash kernels, and the dedup staging
+    # whose scatter gained the scan-shape gate.
+    "pagerank_part_supplier",
+    "prepare_training_shards",
+    "clean_corpus",
+    "video_scene_near_dup",
+    "video_frame_dhash_signatures",
+    "video_decode_stats",
+    "video_decimate_digest",
+    "incremental_video_scene_probe",
+    "ngram_jaccard_pairs_lang",
+    "near_dup_pairs_minhash",
     # CAPACITY RULE (r12 verdict #7): with window-eligible catalog
     # size C (total minus the 4 no-window rows), window W=50 and
     # staleness bound B=4 rounds, a round adding n new entries can
     # recheck W-n old ones, so the bound is feasible iff
-    # C + n <= (W - n) * B. This round: C=180 eligible pre-round
-    # (184 registered - 4 no-window), n=3 (the range-join family):
-    # 183 <= 47*4 = 188 — 5 slots of margin. Window arithmetic:
-    # 3 new + 30 r12-remaining (the whole hard edge) + 17 r13
-    # pre-payments = 50. r16 staleness ledger: after this window,
-    # nothing older than r13 remains unchecked-within-4; r17 must
-    # carry the remaining 33 r13-cohort entries (50 - 17 pre-paid),
-    # so r17 capacity is 33 + n <= 50 AND 183 + n <= (50 - n)*4,
-    # i.e. n <= 3. Growth past C=194 eligible requires a wider
-    # window or a longer bound, negotiated in COVERAGE.md first.
+    # C + n <= (W - n) * B. This round: C=183 eligible, n=0:
+    # 183 <= 50*4 — ample. Window arithmetic: 33 r13-remaining (the
+    # whole hard edge) + 7 VERDICT-r16-item-3 rewrite confirmations
+    # + 10 r17-rewrite confirmations = 50. Staleness ledger: after
+    # this window nothing older than r14 remains unchecked-within-4;
+    # r18 must carry the remaining r14-cohort entries (50 minus the 7
+    # pre-paid here: benchmark_contamination, clean_corpus,
+    # decontaminate_corpus and the four video_* entries — verified
+    # against CORRECTNESS_r14.json), i.e. 43 slots, so r18 capacity
+    # is 43 + n <= 50 AND 183 + n <= (50 - n)*4 — holds for n <= 7.
 ]
 
 

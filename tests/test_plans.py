@@ -159,22 +159,26 @@ def test_driver_window_covers_load_bearing_queries():
     names = list(qc.QUERIES)
     first50 = names[:50]
     for required in (
-        # r16-new (never driver-checked): the range-join family
-        "range_active_orders_daily",
-        "range_overlap_order_pairs",
-        "range_peak_concurrent_orders",
-        # representatives of the r12-cohort REMAINDER (exactly 4
-        # rounds old at r16 — the staleness bound's hard edge; all 30
+        # representatives of the r13-cohort REMAINDER (exactly 4
+        # rounds old at r17 — the staleness bound's hard edge; all 33
         # are in the window, these pin corners)
-        "forward_fill_purchase_value",
-        "latest_event_per_user_type",
-        "quality_perceptron_weights",
-        "unpivot_part_measures",
-        # representatives of the r13 cohort head (17 pre-payments
-        # toward the r17 window)
-        "asof_last_purchase_per_click",
-        "clicks_before_purchase",
-        "event_funnel_conversion",
+        "event_type_transitions",
+        "min_cost_supplier_per_part",
+        "user_journey_paths",
+        "weekly_cohort_retention",
+        # VERDICT r16 item 3: rewritten queries get independent
+        # driver-side oracle confirmation the round after the rewrite
+        "association_rules_copurchase",
+        "copurchase_triangle_counts",
+        "sole_failing_supplier",
+        "benchmark_contamination",
+        "decontaminate_corpus",
+        # r17 rewrites/vectorizations landing this round
+        "pagerank_part_supplier",
+        "prepare_training_shards",
+        "clean_corpus",
+        "video_scene_near_dup",
+        "ngram_jaccard_pairs_lang",
     ):
         assert required in first50, required
     # every slot carries an exact value-hash oracle

@@ -109,7 +109,9 @@ SCAN_BUDGETS: dict[str, dict[str, int]] = {
     "bpe_tokenize_docs": {"documents": 2},  # train-sample x encode
     "unigram_logprob_quality": {"documents": 3},  # vocab x totals x score
     "curriculum_quality_buckets": {"documents": 3},  # score x bounds x bucket
-    "prepare_training_shards": {"documents": 3},  # clean x split x pack
+    # prepare_training_shards: re-pinned to the 1-scan default in r17
+    # (split/pack consume clean_corpus's persisted survivors directly
+    # via keep_cols — the docs re-scan + semi-join are gone).
     "benchmark_contamination": {"documents": 2},  # corpus x benchmark view
     "decontaminate_corpus": {"documents": 3},  # corpus x benchmark x anti
     "incremental_dedup_new_docs": {"documents": 2},  # index x batch halves
